@@ -1,0 +1,404 @@
+"""Fully-fused single-program pipelines: DN → synRGB / grayscale in ONE jit.
+
+The exact-mode pipeline (pipeline.py) splits at the data-dependent scalar
+logic so percentile inversion and window selection run host-side in f64,
+bit-faithful to the reference. This module is the *production fast path*: the
+entire chain — downsample-on-read resampling, dB conversion, histogram
+statistics, strategy window selection, CLAHE, quantization, double
+normalization, synthetic RGB — is expressed in jnp so XLA compiles one
+program with zero host round-trips. Scalar control flow becomes arithmetic
+`jnp.where` selection (strategies are static), so there is no recompilation
+across scenes of the same shape.
+
+This is also the multi-chip target: under a `jax.sharding.Mesh` the
+histogram scatter-adds become cross-device reductions and everything else
+partitions cleanly (see parallel/sharded.py).
+
+Numerics: f32 end-to-end (vs the reference's f64 on CPU) — equivalent within
+≤1 histogram bin of window placement; validated against the exact path in
+tests/test_fused.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import AutoscaleStrategy, BitDepth
+from .clahe import CLAHE_BINS, CLIP_LIMIT, TILES_X, TILES_Y
+from .numerics import round_half_up_nonneg
+from .pipeline import DB_FLOOR, DB_VALID_THRESHOLD, NUM_BINS
+from .resize import _build_coeffs, _resample_axis0
+from .synthetic_rgb import (
+    BLUE_SCALE_SUPP,
+    EPS_SUPP,
+    GAMMA_B,
+    GAMMA_G_SUPP,
+    GAMMA_R_SUPP,
+    default_luts,
+)
+
+_PCT_ORDER = ("p01", "p02", "p05", "p10", "p25", "median", "p75", "p90",
+              "p95", "p98", "p99")
+_PCT_VALUES = np.array([0.01, 0.02, 0.05, 0.10, 0.25, 0.5, 0.75, 0.90,
+                        0.95, 0.98, 0.99], np.float32)
+
+
+def _db_mask(x):
+    v = jnp.maximum(x.astype(jnp.float32), DB_FLOOR)
+    db = 10.0 * (jnp.log(v) * np.float32(1.0 / np.log(10.0)))
+    return db, db > DB_VALID_THRESHOLD
+
+
+def _stats(db, mask):
+    """count/min/max + 4096-bin histogram + percentiles, all in-graph."""
+    count = jnp.sum(mask, dtype=jnp.int32)
+    big = jnp.float32(np.inf)
+    mn = jnp.min(jnp.where(mask, db, big))
+    mx = jnp.max(jnp.where(mask, db, -big))
+    mn = jnp.where(count > 0, mn, 0.0)
+    mx = jnp.where(count > 0, mx, 0.0)
+    span = mx - mn
+    inv = jnp.where(span > 0, 1.0 / span, 0.0)
+    t = jnp.clip((db - mn) * inv, 0.0, 1.0)
+    idx = jnp.minimum((t * NUM_BINS).astype(jnp.int32), NUM_BINS - 1)
+    hist = jnp.zeros((NUM_BINS,), jnp.int32).at[idx.ravel()].add(
+        mask.astype(jnp.int32).ravel()
+    )
+    shift = (mn + mx) * 0.5
+    d = jnp.where(mask, db - shift, 0.0)
+    n = jnp.maximum(count.astype(jnp.float32), 1.0)
+    m1 = jnp.sum(d) / n
+    mean = shift + m1
+    var = jnp.maximum(jnp.sum(d * d) / n - m1 * m1, 0.0)
+    std = jnp.where(count > 1, jnp.sqrt(var), 0.0)
+
+    # percentile inversion (reference: autoscale.rs:120-140, vectorized)
+    cum = jnp.cumsum(hist)
+    targets = jnp.minimum(
+        jnp.floor(_PCT_VALUES * n).astype(jnp.int32), count - 1
+    )
+    b = jnp.searchsorted(cum, targets, side="right")
+    b = jnp.minimum(b, NUM_BINS - 1)
+    h = hist[b]
+    cum_before = cum[b] - h
+    within = jnp.maximum(targets - cum_before, 0)
+    frac = jnp.where(h > 0, within.astype(jnp.float32) / h.astype(jnp.float32), 0.0)
+    bw = span / NUM_BINS
+    pcts = mn + (b.astype(jnp.float32) + frac) * bw
+    # degenerate all-equal case: low pcts = min, high = max
+    degenerate = span <= 0
+    lowhigh = jnp.where(_PCT_VALUES <= 0.5, mn, mx)
+    pcts = jnp.where(degenerate, lowhigh, pcts)
+
+    d = dict(zip(_PCT_ORDER, pcts))
+    d.update(count=count, min=mn, max=mx, mean=mean, std=std)
+    return d
+
+
+def _window(s, strategy: AutoscaleStrategy):
+    """Strategy windows as scalar arithmetic (reference: autoscale.rs:404-424
+    standard, :491-562 advanced)."""
+    iqr = s["p75"] - s["p25"]
+    if strategy is AutoscaleStrategy.STANDARD:
+        dr = s["max"] - s["min"]
+        rng_med = jnp.maximum(20.0, dr * 0.8)
+        low1, high1, g1 = s["median"] - rng_med / 2, s["median"] + rng_med / 2, 1.1
+        low2, high2, g2 = s["p25"] - 2.5 * iqr, s["p75"] + 2.5 * iqr, 1.0
+        low3 = jnp.maximum(s["p02"], s["min"] + 0.02 * dr)
+        high3 = jnp.minimum(s["p98"], s["max"] - 0.02 * dr)
+        g3 = 0.9
+        low4, high4, g4 = s["p02"], s["p98"], 1.0
+        c1 = dr < 15.0
+        c2 = iqr < 5.0
+        c3 = dr > 40.0
+        low = jnp.where(c1, low1, jnp.where(c2, low2, jnp.where(c3, low3, low4)))
+        high = jnp.where(c1, high1, jnp.where(c2, high2, jnp.where(c3, high3, high4)))
+        gamma = jnp.where(c1, g1, jnp.where(c2, g2, jnp.where(c3, g3, g4)))
+        low = jnp.maximum(low, s["min"])
+        high = jnp.minimum(high, s["max"])
+        return low, high, gamma
+    if strategy is AutoscaleStrategy.ROBUST:
+        thr = 2.5 * iqr
+        low = jnp.maximum(jnp.maximum(s["p25"] - thr, s["p01"]), s["min"])
+        high = jnp.minimum(jnp.minimum(s["p75"] + thr, s["p99"]), s["max"])
+        return low, high, jnp.float32(1.0)
+    if strategy is AutoscaleStrategy.ADAPTIVE:
+        skew = (s["mean"] - s["median"]) / jnp.maximum(jnp.abs(s["std"]), 1.0)
+        tail = (s["p99"] - s["p95"]) / jnp.maximum(s["p95"] - s["p75"], 1.0)
+        c_skew = jnp.abs(skew) > 0.5
+        c_pos = skew > 0.0
+        c_tail = tail > 2.0
+        low = jnp.where(
+            c_skew, jnp.where(c_pos, s["p02"], s["p05"]),
+            jnp.where(c_tail, s["p10"], s["p05"]),
+        )
+        high = jnp.where(
+            c_skew, jnp.where(c_pos, s["p98"], s["p95"]),
+            jnp.where(c_tail, s["p90"], s["p95"]),
+        )
+        gamma = jnp.where(
+            c_skew, jnp.where(c_pos, 0.9, 1.1), jnp.where(c_tail, 0.8, 1.0)
+        )
+        return low, high, gamma
+    if strategy in (AutoscaleStrategy.EQUALIZED, AutoscaleStrategy.CLAHE):
+        return s["p01"], s["p99"], jnp.float32(1.0)
+    if strategy is AutoscaleStrategy.TAMED:
+        return s["p25"], s["p99"], jnp.float32(1.0)
+    return s["p05"], s["p95"], jnp.float32(1.0)  # default
+
+
+def _quantize(db, mask, low, high, gamma, max_val):
+    rng = jnp.maximum(high - low, 1.0)
+    norm = (jnp.clip(db, low, high) - low) / rng
+    powed = jnp.where(gamma == 1.0, norm, jnp.power(norm, gamma))
+    q = jnp.clip(jnp.trunc(jnp.clip(powed * max_val, 0.0, max_val)), 0, 65535)
+    return jnp.where(mask, q, 0.0).astype(jnp.uint16)
+
+
+def _scale_u16_to_u8(q):
+    mn = jnp.min(q).astype(jnp.float32)
+    mx = jnp.max(q).astype(jnp.float32)
+    scale = jnp.where(mx > mn, 255.0 / (mx - mn), 1.0)
+    val = round_half_up_nonneg((q.astype(jnp.float32) - mn) * scale)
+    return jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
+
+
+def _clahe(db, mask, low, high, max_val, rows: int, cols: int):
+    """CLAHE entirely in-graph (cf. clahe.py for the exact-mode split)."""
+    tile_h = -(-rows // TILES_Y)
+    tile_w = -(-cols // TILES_X)
+    rng = jnp.maximum(high - low, 1.0)
+    norm = jnp.where(mask, (jnp.clip(db, low, high) - low) / rng, 0.0)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    ty = jnp.minimum(r // tile_h, TILES_Y - 1)
+    tx = jnp.minimum(c // tile_w, TILES_X - 1)
+    bin_ = round_half_up_nonneg(jnp.clip(norm, 0, 1) * np.float32(CLAHE_BINS - 1))
+    bin_ = jnp.clip(bin_, 0, CLAHE_BINS - 1).astype(jnp.int32)
+    flat = (ty * TILES_X + tx) * CLAHE_BINS + bin_
+    hists = jnp.zeros((TILES_Y * TILES_X * CLAHE_BINS,), jnp.int32).at[
+        flat.ravel()
+    ].add(mask.astype(jnp.int32).ravel())
+    h = hists.reshape(TILES_Y * TILES_X, CLAHE_BINS).astype(jnp.float32)
+
+    # per-tile extents (static)
+    r1 = np.minimum((np.arange(TILES_Y) + 1) * tile_h, rows)
+    r0 = np.arange(TILES_Y) * tile_h
+    c1 = np.minimum((np.arange(TILES_X) + 1) * tile_w, cols)
+    c0 = np.arange(TILES_X) * tile_w
+    tile_pixels = (np.maximum(r1 - r0, 0)[:, None]
+                   * np.maximum(c1 - c0, 0)[None, :]).reshape(-1).astype(np.float32)
+    thr = jnp.asarray(np.maximum(CLIP_LIMIT * tile_pixels / CLAHE_BINS, 1.0))[:, None]
+
+    over = h > thr
+    excess = jnp.sum(jnp.where(over, h - thr, 0.0), axis=-1, keepdims=True)
+    h = jnp.where(over, jnp.trunc(thr), h)
+    add = jnp.floor(excess / CLAHE_BINS)
+    h = jnp.trunc(h + add)
+    rem = jnp.floor(excess - add * CLAHE_BINS + 0.5)
+    bin_idx = jnp.arange(CLAHE_BINS, dtype=jnp.float32)[None, :]
+    h = h + (bin_idx < rem).astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(h, axis=-1, keepdims=True), 1.0)
+    cdfs = jnp.clip(jnp.cumsum(h, axis=-1) / total, 0.0, 1.0).ravel()
+
+    rf = r.astype(jnp.float32) / np.float32(tile_h) - 0.5
+    cf = c.astype(jnp.float32) / np.float32(tile_w) - 0.5
+    tyf = jnp.maximum(jnp.floor(rf), 0.0)
+    txf = jnp.maximum(jnp.floor(cf), 0.0)
+    dy = rf - tyf
+    dx = cf - txf
+    tyi = tyf.astype(jnp.int32)
+    txi = txf.astype(jnp.int32)
+    ty0 = jnp.clip(tyi, 0, TILES_Y - 1)
+    tx0 = jnp.clip(txi, 0, TILES_X - 1)
+    ty1 = jnp.clip(tyi + 1, 0, TILES_Y - 1)
+    tx1 = jnp.clip(txi + 1, 0, TILES_X - 1)
+
+    def at(a, b):
+        return jnp.take(cdfs, (a * TILES_X + b) * CLAHE_BINS + bin_)
+
+    top = at(ty0, tx0) * (1 - dx) + at(ty0, tx1) * dx
+    bot = at(ty1, tx0) * (1 - dx) + at(ty1, tx1) * dx
+    eq = top * (1 - dy) + bot * dy
+    q = jnp.trunc(jnp.clip(eq, 0.0, 1.0) * max_val)
+    return jnp.where(mask, q, 0.0).astype(jnp.uint16)
+
+
+def _resample_dn(x, out_rows: int, out_cols: int, filter_name: str):
+    """Downsample-on-read equivalent, in-graph (static shapes)."""
+    in_rows, in_cols = x.shape
+    x = x.astype(jnp.float32)
+    if in_rows != out_rows:
+        s, w = _build_coeffs(in_rows, out_rows, filter_name)
+        x = _resample_axis0(x, s, w)
+    if in_cols != out_cols:
+        s, w = _build_coeffs(in_cols, out_cols, filter_name)
+        x = _resample_axis0(x.T, s, w).T
+    return x
+
+
+def _band_u8(dn, strategy: AutoscaleStrategy, tamed_copol: bool | None,
+             rows: int, cols: int):
+    """One band DN → final u8 (the strategy dispatch of pipeline.rs:42-67 plus
+    the Tamed synRGB band path of save.rs:324-328)."""
+    db, mask = _db_mask(dn)
+    s = _stats(db, mask)
+    if tamed_copol is not None and strategy is AutoscaleStrategy.TAMED:
+        # band-specific tamed window (autoscale.rs:710-742) straight to u8
+        low = jnp.where(tamed_copol, jnp.minimum(s["p02"], s["p05"]), s["p05"])
+        high = s["p99"]
+        rng = jnp.maximum(high - low, 1.0)
+        q = jnp.clip(jnp.trunc(jnp.clip(
+            (jnp.clip(db, low, high) - low) / rng * 255.0, 0, 255)), 0, 255)
+        return jnp.where(mask, q, 0.0).astype(jnp.uint8)
+    low, high, gamma = _window(s, strategy)
+    if strategy is AutoscaleStrategy.CLAHE:
+        q16 = _clahe(db, mask, low, high, jnp.float32(255.0), rows, cols)
+    else:
+        q16 = _quantize(db, mask, low, high, gamma, jnp.float32(255.0))
+    return _scale_u16_to_u8(q16)
+
+
+def _synrgb_default(b1, b2):
+    lut_r, lut_g, lut_b = default_luts()
+    r = jnp.take(jnp.asarray(lut_r), b1.astype(jnp.int32))
+    g = jnp.take(jnp.asarray(lut_g), b2.astype(jnp.int32))
+    b = jnp.take(jnp.asarray(lut_b), b1.astype(jnp.int32) * 256 + b2.astype(jnp.int32))
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _synrgb_suppressed(b1, b2):
+    """Suppressed composition with the data-dependent floor computed in-graph
+    (reference: synthetic_rgb.rs:88-178)."""
+    i1 = b1.astype(jnp.int32)
+    i2 = b2.astype(jnp.int32)
+    hist = jnp.zeros((256,), jnp.int32).at[i1.ravel()].add(1).at[i2.ravel()].add(1)
+    total = jnp.float32(b1.size + b2.size)
+    target = jnp.floor(total * 0.05 + 0.5)
+    cum = jnp.cumsum(hist).astype(jnp.float32)
+    reached = cum >= target
+    floor_value = jnp.where(jnp.any(reached), jnp.argmax(reached), 0)
+    floor_c = jnp.minimum(floor_value + 3, 40).astype(jnp.float32)
+
+    v = jnp.arange(256, dtype=jnp.float32)
+    denom = jnp.maximum(255.0 - floor_c, 1.0)
+    shifted = jnp.maximum(v - floor_c, 0.0) / denom
+    lut_r = jnp.where(
+        v <= floor_c, 0.0,
+        jnp.clip(round_half_up_nonneg(jnp.power(shifted, GAMMA_R_SUPP) * 255.0), 0, 255),
+    )
+    lut_g = jnp.where(
+        v <= floor_c, 0.0,
+        jnp.clip(round_half_up_nonneg(jnp.power(shifted, GAMMA_G_SUPP) * 255.0), 0, 255),
+    )
+    rr = lut_r[:, None]
+    gg = lut_g[None, :]
+    ratio = (rr + EPS_SUPP) / (gg + EPS_SUPP)
+    lut_b = round_half_up_nonneg(
+        jnp.clip(jnp.power(ratio, GAMMA_B) * 255.0 * BLUE_SCALE_SUPP, 0.0, 255.0)
+    ).reshape(-1)
+
+    r = jnp.take(lut_r, i1)
+    g = jnp.take(lut_g, i2)
+    b = jnp.take(lut_b, i1 * 256 + i2)
+    rgb = jnp.stack([r, g, b], axis=-1)
+    water = ((i1.astype(jnp.float32) <= floor_c)
+             & (i2.astype(jnp.float32) <= floor_c))[..., None]
+    return jnp.where(water, 0.0, rgb).astype(jnp.uint8)
+
+
+def _pad_square(x, rows: int, cols: int):
+    m = max(rows, cols)
+    pr = (m - rows) // 2
+    pc = (m - cols) // 2
+    if x.ndim == 3:
+        return jnp.pad(x, ((pr, m - rows - pr), (pc, m - cols - pc), (0, 0)))
+    return jnp.pad(x, ((pr, m - rows - pr), (pc, m - cols - pc)))
+
+
+def _plan_read_dims(in_rows: int, in_cols: int, target_size: int | None):
+    """Downsample-on-read sizing + filter choice (sentinel1.rs:1084-1102)."""
+    if target_size is None:
+        return in_rows, in_cols, None
+    long_side = max(in_rows, in_cols)
+    scale = min(target_size / long_side, 1.0)
+    out_rows = max(int(np.floor(in_rows * scale + 0.5)), 1)
+    out_cols = max(int(np.floor(in_cols * scale + 0.5)), 1)
+    reduction = max(long_side / target_size, 1.0)
+    filt = "average" if reduction >= 4.0 else "lanczos"
+    return out_rows, out_cols, filt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strategy", "target_size", "pad", "suppressed"),
+)
+def synrgb_pipeline(
+    vv_dn,
+    vh_dn,
+    strategy: AutoscaleStrategy = AutoscaleStrategy.CLAHE,
+    target_size: int | None = 2048,
+    pad: bool = False,
+    suppressed: bool | None = None,
+):
+    """Flagship fused program: dual-pol DN rasters → synthetic-RGB u8.
+
+    Covers the full benchmark configuration (SURVEY.md §3.2 call stack):
+    downsample-on-read → dB → stats → autoscale (strategy) → u8 → synRGB.
+    One XLA program, zero host syncs.
+    """
+    in_rows, in_cols = vv_dn.shape
+    rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size)
+    if filt is not None:
+        vv = _resample_dn(vv_dn, rows, cols, filt)
+        vh = _resample_dn(vh_dn, rows, cols, filt)
+    else:
+        vv = vv_dn.astype(jnp.float32)
+        vh = vh_dn.astype(jnp.float32)
+
+    tamed = strategy is AutoscaleStrategy.TAMED
+    b1 = _band_u8(vv, strategy, True if tamed else None, rows, cols)
+    b2 = _band_u8(vh, strategy, False if tamed else None, rows, cols)
+
+    if pad:
+        # padding precedes composition (save.rs:332-361): the pad zeros take
+        # part in the suppressed mode's combined histogram
+        b1 = _pad_square(b1, rows, cols)
+        b2 = _pad_square(b2, rows, cols)
+
+    if suppressed is None:
+        suppressed = strategy in (AutoscaleStrategy.TAMED, AutoscaleStrategy.CLAHE)
+    return _synrgb_suppressed(b1, b2) if suppressed else _synrgb_default(b1, b2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strategy", "bit_depth", "target_size", "pad"),
+)
+def grayscale_pipeline(
+    dn,
+    strategy: AutoscaleStrategy = AutoscaleStrategy.STANDARD,
+    bit_depth: BitDepth = BitDepth.U8,
+    target_size: int | None = None,
+    pad: bool = False,
+):
+    """Fused single-band program: DN raster → u8/u16 grayscale."""
+    in_rows, in_cols = dn.shape
+    rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size)
+    x = _resample_dn(dn, rows, cols, filt) if filt is not None else dn.astype(jnp.float32)
+    db, mask = _db_mask(x)
+    s = _stats(db, mask)
+    low, high, gamma = _window(s, strategy)
+    max_val = jnp.float32(bit_depth.max_val)
+    if strategy is AutoscaleStrategy.CLAHE:
+        q16 = _clahe(db, mask, low, high, max_val, rows, cols)
+    else:
+        q16 = _quantize(db, mask, low, high, gamma, max_val)
+    out = _scale_u16_to_u8(q16) if bit_depth is BitDepth.U8 else q16
+    if pad:
+        out = _pad_square(out, rows, cols)
+    return out

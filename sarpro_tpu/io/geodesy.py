@@ -1,0 +1,419 @@
+"""Geodesy: UTM/UPS projection math, EPSG↔WKT, auto-CRS resolution, TPS fitting.
+
+Replaces the reference's gdalwarp/gdalinfo subprocess dependencies
+(src/io/sentinel1.rs:988-1071, :1613-1808) with self-contained math:
+
+  * Transverse Mercator via 6th-order Krüger series (Karney 2011) — sub-mm
+    agreement with proj's etmerc for UTM use;
+  * Polar Stereographic (UPS) for the polar EPSG codes the auto-resolver emits;
+  * `lonlat_to_epsg` with the UPS poles and Norway/Svalbard exceptions
+    (reference: sentinel1.rs:1766-1808);
+  * `resolve_auto_target_crs` from measurement GCP centroids
+    (reference: sentinel1.rs:1613-1764);
+  * thin-plate-spline fitting from GCPs (the host half of the on-device warp,
+    standing in for `gdalwarp -tps`, reference: sentinel1.rs:1016-1028).
+
+Everything here is host-side float64; the device warp kernel consumes only
+the small mapping grids this module produces.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("sarpro")
+
+# WGS84
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_N = _F / (2.0 - _F)
+_E2 = _F * (2.0 - _F)
+_E = np.sqrt(_E2)
+
+_n = _N
+# Rectifying radius
+_A_REC = _A / (1 + _n) * (1 + _n**2 / 4 + _n**4 / 64 + _n**6 / 256)
+
+# Krüger series coefficients (order 6)
+_ALPHA = np.array([
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180
+    - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630
+    - 1983433 * _n**6 / 1935360,
+    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880
+    + 167603 * _n**6 / 181440,
+    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
+    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
+    212378941 * _n**6 / 319334400,
+])
+_BETA = np.array([
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360
+    - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105
+    - 1118711 * _n**6 / 3870720,
+    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480
+    + 5569 * _n**6 / 90720,
+    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
+    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
+    20648693 * _n**6 / 638668800,
+])
+# conformal -> geodetic latitude series
+_DELTA = np.array([
+    2 * _n - 2 * _n**2 / 3 - 2 * _n**3 + 116 * _n**4 / 45
+    + 26 * _n**5 / 45 - 2854 * _n**6 / 675,
+    7 * _n**2 / 3 - 8 * _n**3 / 5 - 227 * _n**4 / 45 + 2704 * _n**5 / 315
+    + 2323 * _n**6 / 945,
+    56 * _n**3 / 15 - 136 * _n**4 / 35 - 1262 * _n**5 / 105
+    + 73814 * _n**6 / 2835,
+    4279 * _n**4 / 630 - 332 * _n**5 / 35 - 399572 * _n**6 / 14175,
+    4174 * _n**5 / 315 - 144838 * _n**6 / 6237,
+    601676 * _n**6 / 22275,
+])
+
+UTM_K0 = 0.9996
+UTM_FE = 500000.0
+UTM_FN_SOUTH = 10000000.0
+UPS_K0 = 0.994
+UPS_FE = 2000000.0
+UPS_FN = 2000000.0
+
+
+def tm_forward(lon_deg, lat_deg, lon0_deg: float):
+    """Transverse Mercator forward (no scale/false offsets): returns (x, y)
+    in meters relative to the central meridian. Array-friendly f64."""
+    lon = np.radians(np.asarray(lon_deg, np.float64) - lon0_deg)
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    s = np.sin(lat)
+    conf = np.arctanh(s) - _E * np.arctanh(_E * s)
+    t = np.sinh(conf)
+    xi = np.arctan2(t, np.cos(lon))
+    eta = np.arcsinh(np.sin(lon) / np.sqrt(t * t + np.cos(lon) ** 2))
+    xi_s = xi.copy()
+    eta_s = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_s = xi_s + _ALPHA[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_s = eta_s + _ALPHA[j] * np.cos(k * xi) * np.sinh(k * eta)
+    return _A_REC * eta_s, _A_REC * xi_s
+
+
+def tm_inverse(x, y, lon0_deg: float):
+    """Transverse Mercator inverse: meters (relative) → (lon, lat) degrees."""
+    eta = np.asarray(x, np.float64) / _A_REC
+    xi = np.asarray(y, np.float64) / _A_REC
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_p = xi_p - _BETA[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_p = eta_p - _BETA[j] * np.cos(k * xi) * np.sinh(k * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    lat = chi.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        lat = lat + _DELTA[j] * np.sin(k * chi)
+    lon = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lon) + lon0_deg, np.degrees(lat)
+
+
+def utm_forward(lon_deg, lat_deg, zone: int, south: bool):
+    """UTM forward: (lon, lat)° → (easting, northing) m."""
+    lon0 = zone * 6.0 - 183.0
+    x, y = tm_forward(lon_deg, lat_deg, lon0)
+    e = UTM_K0 * x + UTM_FE
+    n = UTM_K0 * y + (UTM_FN_SOUTH if south else 0.0)
+    return e, n
+
+
+def utm_inverse(easting, northing, zone: int, south: bool):
+    lon0 = zone * 6.0 - 183.0
+    x = (np.asarray(easting, np.float64) - UTM_FE) / UTM_K0
+    y = (np.asarray(northing, np.float64) - (UTM_FN_SOUTH if south else 0.0)) / UTM_K0
+    return tm_inverse(x, y, lon0)
+
+
+def ups_forward(lon_deg, lat_deg, north: bool):
+    """Polar stereographic (UPS variant B) forward."""
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    sign = 1.0 if north else -1.0
+    lat = sign * lat
+    lon = sign * lon
+    s = np.sin(lat)
+    t = np.tan(np.pi / 4 - lat / 2) * ((1 + _E * s) / (1 - _E * s)) ** (_E / 2)
+    rho = 2 * _A * UPS_K0 * t / np.sqrt((1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E))
+    x = UPS_FE + rho * np.sin(lon)
+    y = UPS_FN - sign * rho * np.cos(lon)
+    return x, y
+
+
+def ups_inverse(easting, northing, north: bool):
+    sign = 1.0 if north else -1.0
+    dx = np.asarray(easting, np.float64) - UPS_FE
+    dy = sign * (UPS_FN - np.asarray(northing, np.float64))
+    rho = np.hypot(dx, dy)
+    t = rho * np.sqrt((1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E)) / (2 * _A * UPS_K0)
+    chi = np.pi / 2 - 2 * np.arctan(t)
+    lat = chi
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2)
+        )
+    lon = np.arctan2(dx, dy)
+    return sign * np.degrees(lon), sign * np.degrees(lat)
+
+
+# ---------------------------------------------------------------------------
+# EPSG plumbing
+# ---------------------------------------------------------------------------
+def parse_epsg_code(crs: str) -> Optional[int]:
+    crs = (crs or "").strip()
+    if crs.upper().startswith("EPSG:"):
+        try:
+            return int(crs.split(":")[1])
+        except ValueError:
+            return None
+    key = 'AUTHORITY["EPSG","'
+    idx = crs.rfind(key)
+    if idx >= 0:
+        start = idx + len(key)
+        end = crs.find('"', start)
+        try:
+            return int(crs[start:end])
+        except ValueError:
+            return None
+    return None
+
+
+def epsg_kind(code: int) -> Optional[dict]:
+    """Classify the EPSG codes this framework projects natively."""
+    if code == 4326:
+        return {"kind": "geographic"}
+    if 32601 <= code <= 32660:
+        return {"kind": "utm", "zone": code - 32600, "south": False}
+    if 32701 <= code <= 32760:
+        return {"kind": "utm", "zone": code - 32700, "south": True}
+    if code == 32661:
+        return {"kind": "ups", "north": True}
+    if code == 32761:
+        return {"kind": "ups", "north": False}
+    return None
+
+
+_WKT_GEOGCS = (
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+    'AUTHORITY["EPSG","4326"]]'
+)
+
+
+def epsg_to_wkt(code: int) -> Optional[str]:
+    """WKT1 for the CRS family we emit (EPSG:4326, UTM WGS84, UPS)."""
+    info = epsg_kind(code)
+    if info is None:
+        return None
+    if info["kind"] == "geographic":
+        return _WKT_GEOGCS
+    if info["kind"] == "utm":
+        zone = info["zone"]
+        south = info["south"]
+        hemi = "S" if south else "N"
+        lon0 = zone * 6 - 183
+        fn = UTM_FN_SOUTH if south else 0
+        return (
+            f'PROJCS["WGS 84 / UTM zone {zone}{hemi}",{_WKT_GEOGCS},'
+            f'PROJECTION["Transverse_Mercator"],'
+            f'PARAMETER["latitude_of_origin",0],'
+            f'PARAMETER["central_meridian",{lon0}],'
+            f'PARAMETER["scale_factor",0.9996],'
+            f'PARAMETER["false_easting",500000],'
+            f'PARAMETER["false_northing",{fn:.0f}],'
+            f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+            f'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+            f'AUTHORITY["EPSG","{code}"]]'
+        )
+    north = info["north"]
+    name = "WGS 84 / UPS North (N,E)" if north else "WGS 84 / UPS South (N,E)"
+    lat0 = 90 if north else -90
+    return (
+        f'PROJCS["{name}",{_WKT_GEOGCS},'
+        f'PROJECTION["Polar_Stereographic"],'
+        f'PARAMETER["latitude_of_origin",{lat0}],'
+        f'PARAMETER["central_meridian",0],'
+        f'PARAMETER["scale_factor",0.994],'
+        f'PARAMETER["false_easting",2000000],'
+        f'PARAMETER["false_northing",2000000],'
+        f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+        f'AUTHORITY["EPSG","{code}"]]'
+    )
+
+
+def project_forward(lon, lat, code: int):
+    """(lon, lat)° → target CRS coordinates for any supported EPSG code."""
+    info = epsg_kind(code)
+    if info is None:
+        raise ValueError(f"unsupported target CRS EPSG:{code}")
+    if info["kind"] == "geographic":
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if info["kind"] == "utm":
+        return utm_forward(lon, lat, info["zone"], info["south"])
+    return ups_forward(lon, lat, info["north"])
+
+
+def project_inverse(x, y, code: int):
+    """Target CRS coordinates → (lon, lat)°."""
+    info = epsg_kind(code)
+    if info is None:
+        raise ValueError(f"unsupported target CRS EPSG:{code}")
+    if info["kind"] == "geographic":
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if info["kind"] == "utm":
+        return utm_inverse(x, y, info["zone"], info["south"])
+    return ups_inverse(x, y, info["north"])
+
+
+# ---------------------------------------------------------------------------
+# lon/lat -> EPSG (reference: sentinel1.rs:1766-1808)
+# ---------------------------------------------------------------------------
+def lonlat_to_epsg(lon: float, lat: float) -> str:
+    """UTM zone with UPS poles and Norway/Svalbard exceptions."""
+    if lat >= 84.0:
+        return "EPSG:32661"
+    if lat <= -80.0:
+        return "EPSG:32761"
+    lon_norm = lon
+    if lon_norm < -180.0 or lon_norm >= 180.0:
+        lon_norm = ((lon_norm + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    norway = 56.0 <= lat < 64.0 and 3.0 <= lon_norm < 12.0
+    svalbard = 72.0 <= lat < 84.0
+    if norway:
+        zone = 32
+    elif svalbard:
+        if 0.0 <= lon_norm < 9.0:
+            zone = 31
+        elif 9.0 <= lon_norm < 21.0:
+            zone = 33
+        elif 21.0 <= lon_norm < 33.0:
+            zone = 35
+        elif 33.0 <= lon_norm < 42.0:
+            zone = 37
+        else:
+            zone = min(max(int(np.floor((lon_norm + 180.0) / 6.0)) + 1, 1), 60)
+    else:
+        zone = min(max(int(np.floor((lon_norm + 180.0) / 6.0)) + 1, 1), 60)
+    if lat >= 0.0:
+        return f"EPSG:326{zone:02d}"
+    return f"EPSG:327{zone:02d}"
+
+
+def resolve_auto_target_crs(safe_dir: str | Path) -> Optional[str]:
+    """Pick a UTM/UPS CRS from the measurement GCP centroid
+    (reference: sentinel1.rs:1613-1764). Uses the native GCP reader instead
+    of `gdalinfo -json`."""
+    from .raster import RasterReader
+
+    base = Path(safe_dir)
+    measurement = base / "measurement"
+    if not measurement.is_dir():
+        logger.warning("AUTO-CRS: measurement directory not found: %s", measurement)
+        return None
+    candidate: Optional[Path] = None
+    for path in sorted(measurement.iterdir()):
+        if path.suffix.lower() not in (".tiff", ".tif"):
+            continue
+        name = path.name.lower()
+        if "_warped.tif" in name or "_warped.tiff" in name:
+            continue
+        if "vv" in name or "vh" in name:
+            candidate = path
+            break
+        if "hh" in name or "hv" in name:
+            candidate = path
+        elif candidate is None:
+            candidate = path
+    if candidate is None:
+        logger.warning("AUTO-CRS: no measurement TIFF found in %s", measurement)
+        return None
+    logger.info("AUTO-CRS: candidate measurement: %s", candidate.name)
+    try:
+        reader = RasterReader(candidate)
+    except Exception as e:
+        logger.warning("AUTO-CRS: open failed for candidate: %s", e)
+        return None
+    lonlat = None
+    gcps = reader.gcps
+    if gcps is not None and len(gcps) and reader.geo.gcp_is_geographic:
+        lon = float(np.mean(gcps[:, 2]))
+        lat = float(np.mean(gcps[:, 3]))
+        lonlat = (lon, lat)
+        logger.info("AUTO-CRS: centroid from GCPs: lon=%.6f, lat=%.6f", lon, lat)
+    elif reader.metadata.epsg == 4326 and reader.geo.geotransform:
+        gt = reader.geo.geotransform
+        w, h = reader.metadata.size_x, reader.metadata.size_y
+        lon = gt[0] + gt[1] * w / 2 + gt[2] * h / 2
+        lat = gt[3] + gt[4] * w / 2 + gt[5] * h / 2
+        lonlat = (lon, lat)
+        logger.info("AUTO-CRS: centroid from extent: lon=%.6f, lat=%.6f", lon, lat)
+    reader.close()
+    if lonlat is None:
+        logger.warning("AUTO-CRS: could not compute lon/lat from GCPs or extent")
+        return None
+    epsg = lonlat_to_epsg(*lonlat)
+    logger.info("AUTO-CRS: resolved target CRS = %s", epsg)
+    return epsg
+
+
+# ---------------------------------------------------------------------------
+# Thin plate spline (the `gdalwarp -tps` equivalent, fitted host-side)
+# ---------------------------------------------------------------------------
+class ThinPlateSpline2D:
+    """TPS mapping (u,v) → (x,y) fitted on control points.
+
+    Fit is host f64 (N ≈ a few hundred GCPs → small dense solve); evaluation
+    coefficients are exported for the on-device warp kernel, where the RBF
+    sum is a (pixels × N) matmul on the MXU.
+    """
+
+    def __init__(self, src: np.ndarray, dst: np.ndarray, reg: float = 0.0):
+        src = np.asarray(src, np.float64)
+        dst = np.asarray(dst, np.float64)
+        n = len(src)
+        if n < 3:
+            raise ValueError("TPS requires >= 3 control points")
+        # normalize source domain for conditioning
+        self._mean = src.mean(axis=0)
+        self._scale = max(float(np.abs(src - self._mean).max()), 1e-12)
+        s = (src - self._mean) / self._scale
+        d2 = np.sum((s[:, None, :] - s[None, :, :]) ** 2, axis=-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            K = 0.5 * d2 * np.log(d2)
+        K[~np.isfinite(K)] = 0.0
+        if reg:
+            K += reg * np.eye(n)
+        P = np.concatenate([np.ones((n, 1)), s], axis=1)
+        A = np.zeros((n + 3, n + 3))
+        A[:n, :n] = K
+        A[:n, n:] = P
+        A[n:, :n] = P.T
+        b = np.zeros((n + 3, 2))
+        b[:n] = dst
+        coeffs, *_ = np.linalg.lstsq(A, b, rcond=None)
+        self.centers = s
+        self.w = coeffs[:n]       # (n, 2) RBF weights
+        self.affine = coeffs[n:]  # (3, 2): 1, u, v
+
+    def __call__(self, pts: np.ndarray) -> np.ndarray:
+        pts = (np.asarray(pts, np.float64) - self._mean) / self._scale
+        d2 = np.sum((pts[:, None, :] - self.centers[None, :, :]) ** 2, axis=-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            U = 0.5 * d2 * np.log(d2)
+        U[~np.isfinite(U)] = 0.0
+        out = U @ self.w
+        out += self.affine[0] + pts[:, :1] * self.affine[1] + pts[:, 1:2] * self.affine[2]
+        return out

@@ -1,0 +1,293 @@
+"""On-device reprojection — the TPU-native replacement for `gdalwarp`.
+
+The reference shells out to gdalwarp to reproject Sentinel-1 GRD rasters
+(src/io/sentinel1.rs:988-1071: `-of VRT -r {near,bilinear,cubic} -tps` with
+GCPs when the raster is unprojected). Here the warp is decomposed TPU-first:
+
+  host (f64, tiny):
+    1. build the source→lon/lat mapping (affine+projection, or a thin-plate
+       spline fitted on the GCPs — the `-tps` equivalent);
+    2. suggest the output grid (bbox of the mapped source border in the
+       target CRS, gdalwarp-style suggested resolution, or the reference's
+       `-ts` sizing from the source dims);
+    3. evaluate the *inverse* mapping (target pixel → source pixel) on a
+       coarse control grid — exactly the role of GDAL's approximate
+       transformer (default 0.125 px tolerance); we use a dense-enough grid
+       that bilinear interpolation of the mapping stays sub-0.1 px;
+
+  device (f32, all per-pixel work):
+    4. bilinearly upsample the mapping grid to every output pixel and
+       gather-sample the source raster with the chosen kernel
+       (near / bilinear / cubic) — one fused XLA program, no host round-trips.
+
+The reference's `-r` mapping quirk is preserved: lanczos (and anything else
+unrecognized) falls back to bilinear (sentinel1.rs:937-942).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ProcessingError
+from . import geodesy
+
+logger = logging.getLogger("sarpro")
+
+GRID_STEP = 32  # output pixels per mapping-grid cell (≲0.05 px interp error)
+MAX_GRID = 257
+
+
+@dataclasses.dataclass
+class WarpResult:
+    data: jax.Array  # f32 (rows, cols)
+    geotransform: list[float]
+    projection: str
+    epsg: int
+
+
+def _resample_name(alg: Optional[str]) -> str:
+    """gdalwarp -r mapping with the lanczos→bilinear quirk
+    (reference: sentinel1.rs:937-942)."""
+    if alg in ("nearest", "near"):
+        return "near"
+    if alg == "cubic":
+        return "cubic"
+    return "bilinear"
+
+
+class _SourceMapping:
+    """source pixel ↔ lon/lat, from either an affine+CRS or GCP TPS."""
+
+    def __init__(self, reader):
+        gt = reader.metadata.geotransform
+        self.is_affine = (
+            reader.metadata.epsg is not None
+            and gt is not None
+            and not (gt[0] == 0 and gt[1] == 1 and gt[2] == 0
+                     and gt[3] == 0 and gt[4] == 0 and gt[5] == 1)
+        )
+        if self.is_affine:
+            self.src_epsg = reader.metadata.epsg
+            self.gt = gt
+            det = gt[1] * gt[5] - gt[2] * gt[4]
+            if det == 0:
+                raise ProcessingError("degenerate source geotransform")
+            self.inv = np.array([
+                [gt[5] / det, -gt[2] / det],
+                [-gt[4] / det, gt[1] / det],
+            ])
+        else:
+            gcps = reader.gcps
+            if gcps is None or len(gcps) < 3:
+                raise ProcessingError(
+                    "source raster has neither a projection nor GCPs; cannot warp"
+                )
+            # GCP SRS fallback to EPSG:4326 (reference: sentinel1.rs:1020-1025)
+            self.src_epsg = reader.geo.gcp_epsg or 4326
+            pix = gcps[:, :2]
+            lonlat = np.stack(
+                geodesy.project_inverse(gcps[:, 2], gcps[:, 3], self.src_epsg), axis=-1
+            )
+            self.fwd_tps = geodesy.ThinPlateSpline2D(pix, lonlat)
+            self.inv_tps = geodesy.ThinPlateSpline2D(lonlat, pix)
+
+    def pixels_to_lonlat(self, cols, rows):
+        if self.is_affine:
+            gt = self.gt
+            x = gt[0] + cols * gt[1] + rows * gt[2]
+            y = gt[3] + cols * gt[4] + rows * gt[5]
+            return geodesy.project_inverse(x, y, self.src_epsg)
+        out = self.fwd_tps(np.stack([cols, rows], axis=-1).reshape(-1, 2))
+        return out[:, 0].reshape(np.shape(cols)), out[:, 1].reshape(np.shape(rows))
+
+    def lonlat_to_pixels(self, lon, lat):
+        if self.is_affine:
+            x, y = geodesy.project_forward(lon, lat, self.src_epsg)
+            dx = np.asarray(x) - self.gt[0]
+            dy = np.asarray(y) - self.gt[3]
+            col = self.inv[0, 0] * dx + self.inv[0, 1] * dy
+            row = self.inv[1, 0] * dx + self.inv[1, 1] * dy
+            return col, row
+        pts = np.stack([np.ravel(lon), np.ravel(lat)], axis=-1)
+        out = self.inv_tps(pts)
+        return out[:, 0].reshape(np.shape(lon)), out[:, 1].reshape(np.shape(lat))
+
+
+def _suggest_output_grid(mapping: _SourceMapping, src_cols: int, src_rows: int,
+                         dst_epsg: int, target_size: Optional[int]):
+    """Output bbox + size. Resolution follows gdalwarp's suggested-output
+    heuristic (preserve approximate source sampling); `-ts`-style sizing from
+    the source dims replicates the reference's single-pass path
+    (sentinel1.rs:1005-1015)."""
+    # sample the source border + interior on a coarse lattice
+    ns = 21
+    cs = np.linspace(0, src_cols, ns)
+    rs = np.linspace(0, src_rows, ns)
+    cc, rr = np.meshgrid(cs, rs)
+    lon, lat = mapping.pixels_to_lonlat(cc.ravel(), rr.ravel())
+    tx, ty = geodesy.project_forward(lon, lat, dst_epsg)
+    tx = np.asarray(tx).reshape(ns, ns)
+    ty = np.asarray(ty).reshape(ns, ns)
+    xmin, xmax = float(tx.min()), float(tx.max())
+    ymin, ymax = float(ty.min()), float(ty.max())
+
+    if target_size is not None:
+        long_side = max(src_cols, src_rows)
+        scale = min(target_size / long_side, 1.0)
+        out_cols = max(int(np.floor(src_cols * scale + 0.5)), 1)
+        out_rows = max(int(np.floor(src_rows * scale + 0.5)), 1)
+    else:
+        # mean step length along the lattice ≈ source ground sampling
+        dxs = np.hypot(np.diff(tx, axis=1), np.diff(ty, axis=1))
+        dys = np.hypot(np.diff(tx, axis=0), np.diff(ty, axis=0))
+        px_per_cell_x = src_cols / (ns - 1)
+        px_per_cell_y = src_rows / (ns - 1)
+        res = float((dxs.mean() / px_per_cell_x + dys.mean() / px_per_cell_y) / 2.0)
+        if res <= 0:
+            raise ProcessingError("could not suggest warp output resolution")
+        out_cols = max(int(np.ceil((xmax - xmin) / res)), 1)
+        out_rows = max(int(np.ceil((ymax - ymin) / res)), 1)
+
+    gt = [xmin, (xmax - xmin) / out_cols, 0.0, ymax, 0.0, -(ymax - ymin) / out_rows]
+    return out_cols, out_rows, gt
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows", "out_cols", "method"))
+def _warp_sample(src, map_x, map_y, out_rows: int, out_cols: int, method: str):
+    """Device pass: upsample the mapping grid to every output pixel and
+    gather-sample the source. One fused program; out-of-bounds → 0."""
+    h, w = src.shape
+    gh, gw = map_x.shape
+
+    r = jax.lax.broadcasted_iota(jnp.float32, (out_rows, out_cols), 0)
+    c = jax.lax.broadcasted_iota(jnp.float32, (out_rows, out_cols), 1)
+    # mapping-grid coordinates of each output pixel (grid spans the output)
+    gr = r * ((gh - 1) / max(out_rows - 1, 1))
+    gc = c * ((gw - 1) / max(out_cols - 1, 1))
+    gr0 = jnp.clip(jnp.floor(gr), 0, gh - 2).astype(jnp.int32)
+    gc0 = jnp.clip(jnp.floor(gc), 0, gw - 2).astype(jnp.int32)
+    fr = gr - gr0
+    fc = gc - gc0
+
+    def interp(grid):
+        flat = grid.ravel()
+        i00 = jnp.take(flat, gr0 * gw + gc0)
+        i01 = jnp.take(flat, gr0 * gw + gc0 + 1)
+        i10 = jnp.take(flat, (gr0 + 1) * gw + gc0)
+        i11 = jnp.take(flat, (gr0 + 1) * gw + gc0 + 1)
+        top = i00 * (1 - fc) + i01 * fc
+        bot = i10 * (1 - fc) + i11 * fc
+        return top * (1 - fr) + bot * fr
+
+    sx = interp(map_x)  # source col
+    sy = interp(map_y)  # source row
+
+    flat_src = src.ravel()
+
+    def fetch(iy, ix):
+        valid = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+        idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+        return jnp.where(valid, jnp.take(flat_src, idx), 0.0), valid
+
+    if method == "near":
+        ix = jnp.floor(sx + 0.5).astype(jnp.int32)
+        iy = jnp.floor(sy + 0.5).astype(jnp.int32)
+        v, _ = fetch(iy, ix)
+        return v
+
+    if method == "bilinear":
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = sx - x0
+        fy = sy - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        v00, m00 = fetch(y0, x0)
+        v01, m01 = fetch(y0, x0 + 1)
+        v10, m10 = fetch(y0 + 1, x0)
+        v11, m11 = fetch(y0 + 1, x0 + 1)
+        w00 = (1 - fx) * (1 - fy)
+        w01 = fx * (1 - fy)
+        w10 = (1 - fx) * fy
+        w11 = fx * fy
+        wsum = (w00 * m00 + w01 * m01 + w10 * m10 + w11 * m11)
+        val = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+        return jnp.where(wsum > 0, val / jnp.maximum(wsum, 1e-20), 0.0)
+
+    # cubic (Keys a=-0.5), 4x4 taps
+    a = -0.5
+
+    def keys(t):
+        at = jnp.abs(t)
+        at2 = at * at
+        at3 = at2 * at
+        w1 = (a + 2.0) * at3 - (a + 3.0) * at2 + 1.0
+        w2 = a * at3 - 5.0 * a * at2 + 8.0 * a * at - 4.0 * a
+        return jnp.where(at < 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
+
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    fx = sx - x0
+    fy = sy - y0
+    val = jnp.zeros_like(sx)
+    wsum = jnp.zeros_like(sx)
+    for dy in range(-1, 3):
+        wy = keys(fy - dy)
+        for dx in range(-1, 3):
+            wx = keys(fx - dx)
+            v, m = fetch(y0 + dy, x0 + dx)
+            wgt = wx * wy * m
+            val = val + v * wgt
+            wsum = wsum + wgt
+    return jnp.where(wsum > 1e-6, val / jnp.maximum(wsum, 1e-20), 0.0)
+
+
+def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
+                target_size: Optional[int] = None) -> WarpResult:
+    """Reproject a raster to `target_crs` (EPSG:XXXX), the on-device
+    equivalent of the reference's gdalwarp invocation (sentinel1.rs:988-1071)."""
+    dst_epsg = geodesy.parse_epsg_code(target_crs)
+    if dst_epsg is None or geodesy.epsg_kind(dst_epsg) is None:
+        raise ProcessingError(f"unsupported target CRS: {target_crs}")
+    method = _resample_name(resample_alg)
+
+    mapping = _SourceMapping(reader)
+    src_cols = reader.metadata.size_x
+    src_rows = reader.metadata.size_y
+    out_cols, out_rows, gt = _suggest_output_grid(
+        mapping, src_cols, src_rows, dst_epsg, target_size
+    )
+    logger.info("Warp output: %dx%d in EPSG:%d (%s)", out_cols, out_rows,
+                dst_epsg, method)
+
+    # coarse inverse-mapping grid (host f64 → f32 for the device)
+    gh = min(out_rows // GRID_STEP + 2, MAX_GRID)
+    gw = min(out_cols // GRID_STEP + 2, MAX_GRID)
+    gy = np.linspace(0.0, out_rows - 1.0, gh)
+    gx = np.linspace(0.0, out_cols - 1.0, gw)
+    gxx, gyy = np.meshgrid(gx, gy)
+    # target pixel center → target CRS coords
+    tx = gt[0] + (gxx + 0.5) * gt[1]
+    ty = gt[3] + (gyy + 0.5) * gt[5]
+    lon, lat = geodesy.project_inverse(tx, ty, dst_epsg)
+    scol, srow = mapping.lonlat_to_pixels(lon, lat)
+    # pixel-center convention for sampling
+    map_x = np.asarray(scol, np.float64) - 0.5
+    map_y = np.asarray(srow, np.float64) - 0.5
+
+    src = jnp.asarray(reader.read_band(1))
+    data = _warp_sample(
+        src,
+        jnp.asarray(map_x, jnp.float32),
+        jnp.asarray(map_y, jnp.float32),
+        out_rows, out_cols, method,
+    )
+    projection = geodesy.epsg_to_wkt(dst_epsg) or f"EPSG:{dst_epsg}"
+    return WarpResult(data=data, geotransform=gt, projection=projection,
+                      epsg=dst_epsg)

@@ -1,0 +1,263 @@
+"""Tests: TIFF codec, SAFE reader (fixtures), writers, geodesy."""
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import fixtures
+import oracle
+from sarpro_tpu.errors import SafeMissingField, UnsupportedProduct
+from sarpro_tpu.io import geodesy
+from sarpro_tpu.io.raster import RasterReader
+from sarpro_tpu.io.safe import SafeReader
+from sarpro_tpu.io.tiffio import TiffReader, TiffWriter
+from sarpro_tpu.io.writers import metadata as md
+from sarpro_tpu.io.writers.jpeg import write_gray_jpeg, write_rgb_jpeg
+from sarpro_tpu.io.writers.worldfile import write_prj_file, write_world_file
+
+
+# ---------------------------------------------------------------------------
+# TIFF codec
+# ---------------------------------------------------------------------------
+def test_tiff_roundtrip_u16_with_geo(tmp_path, rng):
+    arr = rng.integers(0, 65535, (67, 123)).astype(np.uint16)
+    path = tmp_path / "t.tif"
+    w = TiffWriter(path)
+    w.set_geotransform([500000.0, 10.0, 0.0, 4649776.0, 0.0, -10.0])
+    w.set_projection("EPSG:32633")
+    w.set_metadata_item("PLATFORM", "SENTINEL-1")
+    w.write([arr])
+    r = TiffReader(path)
+    np.testing.assert_array_equal(r.read(1), arr)
+    gi = r.geo_info()
+    assert gi.geotransform == [500000.0, 10.0, 0.0, 4649776.0, 0.0, -10.0]
+    assert gi.epsg == 32633 and not gi.is_geographic
+    assert r.gdal_metadata() == {"PLATFORM": "SENTINEL-1"}
+
+
+def test_tiff_two_band(tmp_path, rng):
+    b1 = rng.integers(0, 255, (40, 50)).astype(np.uint8)
+    b2 = rng.integers(0, 255, (40, 50)).astype(np.uint8)
+    path = tmp_path / "mb.tif"
+    TiffWriter(path).write([b1, b2])
+    r = TiffReader(path)
+    assert r.samples == 2
+    np.testing.assert_array_equal(r.read(1), b1)
+    np.testing.assert_array_equal(r.read(2), b2)
+
+
+@pytest.mark.parametrize("compression", ["tiff_deflate", "tiff_lzw", "packbits", None])
+def test_tiff_read_foreign_compressions(tmp_path, rng, compression):
+    arr = rng.integers(0, 255, (33, 44)).astype(np.uint8)
+    path = tmp_path / "c.tif"
+    kw = {"compression": compression} if compression else {}
+    Image.fromarray(arr).save(path, **kw)
+    np.testing.assert_array_equal(TiffReader(path).read(1), arr)
+
+
+def test_tiff_gcp_tiepoints(tmp_path, rng):
+    arr = rng.integers(0, 65535, (30, 40)).astype(np.uint16)
+    path = tmp_path / "g.tif"
+    w = TiffWriter(path)
+    w.set_projection("EPSG:4326")
+    ties = [0, 0, 0, 11.0, 46.0, 0, 39, 0, 0, 11.25, 46.0, 0,
+            0, 29, 0, 11.0, 45.8, 0]
+    w.set_tiepoints(ties)
+    w.write([arr])
+    gi = TiffReader(path).geo_info()
+    assert gi.geotransform is None
+    assert gi.gcps is not None and gi.gcps.shape == (3, 5)
+    assert gi.gcps[1, 2] == 11.25
+
+
+# ---------------------------------------------------------------------------
+# SAFE reader
+# ---------------------------------------------------------------------------
+def test_safe_reader_dual_pol(tmp_path):
+    base = fixtures.make_safe(tmp_path)
+    reader = SafeReader.open_with_options(base, "multiband")
+    assert reader.product_type == "GRD"
+    assert reader.has_vv() and reader.has_vh()
+    m = reader.metadata
+    assert m.platform in ("SENTINEL-1", "S1A")
+    assert m.product_type == "GRD"
+    assert m.orbit_number == 59968
+    assert m.prf == pytest.approx(1717.128973878037)
+    assert m.radar_frequency == pytest.approx(5405000454.33435)
+    assert m.slant_range_near == pytest.approx(
+        0.005331704801236436 * 299792458.0 / 2.0
+    )
+    assert m.velocity == pytest.approx(np.sqrt(1100**2 + 2100**2 + 6900**2))
+    assert m.pixel_spacing_range == 10.0
+    assert m.pass_direction == "ASCENDING"
+    assert m.data_take_id == "487183"
+    assert np.asarray(reader.vv_data()).shape == (96, 128)
+    assert np.asarray(reader.vv_data()).dtype == np.float32
+
+
+def test_safe_reader_single_pol_hint(tmp_path):
+    base = fixtures.make_safe(tmp_path)
+    reader = SafeReader.open_with_options(base, "vv")
+    assert reader.has_vv() and not reader.has_vh()
+    assert reader.metadata.polarizations == ["VV"]
+
+
+def test_safe_reader_non_grd_rejection(tmp_path):
+    base = fixtures.make_safe(tmp_path, name="slc.SAFE", product_type="SLC")
+    with pytest.raises(UnsupportedProduct):
+        SafeReader.open_with_options(base, "vv")
+    # warnings mode skips instead
+    assert SafeReader.open_with_warnings_with_options(base, "vv") is None
+
+
+def test_safe_reader_missing_pol(tmp_path):
+    base = fixtures.make_safe(tmp_path, name="hhonly.SAFE", pols=("hh",))
+    with pytest.raises(SafeMissingField):
+        SafeReader.open_with_options(base, "vv")
+    assert SafeReader.open_with_warnings_with_options(base, "vv") is None
+    reader = SafeReader.open_with_options(base, "hh")
+    assert reader.has_hh()
+
+
+def test_safe_reader_hh_hv(tmp_path):
+    base = fixtures.make_safe(tmp_path, name="hhhv.SAFE", pols=("hh", "hv"))
+    reader = SafeReader.open_with_options(base, "all_pairs")
+    assert reader.has_hh() and reader.has_hv() and not reader.has_vv()
+    assert reader.get_available_polarizations() == "HH, HV"
+    ratio = np.asarray(reader.ratio_hh_hv_data())
+    assert ratio.shape == (96, 128)
+
+
+def test_safe_downsample_on_read(tmp_path):
+    base = fixtures.make_safe(tmp_path, name="small.SAFE", shape=(96, 128))
+    reader = SafeReader.open_with_options(base, "vv", None, None, 64)
+    arr = np.asarray(reader.vv_data())
+    assert arr.shape == (48, 64)
+    assert reader.metadata.lines == 48 and reader.metadata.samples == 64
+
+
+def test_safe_warped_intermediate_skipped(tmp_path, rng):
+    base = fixtures.make_safe(tmp_path, name="w.SAFE", pols=("vv",))
+    # drop a stale _warped intermediate next to the real measurement
+    stale = base / "measurement" / "s1a-iw-grd-vv-001_warped.tiff"
+    TiffWriter(stale).write([rng.integers(0, 9, (8, 8)).astype(np.uint16)])
+    reader = SafeReader.open_with_options(base, "vv")
+    assert np.asarray(reader.vv_data()).shape == (96, 128)
+
+
+def test_auto_crs_resolution(tmp_path):
+    base = fixtures.make_safe(tmp_path, name="auto.SAFE")
+    # fixture GCPs center near lon 11.125, lat 45.875 -> UTM 32N
+    assert geodesy.resolve_auto_target_crs(base) == "EPSG:32632"
+
+
+# ---------------------------------------------------------------------------
+# Writers
+# ---------------------------------------------------------------------------
+def test_world_file_pixel_center(tmp_path):
+    out = tmp_path / "x.jpg"
+    write_world_file(out, [500000.0, 10.0, 0.0, 4650000.0, 0.0, -10.0])
+    lines = (tmp_path / "x.jgw").read_text().splitlines()
+    vals = [float(v) for v in lines]
+    assert vals == [10.0, 0.0, 0.0, -10.0, 500005.0, 4649995.0]
+    write_prj_file(out, "EPSG:32633")
+    assert (tmp_path / "x.prj").read_text() == "EPSG:32633"
+
+
+def test_world_file_extensions(tmp_path):
+    gt = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+    for name, ext in [("a.jpeg", "jgw"), ("b.png", "pgw"), ("c.tiff", "tfw"),
+                      ("d.xyz", "xw")]:
+        write_world_file(tmp_path / name, gt)
+        assert (tmp_path / name).with_suffix("." + ext).exists()
+
+
+def test_jpeg_writers(tmp_path, rng):
+    g = rng.integers(0, 255, (32, 48)).astype(np.uint8)
+    write_gray_jpeg(tmp_path / "g.jpg", 48, 32, g)
+    im = Image.open(tmp_path / "g.jpg")
+    assert im.size == (48, 32) and im.mode == "L"
+    rgb = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+    write_rgb_jpeg(tmp_path / "c.jpg", 48, 32, rgb)
+    im = Image.open(tmp_path / "c.jpg")
+    assert im.size == (48, 32) and im.mode == "RGB"
+    # quality 100 => nearly lossless
+    dec = np.asarray(im).astype(int)
+    assert np.abs(dec - rgb.astype(int)).mean() < 6
+
+
+def test_metadata_fields_and_sidecar(tmp_path):
+    base = fixtures.make_safe(tmp_path)
+    reader = SafeReader.open_with_options(base, "multiband")
+    meta = reader.metadata
+    fields = md.extract_metadata_fields(meta, "sum")
+    assert fields["POLARIZATIONS"] == "SUM(VV, VH)"
+    assert fields["PRODUCT_TYPE"] == "GRD"
+    assert fields["CONVERSION_TOOL"] == "SARPRO"
+    fields = md.extract_metadata_fields(meta, "multiband_vv_vh")
+    assert fields["POLARIZATIONS"] == "MULTIBAND(VV, VH)"
+
+    out = tmp_path / "img.jpg"
+    md.create_jpeg_metadata_sidecar_with_overrides_and_extras(
+        out, meta, "multiband_vv_vh",
+        [1.0, 2.0, 0.0, 3.0, 0.0, -2.0], "EPSG:32632",
+        [("synthetic_rgb_mode", "Default")],
+    )
+    side = json.loads((tmp_path / "img.json").read_text())
+    assert side["polarizations"] == "MULTIBAND(VV, VH)"
+    assert side["geotransform"] == [1.0, 2.0, 0.0, 3.0, 0.0, -2.0]
+    assert side["crs"] == "EPSG:32632"
+    assert side["synthetic_rgb_mode"] == "Default"
+    assert side["orbit_number"] == 59968  # numeric coercion
+
+
+def test_tiff_metadata_embed_identity_guard(tmp_path, rng):
+    """Identity geotransform -> no georeferencing, no projection
+    (reference: metadata.rs:305-330)."""
+    from sarpro_tpu.io.writers.tiff import write_tiff_u8
+
+    base = fixtures.make_safe(tmp_path)
+    reader = SafeReader.open_with_options(base, "vv")
+    meta = reader.metadata
+    meta.geotransform = [0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    meta.projection = "EPSG:4326"
+    arr = rng.integers(0, 255, (10, 12)).astype(np.uint8)
+    out = tmp_path / "e.tif"
+    ds = write_tiff_u8(out, 12, 10, arr)
+    md.embed_tiff_metadata(ds, meta, None, None, None)
+    ds.flush()
+    gi = TiffReader(out).geo_info()
+    assert gi.geotransform is None and gi.epsg is None
+
+
+# ---------------------------------------------------------------------------
+# Geodesy
+# ---------------------------------------------------------------------------
+def test_utm_roundtrip():
+    lon = np.array([5.0, 9.0, 11.5])
+    lat = np.array([44.0, 48.0, 52.5])
+    e, n = geodesy.utm_forward(lon, lat, 32, False)
+    lon2, lat2 = geodesy.utm_inverse(e, n, 32, False)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_lonlat_to_epsg_exceptions():
+    assert geodesy.lonlat_to_epsg(9.0, 48.0) == "EPSG:32632"
+    assert geodesy.lonlat_to_epsg(-70.0, -33.0) == "EPSG:32719"
+    assert geodesy.lonlat_to_epsg(5.0, 60.0) == "EPSG:32632"   # Norway
+    assert geodesy.lonlat_to_epsg(10.0, 78.0) == "EPSG:32633"  # Svalbard
+    assert geodesy.lonlat_to_epsg(25.0, 75.0) == "EPSG:32635"  # Svalbard band
+    assert geodesy.lonlat_to_epsg(0.0, 85.0) == "EPSG:32661"   # UPS N
+    assert geodesy.lonlat_to_epsg(0.0, -85.0) == "EPSG:32761"  # UPS S
+    assert geodesy.lonlat_to_epsg(185.0, 10.0) == geodesy.lonlat_to_epsg(-175.0, 10.0)
+
+
+def test_raster_reader_identity_fallback(tmp_path, rng):
+    arr = rng.integers(0, 255, (8, 9)).astype(np.uint8)
+    p = tmp_path / "plain.tif"
+    TiffWriter(p).write([arr])
+    r = RasterReader(p)
+    assert r.metadata.geotransform == [0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    assert r.metadata.projection == ""
