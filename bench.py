@@ -23,21 +23,26 @@ BASELINE_NO_WARP_MS = 348.21  # README.md:63, --target-crs none
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from sarpro_tpu.core import fused
     from sarpro_tpu.types import AutoscaleStrategy
 
     side = 20000  # 400 MP per band
-    rng = np.random.default_rng(42)
-    # SAR-like DN: lognormal amplitude, u16 range, a few nodata zeros
-    vv = np.clip(rng.lognormal(5.0, 1.1, (side, side)), 0, 65535).astype(np.uint16)
-    vh = np.clip(rng.lognormal(4.2, 1.1, (side, side)), 0, 65535).astype(np.uint16)
-    vv[rng.random((side, side)) < 0.01] = 0
-    vh[rng.random((side, side)) < 0.01] = 0
+    # Generate SAR-like DN on-device (jax PRNG): the axon tunnel re-ships
+    # host-resident arrays per execution, which would time the tunnel, not
+    # the chip. Production keeps DN device-resident via the async loader.
+    k1, k2 = jax.random.split(jax.random.PRNGKey(42))
 
-    dev = jax.devices()[0]
-    vv_d = jax.device_put(vv, dev)
-    vh_d = jax.device_put(vh, dev)
+    @jax.jit
+    def gen(k, mean):
+        x = jnp.exp(mean + 1.1 * jax.random.normal(k, (side, side)))
+        zeros = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.01, (side, side))
+        return jnp.where(zeros, 0, jnp.clip(x, 0, 65535)).astype(jnp.uint16)
+
+    vv_d = gen(k1, 5.0)
+    vh_d = gen(k2, 4.2)
+    _ = int(np.asarray(jnp.sum(vv_d.astype(jnp.float32))))  # materialize
 
     fn = functools.partial(
         fused.synrgb_pipeline,
@@ -45,18 +50,24 @@ def main():
         target_size=2048,
         pad=True,
     )
-    # warmup / compile
-    out = fn(vv_d, vh_d)
-    out.block_until_ready()
-    assert out.shape == (2048, 2048, 3), out.shape
+
+    def run():
+        out = fn(vv_d, vh_d)
+        # force completion with a scalar fetch: block_until_ready is a no-op
+        # under the axon remote platform
+        return int(np.asarray(jnp.max(out.astype(jnp.int32))))
+
+    s = run()  # warmup / compile
+    assert s > 0
 
     times = []
     for _ in range(10):
         t0 = time.perf_counter()
-        fn(vv_d, vh_d).block_until_ready()
+        run()
         times.append((time.perf_counter() - t0) * 1000.0)
     p50 = float(np.percentile(times, 50))
     mps = 400.0 / (p50 / 1000.0)  # input megapixels per second per chip
+    dev = jax.devices()[0]
 
     print(json.dumps({
         "metric": "400MP dual-pol DN -> 2048x2048 CLAHE synRGB p50 latency",

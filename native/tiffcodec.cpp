@@ -1,0 +1,210 @@
+// Native TIFF codec hot paths for sarpro-tpu's io/tiffio.py.
+//
+// The reference gets these from GDAL's C core (reference: src/io/gdal.rs
+// binds libgdal; Cargo.toml:24). Our self-contained codec is numpy-vectorized
+// except for the byte-serial decompressors, which live here:
+//   * TIFF-variant LZW decode (MSB-first, early-change)
+//   * PackBits decode
+//   * horizontal-differencing predictor undo (u8/u16)
+//   * multi-threaded strip decode driver (deflate via zlib is handled in
+//     Python; LZW/PackBits strips decode in parallel here)
+//
+// Exposed as a plain C ABI consumed via ctypes — no pybind11 dependency.
+//
+// Build: python native/build.py  (emits sarpro_tpu/_native/tiffcodec.so)
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+#include <atomic>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// PackBits
+// ---------------------------------------------------------------------------
+// Returns bytes written, or -1 on overflow.
+int64_t packbits_decode(const uint8_t* src, int64_t src_len,
+                        uint8_t* dst, int64_t dst_cap) {
+    int64_t i = 0, o = 0;
+    while (i < src_len) {
+        int8_t n = static_cast<int8_t>(src[i++]);
+        if (n >= 0) {
+            int64_t cnt = static_cast<int64_t>(n) + 1;
+            if (i + cnt > src_len || o + cnt > dst_cap) return -1;
+            std::memcpy(dst + o, src + i, cnt);
+            i += cnt;
+            o += cnt;
+        } else if (n != -128) {
+            int64_t cnt = 1 - static_cast<int64_t>(n);
+            if (i >= src_len || o + cnt > dst_cap) return -1;
+            std::memset(dst + o, src[i++], cnt);
+            o += cnt;
+        }
+    }
+    return o;
+}
+
+// ---------------------------------------------------------------------------
+// TIFF LZW (MSB-first bit order, early code-size change)
+// ---------------------------------------------------------------------------
+namespace {
+struct LzwEntry {
+    int32_t prev;    // previous code (-1 for roots)
+    uint8_t byte;    // last byte
+    int32_t length;  // chain length
+};
+}  // namespace
+
+int64_t lzw_decode(const uint8_t* src, int64_t src_len,
+                   uint8_t* dst, int64_t dst_cap) {
+    constexpr int32_t kClear = 256, kEoi = 257, kFirst = 258;
+    std::vector<LzwEntry> table(4096);
+    for (int32_t i = 0; i < 256; ++i) table[i] = {-1, static_cast<uint8_t>(i), 1};
+
+    int32_t next_code = kFirst;
+    int code_size = 9;
+    int64_t bitpos = 0;
+    const int64_t total_bits = src_len * 8;
+    int32_t prev = -1;
+    int64_t o = 0;
+
+    auto emit = [&](int32_t code) -> int64_t {
+        // write chain for `code` at dst[o..]; returns length or -1
+        int32_t len = table[code].length;
+        if (o + len > dst_cap) return -1;
+        int64_t p = o + len;
+        int32_t c = code;
+        while (c >= 0) {
+            dst[--p] = table[c].byte;
+            c = table[c].prev;
+        }
+        o += len;
+        return len;
+    };
+
+    while (bitpos + code_size <= total_bits) {
+        // read `code_size` bits MSB-first
+        int64_t byte_idx = bitpos >> 3;
+        int bit_off = static_cast<int>(bitpos & 7);
+        uint32_t window = 0;
+        for (int b = 0; b < 4; ++b) {
+            window = (window << 8) |
+                     (byte_idx + b < src_len ? src[byte_idx + b] : 0);
+        }
+        int32_t code = static_cast<int32_t>(
+            (window >> (32 - bit_off - code_size)) & ((1u << code_size) - 1));
+        bitpos += code_size;
+
+        if (code == kClear) {
+            next_code = kFirst;
+            code_size = 9;
+            prev = -1;
+            continue;
+        }
+        if (code == kEoi) break;
+
+        if (prev < 0) {
+            if (code >= 256) return -1;
+            if (emit(code) < 0) return -1;
+            prev = code;
+            continue;
+        }
+        uint8_t first_byte;
+        if (code < next_code) {
+            // existing entry: first byte of chain
+            int32_t c = code;
+            while (table[c].prev >= 0) c = table[c].prev;
+            first_byte = table[c].byte;
+        } else if (code == next_code) {
+            int32_t c = prev;
+            while (table[c].prev >= 0) c = table[c].prev;
+            first_byte = table[c].byte;
+        } else {
+            return -1;  // corrupt stream
+        }
+        // add new entry prev + first_byte
+        if (next_code < 4096) {
+            table[next_code] = {prev, first_byte, table[prev].length + 1};
+            ++next_code;
+        }
+        if (code < next_code) {
+            if (emit(code) < 0) return -1;
+        } else {
+            return -1;
+        }
+        if (next_code == (1 << code_size) - 1 && code_size < 12) ++code_size;
+        prev = code;
+    }
+    return o;
+}
+
+// ---------------------------------------------------------------------------
+// Horizontal predictor undo (TIFF predictor=2)
+// ---------------------------------------------------------------------------
+void predictor2_u8(uint8_t* data, int64_t rows, int64_t cols, int64_t samples) {
+    const int64_t stride = cols * samples;
+    for (int64_t r = 0; r < rows; ++r) {
+        uint8_t* row = data + r * stride;
+        for (int64_t i = samples; i < stride; ++i) row[i] += row[i - samples];
+    }
+}
+
+void predictor2_u16(uint16_t* data, int64_t rows, int64_t cols, int64_t samples) {
+    const int64_t stride = cols * samples;
+    for (int64_t r = 0; r < rows; ++r) {
+        uint16_t* row = data + r * stride;
+        for (int64_t i = samples; i < stride; ++i) row[i] += row[i - samples];
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Parallel strip decode: LZW(5) / PackBits(32773) / none(1)
+// ---------------------------------------------------------------------------
+// srcs: concatenated compressed strips; offsets/lengths per strip (into srcs);
+// dst: output buffer; dst_offsets/dst_lengths per strip.
+// Returns 0 on success, index+1 of the first failing strip otherwise.
+int64_t decode_strips(const uint8_t* srcs,
+                      const int64_t* offsets, const int64_t* lengths,
+                      uint8_t* dst,
+                      const int64_t* dst_offsets, const int64_t* dst_lengths,
+                      int64_t n_strips, int32_t compression, int32_t n_threads) {
+    std::atomic<int64_t> fail{0};
+    std::atomic<int64_t> cursor{0};
+    if (n_threads < 1) n_threads = 1;
+    auto worker = [&]() {
+        for (;;) {
+            int64_t s = cursor.fetch_add(1);
+            if (s >= n_strips || fail.load() != 0) return;
+            const uint8_t* src = srcs + offsets[s];
+            uint8_t* out = dst + dst_offsets[s];
+            int64_t written;
+            switch (compression) {
+                case 1:  // none
+                    written = lengths[s] < dst_lengths[s] ? lengths[s]
+                                                          : dst_lengths[s];
+                    std::memcpy(out, src, written);
+                    break;
+                case 5:
+                    written = lzw_decode(src, lengths[s], out, dst_lengths[s]);
+                    break;
+                case 32773:
+                    written = packbits_decode(src, lengths[s], out, dst_lengths[s]);
+                    break;
+                default:
+                    written = -1;
+            }
+            if (written < 0) fail.store(s + 1);
+            else if (written < dst_lengths[s]) {
+                std::memset(out + written, 0, dst_lengths[s] - written);
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int32_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return fail.load();
+}
+
+}  // extern "C"

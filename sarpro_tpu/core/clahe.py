@@ -54,12 +54,11 @@ def _normalize_and_tile_hists(db, mask, low, high, rng, tile_h: int, tile_w: int
     v = jnp.clip(norm, 0.0, 1.0)
     bin_ = round_half_up_nonneg(v * np.float32(CLAHE_BINS - 1)).astype(jnp.int32)
     bin_ = jnp.clip(bin_, 0, CLAHE_BINS - 1)
-    flat = (ty * TILES_X + tx) * CLAHE_BINS + bin_
-    hists = (
-        jnp.zeros((TILES_Y * TILES_X * CLAHE_BINS,), jnp.int32)
-        .at[flat.ravel()]
-        .add(mask.astype(jnp.int32).ravel())
-    )
+    from ..ops import histogram
+
+    n_bins = TILES_Y * TILES_X * CLAHE_BINS
+    flat = jnp.where(mask, (ty * TILES_X + tx) * CLAHE_BINS + bin_, n_bins)
+    hists = histogram(flat, n_bins)
     return norm, hists
 
 
@@ -100,43 +99,22 @@ def _clip_redistribute_cdf(hists: np.ndarray, rows: int, cols: int,
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
 def _apply_cdfs(norm, mask, cdfs, max_val, tile_h: int, tile_w: int):
     """Device pass 2: bilinear interpolation between 4 neighbor-tile CDFs
-    (reference: autoscale.rs:307-343) + quantize (reference: :595-607)."""
-    rows, cols = norm.shape
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    rf = r.astype(jnp.float32) / np.float32(tile_h) - 0.5
-    cf = c.astype(jnp.float32) / np.float32(tile_w) - 0.5
-    # ty = floor(rf).max(0) — note: dy may go negative for the first half-tile
-    # (reference: :310-313); preserved deliberately.
-    ty = jnp.maximum(jnp.floor(rf), 0.0)
-    tx = jnp.maximum(jnp.floor(cf), 0.0)
-    dy = rf - ty
-    dx = cf - tx
-    ty = ty.astype(jnp.int32)
-    tx = tx.astype(jnp.int32)
-    ty0 = jnp.clip(ty, 0, TILES_Y - 1)
-    tx0 = jnp.clip(tx, 0, TILES_X - 1)
-    ty1 = jnp.clip(ty + 1, 0, TILES_Y - 1)
-    tx1 = jnp.clip(tx + 1, 0, TILES_X - 1)
+    (reference: autoscale.rs:307-343) + quantize (reference: :595-607).
 
+    The 4-corner lookup runs as the one-hot MXU kernel (ops/kernels.py):
+    XLA's generic gather is ~20x slower on TPU for this pattern."""
+    from ..ops import clahe_lookup
+
+    rows, cols = norm.shape
     bin_pos = round_half_up_nonneg(
         jnp.clip(norm, 0.0, 1.0) * np.float32(CLAHE_BINS - 1)
     ).astype(jnp.int32)
     bin_pos = jnp.clip(bin_pos, 0, CLAHE_BINS - 1)
-
-    flat = cdfs.ravel()  # (64*256,) f32 — 64 KB, VMEM-resident
-
-    def at(tyi, txi):
-        return jnp.take(flat, (tyi * TILES_X + txi) * CLAHE_BINS + bin_pos)
-
-    cdf00 = at(ty0, tx0)
-    cdf01 = at(ty0, tx1)
-    cdf10 = at(ty1, tx0)
-    cdf11 = at(ty1, tx1)
-    top = cdf00 * (1.0 - dx) + cdf01 * dx
-    bottom = cdf10 * (1.0 - dx) + cdf11 * dx
-    eq = top * (1.0 - dy) + bottom * dy
-
+    bin_flat = jnp.where(mask, bin_pos, CLAHE_BINS).ravel()
+    eq = clahe_lookup(
+        bin_flat, cdfs.reshape(TILES_Y * TILES_X, CLAHE_BINS),
+        cols, TILES_X, TILES_Y, tile_h, tile_w,
+    ).reshape(rows, cols)
     q = trunc_sat_u16(jnp.clip(eq, 0.0, 1.0) * max_val)
     return jnp.where(mask, q, jnp.uint16(0))
 

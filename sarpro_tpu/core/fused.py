@@ -64,9 +64,9 @@ def _stats(db, mask):
     inv = jnp.where(span > 0, 1.0 / span, 0.0)
     t = jnp.clip((db - mn) * inv, 0.0, 1.0)
     idx = jnp.minimum((t * NUM_BINS).astype(jnp.int32), NUM_BINS - 1)
-    hist = jnp.zeros((NUM_BINS,), jnp.int32).at[idx.ravel()].add(
-        mask.astype(jnp.int32).ravel()
-    )
+    from ..ops import histogram as _hist_kernel
+
+    hist = _hist_kernel(jnp.where(mask, idx, NUM_BINS), NUM_BINS)
     shift = (mn + mx) * 0.5
     d = jnp.where(mask, db - shift, 0.0)
     n = jnp.maximum(count.astype(jnp.float32), 1.0)
@@ -177,12 +177,13 @@ def _clahe(db, mask, low, high, max_val, rows: int, cols: int):
     c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     ty = jnp.minimum(r // tile_h, TILES_Y - 1)
     tx = jnp.minimum(c // tile_w, TILES_X - 1)
+    from ..ops import clahe_lookup, histogram
+
     bin_ = round_half_up_nonneg(jnp.clip(norm, 0, 1) * np.float32(CLAHE_BINS - 1))
     bin_ = jnp.clip(bin_, 0, CLAHE_BINS - 1).astype(jnp.int32)
-    flat = (ty * TILES_X + tx) * CLAHE_BINS + bin_
-    hists = jnp.zeros((TILES_Y * TILES_X * CLAHE_BINS,), jnp.int32).at[
-        flat.ravel()
-    ].add(mask.astype(jnp.int32).ravel())
+    n_hist_bins = TILES_Y * TILES_X * CLAHE_BINS
+    flat = jnp.where(mask, (ty * TILES_X + tx) * CLAHE_BINS + bin_, n_hist_bins)
+    hists = histogram(flat, n_hist_bins)
     h = hists.reshape(TILES_Y * TILES_X, CLAHE_BINS).astype(jnp.float32)
 
     # per-tile extents (static)
@@ -203,27 +204,12 @@ def _clahe(db, mask, low, high, max_val, rows: int, cols: int):
     bin_idx = jnp.arange(CLAHE_BINS, dtype=jnp.float32)[None, :]
     h = h + (bin_idx < rem).astype(jnp.float32)
     total = jnp.maximum(jnp.sum(h, axis=-1, keepdims=True), 1.0)
-    cdfs = jnp.clip(jnp.cumsum(h, axis=-1) / total, 0.0, 1.0).ravel()
+    cdfs = jnp.clip(jnp.cumsum(h, axis=-1) / total, 0.0, 1.0)
 
-    rf = r.astype(jnp.float32) / np.float32(tile_h) - 0.5
-    cf = c.astype(jnp.float32) / np.float32(tile_w) - 0.5
-    tyf = jnp.maximum(jnp.floor(rf), 0.0)
-    txf = jnp.maximum(jnp.floor(cf), 0.0)
-    dy = rf - tyf
-    dx = cf - txf
-    tyi = tyf.astype(jnp.int32)
-    txi = txf.astype(jnp.int32)
-    ty0 = jnp.clip(tyi, 0, TILES_Y - 1)
-    tx0 = jnp.clip(txi, 0, TILES_X - 1)
-    ty1 = jnp.clip(tyi + 1, 0, TILES_Y - 1)
-    tx1 = jnp.clip(txi + 1, 0, TILES_X - 1)
-
-    def at(a, b):
-        return jnp.take(cdfs, (a * TILES_X + b) * CLAHE_BINS + bin_)
-
-    top = at(ty0, tx0) * (1 - dx) + at(ty0, tx1) * dx
-    bot = at(ty1, tx0) * (1 - dx) + at(ty1, tx1) * dx
-    eq = top * (1 - dy) + bot * dy
+    bin_flat = jnp.where(mask, bin_, CLAHE_BINS).ravel()
+    eq = clahe_lookup(
+        bin_flat, cdfs, cols, TILES_X, TILES_Y, tile_h, tile_w
+    ).reshape(rows, cols)
     q = jnp.trunc(jnp.clip(eq, 0.0, 1.0) * max_val)
     return jnp.where(mask, q, 0.0).astype(jnp.uint16)
 
@@ -264,19 +250,22 @@ def _band_u8(dn, strategy: AutoscaleStrategy, tamed_copol: bool | None,
 
 
 def _synrgb_default(b1, b2):
+    from ..ops import synrgb_lookup
+
     lut_r, lut_g, lut_b = default_luts()
-    r = jnp.take(jnp.asarray(lut_r), b1.astype(jnp.int32))
-    g = jnp.take(jnp.asarray(lut_g), b2.astype(jnp.int32))
-    b = jnp.take(jnp.asarray(lut_b), b1.astype(jnp.int32) * 256 + b2.astype(jnp.int32))
-    return jnp.stack([r, g, b], axis=-1)
+    rgb = synrgb_lookup(b1.ravel(), b2.ravel(), jnp.asarray(lut_r),
+                        jnp.asarray(lut_g), jnp.asarray(lut_b))
+    return rgb.reshape(b1.shape + (3,))
 
 
 def _synrgb_suppressed(b1, b2):
     """Suppressed composition with the data-dependent floor computed in-graph
     (reference: synthetic_rgb.rs:88-178)."""
+    from ..ops import histogram, synrgb_lookup
+
     i1 = b1.astype(jnp.int32)
     i2 = b2.astype(jnp.int32)
-    hist = jnp.zeros((256,), jnp.int32).at[i1.ravel()].add(1).at[i2.ravel()].add(1)
+    hist = histogram(jnp.concatenate([i1.ravel(), i2.ravel()]), 256)
     total = jnp.float32(b1.size + b2.size)
     target = jnp.floor(total * 0.05 + 0.5)
     cum = jnp.cumsum(hist).astype(jnp.float32)
@@ -302,13 +291,11 @@ def _synrgb_suppressed(b1, b2):
         jnp.clip(jnp.power(ratio, GAMMA_B) * 255.0 * BLUE_SCALE_SUPP, 0.0, 255.0)
     ).reshape(-1)
 
-    r = jnp.take(lut_r, i1)
-    g = jnp.take(lut_g, i2)
-    b = jnp.take(lut_b, i1 * 256 + i2)
-    rgb = jnp.stack([r, g, b], axis=-1)
+    rgb = synrgb_lookup(i1.ravel(), i2.ravel(), lut_r, lut_g, lut_b)
+    rgb = rgb.reshape(b1.shape + (3,))
     water = ((i1.astype(jnp.float32) <= floor_c)
              & (i2.astype(jnp.float32) <= floor_c))[..., None]
-    return jnp.where(water, 0.0, rgb).astype(jnp.uint8)
+    return jnp.where(water, jnp.uint8(0), rgb)
 
 
 def _pad_square(x, rows: int, cols: int):

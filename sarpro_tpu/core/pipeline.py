@@ -57,11 +57,6 @@ def _db_mask_minmax(x):
 # --------------------------------------------------------------------------
 # Pass 2: 4096-bin histogram + shifted moments
 # --------------------------------------------------------------------------
-def _histogram_4096_xla(idx, weights):
-    """Scatter-add histogram (portable fallback)."""
-    return jnp.zeros((NUM_BINS,), jnp.int32).at[idx.ravel()].add(weights.ravel())
-
-
 @jax.jit
 def _hist_moments(db, mask, mn, mx):
     """Histogram over [min, max] with truncating bin assignment
@@ -70,12 +65,15 @@ def _hist_moments(db, mask, mn, mx):
     The reference computes Welford mean/std in pass 1; we compute
     midpoint-shifted sum/sumsq here (same two-pass count) which is
     numerically equivalent within f32 tolerance and keeps pass 1 minimal.
+    The histogram runs as the one-hot MXU kernel (ops/kernels.py) on TPU.
     """
+    from ..ops import histogram
+
     span = mx - mn
     inv_span = jnp.where(span > 0, 1.0 / span, 0.0)
     t = jnp.clip((db - mn) * inv_span, 0.0, 1.0)
     idx = jnp.minimum((t * NUM_BINS).astype(jnp.int32), NUM_BINS - 1)
-    hist = _histogram_4096_xla(idx, mask.astype(jnp.int32))
+    hist = histogram(jnp.where(mask, idx, NUM_BINS), NUM_BINS)
     shift = (mn + mx) * 0.5
     d = jnp.where(mask, db - shift, 0.0)
     s1 = jnp.sum(d, dtype=jnp.float32)

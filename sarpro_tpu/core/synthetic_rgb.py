@@ -66,10 +66,10 @@ def default_luts() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 @jax.jit
 def _apply_luts(band1, band2, lut_r, lut_g, lut_b):
-    r = jnp.take(lut_r, band1.astype(jnp.int32))
-    g = jnp.take(lut_g, band2.astype(jnp.int32))
-    b = jnp.take(lut_b, band1.astype(jnp.int32) * 256 + band2.astype(jnp.int32))
-    return jnp.stack([r, g, b], axis=-1)
+    from ..ops import synrgb_lookup
+
+    rgb = synrgb_lookup(band1.ravel(), band2.ravel(), lut_r, lut_g, lut_b)
+    return rgb.reshape(band1.shape + (3,))
 
 
 def create_synthetic_rgb(band1, band2) -> jax.Array:
@@ -84,10 +84,12 @@ def create_synthetic_rgb(band1, band2) -> jax.Array:
 
 @jax.jit
 def _combined_hist_256(band1, band2):
-    h = jnp.zeros((256,), jnp.int32)
-    h = h.at[band1.astype(jnp.int32).ravel()].add(1)
-    h = h.at[band2.astype(jnp.int32).ravel()].add(1)
-    return h
+    from ..ops import histogram
+
+    both = jnp.concatenate(
+        [band1.astype(jnp.int32).ravel(), band2.astype(jnp.int32).ravel()]
+    )
+    return histogram(both, 256)
 
 
 def _suppressed_floor(band1, band2) -> int:
