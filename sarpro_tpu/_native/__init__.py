@@ -1,0 +1,102 @@
+"""ctypes bindings for the native TIFF codec (native/tiffcodec.cpp).
+
+The reference's raster path is native end-to-end (GDAL C core). Our codec is
+numpy-vectorized except the byte-serial decompressors; those run here when
+the shared library is built (python native/build.py), with pure-Python
+fallbacks otherwise. `available()` reports which path is active.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = pathlib.Path(__file__).parent / "tiffcodec.so"
+    if not so.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.packbits_decode.restype = i64
+    lib.packbits_decode.argtypes = [u8p, i64, u8p, i64]
+    lib.lzw_decode.restype = i64
+    lib.lzw_decode.argtypes = [u8p, i64, u8p, i64]
+    lib.predictor2_u8.restype = None
+    lib.predictor2_u8.argtypes = [u8p, i64, i64, i64]
+    lib.predictor2_u16.restype = None
+    lib.predictor2_u16.argtypes = [ctypes.POINTER(ctypes.c_uint16), i64, i64, i64]
+    lib.decode_strips.restype = i64
+    lib.decode_strips.argtypes = [u8p, i64p, i64p, u8p, i64p, i64p, i64,
+                                  ctypes.c_int32, ctypes.c_int32]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def lzw_decode(blob: bytes, out_cap: int) -> bytes:
+    lib = _load()
+    src = np.frombuffer(blob, np.uint8)
+    dst = np.empty(out_cap, np.uint8)
+    n = lib.lzw_decode(_u8p(src), len(blob), _u8p(dst), out_cap)
+    if n < 0:
+        raise ValueError("corrupt LZW stream")
+    return dst[:n].tobytes()
+
+
+def packbits_decode(blob: bytes, out_cap: int) -> bytes:
+    lib = _load()
+    src = np.frombuffer(blob, np.uint8)
+    dst = np.empty(out_cap, np.uint8)
+    n = lib.packbits_decode(_u8p(src), len(blob), _u8p(dst), out_cap)
+    if n < 0:
+        raise ValueError("corrupt PackBits stream")
+    return dst[:n].tobytes()
+
+
+def decode_strips(
+    blobs: list[bytes], dst: np.ndarray, dst_offsets: np.ndarray,
+    dst_lengths: np.ndarray, compression: int, n_threads: int = 0,
+) -> None:
+    """Decode many strips in parallel into a preallocated byte buffer."""
+    lib = _load()
+    srcs = np.frombuffer(b"".join(blobs), np.uint8)
+    offsets = np.zeros(len(blobs), np.int64)
+    lengths = np.array([len(b) for b in blobs], np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.decode_strips(
+        _u8p(srcs), _i64p(offsets), _i64p(lengths),
+        _u8p(dst), _i64p(np.ascontiguousarray(dst_offsets, np.int64)),
+        _i64p(np.ascontiguousarray(dst_lengths, np.int64)),
+        len(blobs), compression, n_threads,
+    )
+    if rc != 0:
+        raise ValueError(f"strip {rc - 1} failed to decode")

@@ -198,21 +198,33 @@ class TiffReader:
 
     # -- decode ---------------------------------------------------------------
     def _decompress(self, blob: bytes, out_count: int) -> np.ndarray:
+        from .. import _native
+
         c = self.compression
+        cap = out_count * self.dtype.itemsize
         if c == COMPRESSION_NONE:
             raw = blob
         elif c in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_ADOBE):
             raw = zlib.decompress(blob)
         elif c == COMPRESSION_PACKBITS:
-            raw = _packbits_decode(blob)
+            raw = (_native.packbits_decode(blob, cap) if _native.available()
+                   else _packbits_decode(blob))
         elif c == COMPRESSION_LZW:
-            raw = _lzw_decode(blob)
+            raw = (_native.lzw_decode(blob, cap) if _native.available()
+                   else _lzw_decode(blob))
         else:
             raise RasterError(f"unsupported TIFF compression {c}")
         arr = np.frombuffer(raw, self.dtype, count=min(out_count, len(raw) // self.dtype.itemsize))
         if arr.size < out_count:  # short final block
             arr = np.concatenate([arr, np.zeros(out_count - arr.size, self.dtype)])
         return arr
+
+    def _undo_predictor(self, arr: np.ndarray, rows: int) -> np.ndarray:
+        """Horizontal-differencing predictor undo (TIFF predictor=2)."""
+        if self.predictor != 2:
+            return arr
+        a = arr.reshape(rows, self.width, self.samples)
+        return np.cumsum(a, axis=1, dtype=self.dtype).reshape(arr.shape)
 
     def _contiguous_uncompressed(self) -> bool:
         if self.compression != COMPRESSION_NONE or self.tiled or self.planar != 1:
@@ -240,17 +252,40 @@ class TiffReader:
         return self._read_striped()
 
     def _read_striped(self) -> np.ndarray:
+        from .. import _native
+
         n_strips = len(self.offsets)
         if self.planar == 1:
             out = np.empty(self.height * self.width * self.samples, self.dtype)
-            per_strip = self.rows_per_strip * self.width * self.samples
+            # native parallel strip decode (LZW / PackBits / raw)
+            if (_native.available() and self.predictor == 1
+                    and self.compression in (COMPRESSION_NONE, COMPRESSION_LZW,
+                                             COMPRESSION_PACKBITS)):
+                blobs = []
+                dst_off = np.empty(n_strips, np.int64)
+                dst_len = np.empty(n_strips, np.int64)
+                item = self.dtype.itemsize
+                pos = 0
+                for i in range(n_strips):
+                    rows = min(self.rows_per_strip,
+                               self.height - i * self.rows_per_strip)
+                    cnt = rows * self.width * self.samples * item
+                    self._fh.seek(int(self.offsets[i]))
+                    blobs.append(self._fh.read(int(self.byte_counts[i])))
+                    dst_off[i] = pos
+                    dst_len[i] = cnt
+                    pos += cnt
+                _native.decode_strips(blobs, out.view(np.uint8), dst_off,
+                                      dst_len, int(self.compression))
+                return out
             pos = 0
             for i in range(n_strips):
                 rows = min(self.rows_per_strip, self.height - i * self.rows_per_strip)
                 cnt = rows * self.width * self.samples
                 self._fh.seek(int(self.offsets[i]))
                 blob = self._fh.read(int(self.byte_counts[i]))
-                out[pos:pos + cnt] = self._decompress(blob, cnt)
+                out[pos:pos + cnt] = self._undo_predictor(
+                    self._decompress(blob, cnt), rows)
                 pos += cnt
             return out
         # planar: strips per sample plane, sample-major
