@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synrgb-mode", choices=[m.value for m in SyntheticRgbMode],
                    default="default",
                    help="Synthetic RGB mode (jpeg+multiband only)")
+    p.add_argument("--prefetch", type=int, default=0, metavar="N",
+                   help="Batch mode: load N scenes ahead while the device "
+                        "processes (0 = serial, reference-parity)")
     return p
 
 
@@ -118,9 +121,17 @@ def run(argv=None) -> int:
                 raise MissingArgument("--output-dir")
             args.output_dir.mkdir(parents=True, exist_ok=True)
             logger.info("Starting batch processing from directory: %s", args.input_dir)
-            report = api.process_directory_to_path(
-                args.input_dir, args.output_dir, params, continue_on_error=True
-            )
+            if args.prefetch > 0:
+                from .parallel.batch import process_directory_pipelined
+
+                report = process_directory_pipelined(
+                    args.input_dir, args.output_dir, params,
+                    continue_on_error=True, prefetch=args.prefetch,
+                )
+            else:
+                report = api.process_directory_to_path(
+                    args.input_dir, args.output_dir, params, continue_on_error=True
+                )
             logger.info("Batch processing complete!")
             logger.info("Processed: %d", report.processed)
             logger.info("Skipped: %d", report.skipped)

@@ -119,14 +119,33 @@ def _build_coeffs(in_size: int, out_size: int, filter_name: str):
     return jnp.asarray(starts), jnp.asarray(weights.astype(np.float32))
 
 
+_TAP_LOOP_MAX = 24
+
+
 @jax.jit
 def _resample_axis0(x, starts, weights):
-    """Weighted gather along axis 0: out[i] = Σ_k w[i,k] · x[starts[i]+k]."""
+    """Weighted gather along axis 0: out[i] = Σ_k w[i,k] · x[starts[i]+k].
+
+    For small tap counts, unroll a static loop of whole-row gathers — each is
+    a contiguous-row copy that XLA lowers near memcpy speed — instead of one
+    giant (out, K, cols) gather that materializes K× the output. The source
+    may be integer-typed (DN rasters): rows are gathered in the narrow dtype
+    and cast after, halving HBM traffic for u16 inputs.
+    """
     k = weights.shape[1]
+    if k <= _TAP_LOOP_MAX:
+        out = None
+        for j in range(k):
+            idx = jnp.clip(starts + j, 0, x.shape[0] - 1)
+            rows = jnp.take(x, idx, axis=0).astype(jnp.float32)
+            term = weights[:, j:j + 1] * rows
+            out = term if out is None else out + term
+        return out
     idx = jnp.clip(starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :],
                    0, x.shape[0] - 1)
     g = jnp.take(x, idx.reshape(-1), axis=0).reshape(idx.shape + x.shape[1:])
-    return jnp.einsum("ok,okc->oc", weights, g, preferred_element_type=jnp.float32)
+    return jnp.einsum("ok,okc->oc", weights, g.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
 
 
 @jax.jit

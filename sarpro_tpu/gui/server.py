@@ -1,0 +1,146 @@
+"""Local web server for the SARPRO-TPU GUI (stdlib http.server, no deps).
+
+Endpoints:
+  GET  /                 — the single-page UI
+  GET  /api/state        — GuiState + run status + completion poll
+  POST /api/state        — update configuration
+  POST /api/process      — start the background worker
+  GET  /api/logs         — drain ring-buffer log events (level filter client-side)
+  POST /api/export-log   — write a .sarpolog file
+  GET  /api/cli          — generated CLI command
+  POST /api/preset/save  — save .sarpro preset
+  POST /api/preset/load  — load .sarpro preset
+  GET  /api/stats        — CPU/RAM footer stats
+"""
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+from . import state as state_mod
+from .state import GuiState, Worker, generate_cli_command, load_preset, save_preset
+
+logger = logging.getLogger("sarpro")
+
+_STATIC = Path(__file__).parent / "static"
+
+
+def make_server(host: str = "127.0.0.1", port: int = 8377):
+    gui = GuiState()
+    worker = Worker()
+    lock = threading.Lock()
+    log_events: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, obj, status=200):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_GET(self):
+            if self.path == "/" or self.path == "/index.html":
+                body = (_STATIC / "index.html").read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/api/state":
+                with lock:
+                    done = worker.poll()
+                    if done is not None:
+                        gui.last_result = done
+                    gui.running = worker.busy()
+                    self._json(gui.to_dict())
+            elif self.path == "/api/logs":
+                events = worker.ring.drain()
+                log_events.extend(
+                    {"level": e.level, "timestamp": e.timestamp,
+                     "message": e.message, "target": e.target}
+                    for e in events
+                )
+                del log_events[:-1000]
+                self._json(log_events)
+            elif self.path == "/api/cli":
+                with lock:
+                    self._json({"command": generate_cli_command(gui)})
+            elif self.path == "/api/stats":
+                self._json(state_mod.system_stats())
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            try:
+                data = self._body()
+            except (ValueError, json.JSONDecodeError):
+                self._json({"error": "bad json"}, 400)
+                return
+            if self.path == "/api/state":
+                with lock:
+                    try:
+                        gui.apply(data)
+                        self._json(gui.to_dict())
+                    except (ValueError, KeyError) as e:
+                        self._json({"error": str(e)}, 400)
+            elif self.path == "/api/process":
+                with lock:
+                    if worker.start(gui):
+                        gui.last_result = None
+                        self._json({"started": True})
+                    else:
+                        self._json({"started": False, "error": "busy"}, 409)
+            elif self.path == "/api/export-log":
+                path = data.get("path", "sarpro.sarpolog")
+                worker.ring.export_log(path)
+                self._json({"saved": path})
+            elif self.path == "/api/preset/save":
+                with lock:
+                    try:
+                        save_preset(gui, data["path"])
+                        self._json({"saved": data["path"]})
+                    except (OSError, KeyError) as e:
+                        self._json({"error": str(e)}, 400)
+            elif self.path == "/api/preset/load":
+                with lock:
+                    try:
+                        load_preset(gui, data["path"])
+                        self._json(gui.to_dict())
+                    except (OSError, ValueError, KeyError) as e:
+                        self._json({"error": str(e)}, 400)
+            else:
+                self._json({"error": "not found"}, 404)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="sarpro-gui", description="SARPRO GUI server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8377)
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    srv = make_server(args.host, args.port)
+    print(f"sarproUI listening on http://{args.host}:{args.port}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Pipelined batch driver: host SAFE reads overlap device compute.
+
+The reference's batch mode is a serial for-loop (src/cli/runner.rs:294-340,
+src/api/mod.rs:484-533) and its README advises running multiple processes to
+scale (README.md:65). Here a small thread pool prefetches upcoming products
+(XML parse + TIFF strip reads + host→device transfer enqueue) while the
+device crunches the current scene — the async-loader analogue of SURVEY.md
+§2.5. Per-scene error tolerance matches the reference: unsupported products
+are skipped, failures counted, processing continues.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import logging
+from pathlib import Path
+from typing import Optional
+
+from ..errors import SarproError
+from ..params import ProcessingParams
+
+logger = logging.getLogger("sarpro")
+
+
+class _SceneLoad:
+    def __init__(self, path: Path, reader=None, error: Optional[Exception] = None,
+                 skipped: bool = False):
+        self.path = path
+        self.reader = reader
+        self.error = error
+        self.skipped = skipped
+
+
+def _load_scene(path: Path, params: ProcessingParams) -> _SceneLoad:
+    from ..api import _pol_to_reader_hint, _resolve_target_args
+    from ..io.safe import SafeReader
+
+    try:
+        if not (path / "annotation").is_dir() or not (path / "measurement").is_dir():
+            return _SceneLoad(path, skipped=True)
+        target_arg, resample = _resolve_target_args(params)
+        reader = SafeReader.open_with_warnings_with_options(
+            path, _pol_to_reader_hint(params.polarization), target_arg,
+            resample, params.size,
+        )
+        if reader is None:
+            return _SceneLoad(path, skipped=True)
+        return _SceneLoad(path, reader=reader)
+    except SarproError as e:
+        return _SceneLoad(path, error=e)
+    except Exception as e:  # noqa: BLE001 — batch isolation boundary
+        return _SceneLoad(path, error=e)
+
+
+def process_directory_pipelined(
+    input_dir,
+    output_dir,
+    params: ProcessingParams,
+    continue_on_error: bool = True,
+    prefetch: int = 2,
+):
+    """Batch all SAFE subdirectories with `prefetch` scenes loading ahead.
+
+    Returns a BatchReport (same counters as the reference's batch loops).
+    """
+    from ..api import BatchReport, iterate_safe_products
+    from ..core.save import (
+        save_processed_image,
+        save_processed_multiband_image_sequential,
+    )
+    from ..types import OutputFormat, Polarization, ProcessingOperation
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    report = BatchReport()
+    paths = list(iterate_safe_products(input_dir))
+    if not paths:
+        return report
+
+    bit_depth = params.bit_depth.to_bit_depth()
+    pol = params.polarization
+
+    def run_scene(load: _SceneLoad):
+        from ..api import _band_pair, _op_band, _single_band
+
+        reader = load.reader
+        ext = params.format.extension
+        out = output_dir / f"{load.path.name}.{ext}"
+        if pol.kind in ("vv", "vh", "hh", "hv"):
+            save_processed_image(
+                _single_band(reader, pol), out, params.format, bit_depth,
+                params.size, reader.metadata, params.pad, params.autoscale,
+                ProcessingOperation.SINGLE_BAND,
+            )
+        elif pol.kind == "multiband":
+            b1, b2, is_vvvh = _band_pair(reader, "Multiband")
+            save_processed_multiband_image_sequential(
+                b1, b2, out, params.format, bit_depth, params.size,
+                reader.metadata, params.pad, params.autoscale,
+                ProcessingOperation.MULTIBAND_VV_VH if is_vvvh
+                else ProcessingOperation.MULTIBAND_HH_HV,
+                params.synrgb_mode,
+            )
+        else:
+            save_processed_image(
+                _op_band(reader, pol.op), out, params.format, bit_depth,
+                params.size, reader.metadata, params.pad, params.autoscale,
+                ProcessingOperation.PolarOp(pol.op),
+            )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max(prefetch, 1)) as pool:
+        pending: list[concurrent.futures.Future] = []
+        it = iter(paths)
+
+        def refill():
+            while len(pending) < max(prefetch, 1) + 1:
+                try:
+                    p = next(it)
+                except StopIteration:
+                    return
+                pending.append(pool.submit(_load_scene, p, params))
+
+        refill()
+        while pending:
+            load = pending.pop(0).result()
+            refill()
+            if load.skipped:
+                logger.warning("Skipping unsupported product: %s", load.path)
+                report.skipped += 1
+                continue
+            if load.error is not None:
+                logger.warning("Error loading %s: %s", load.path, load.error)
+                report.errors += 1
+                if not continue_on_error:
+                    raise load.error
+                continue
+            try:
+                run_scene(load)
+                report.processed += 1
+                logger.info("Processed: %s", load.path)
+            except Exception as e:  # noqa: BLE001 — batch isolation boundary
+                logger.warning("Error processing %s: %s", load.path, e)
+                report.errors += 1
+                if not continue_on_error:
+                    raise
+    return report

@@ -1,0 +1,57 @@
+"""Tests: pipelined batch driver."""
+import numpy as np
+from PIL import Image
+
+import fixtures
+from sarpro_tpu import cli
+from sarpro_tpu.params import ProcessingParams
+from sarpro_tpu.parallel.batch import process_directory_pipelined
+from sarpro_tpu.types import AutoscaleStrategy, OutputFormat, Polarization
+
+
+def _setup(tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    fixtures.make_safe(indir, name="a.SAFE", seed=1)
+    fixtures.make_safe(indir, name="b.SAFE", seed=2)
+    fixtures.make_safe(indir, name="c.SAFE", seed=3)
+    fixtures.make_safe(indir, name="slc.SAFE", product_type="SLC", seed=4)
+    (indir / "junk").mkdir()
+    return indir
+
+
+def test_pipelined_batch_matches_serial_counters(tmp_path):
+    indir = _setup(tmp_path)
+    params = ProcessingParams(size=32, autoscale=AutoscaleStrategy.STANDARD)
+    report = process_directory_pipelined(indir, tmp_path / "out", params,
+                                         prefetch=2)
+    assert report.processed == 3
+    assert report.skipped == 2
+    assert report.errors == 0
+    for name in ("a", "b", "c"):
+        assert (tmp_path / "out" / f"{name}.SAFE.tiff").exists()
+
+
+def test_pipelined_batch_multiband_jpeg(tmp_path):
+    indir = _setup(tmp_path)
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.TAMED, size=32,
+    )
+    report = process_directory_pipelined(indir, tmp_path / "out2", params,
+                                         prefetch=3)
+    assert report.processed == 3
+    im = Image.open(tmp_path / "out2" / "a.SAFE.jpg")
+    assert im.mode == "RGB"
+
+
+def test_cli_prefetch_flag(tmp_path, capsys):
+    indir = _setup(tmp_path)
+    rc = cli.run([
+        "--input-dir", str(indir), "--output-dir", str(tmp_path / "out3"),
+        "--autoscale", "robust", "--size", "32", "--prefetch", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Processed: 3" in out
+    assert "Skipped: 2" in out
