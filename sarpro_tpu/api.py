@@ -243,7 +243,8 @@ def iterate_safe_products(input_dir):
 
 
 def process_directory_to_path(
-    input_dir, output_dir, params: ProcessingParams, continue_on_error: bool = True
+    input_dir, output_dir, params: ProcessingParams,
+    continue_on_error: bool = True, fast: bool = False, resume: bool = False,
 ) -> BatchReport:
     """Batch all SAFE subdirectories (reference: api/mod.rs:474-536).
 
@@ -273,8 +274,12 @@ def process_directory_to_path(
             continue
         ext = params.format.extension
         output_path = output_dir / f"{path.name}.{ext}"
+        if resume and output_path.exists():
+            logger.info("Resume: output exists, skipping %s", path)
+            report.skipped += 1
+            continue
         try:
-            process_safe_to_path(path, output_path, params)
+            process_safe_to_path(path, output_path, params, fast=fast)
             report.processed += 1
         except Exception as e:
             logger.warning("Error processing %s: %s", path, e)
@@ -284,8 +289,15 @@ def process_directory_to_path(
     return report
 
 
-def process_safe_to_path(input, output, params: ProcessingParams) -> None:
-    """File-output pipeline driven by ProcessingParams (reference: api/mod.rs:539-674)."""
+def process_safe_to_path(input, output, params: ProcessingParams,
+                         fast: bool = False) -> None:
+    """File-output pipeline driven by ProcessingParams (reference: api/mod.rs:539-674).
+
+    fast=True routes the compute through the fused single-program pipeline
+    (core/fused.py — the benchmark path): one device dispatch per band,
+    within ≤1 histogram bin of the exact mode's window placement."""
+    if fast:
+        return _process_safe_to_path_fast(input, output, params)
     bit_depth = params.bit_depth.to_bit_depth()
     target_arg, resample = _resolve_target_args(params)
     reader = SafeReader.open_with_options(
@@ -313,6 +325,47 @@ def process_safe_to_path(input, output, params: ProcessingParams) -> None:
         processed = _op_band(reader, pol.op)
         save_processed_image(
             processed, output, params.format, bit_depth, params.size,
+            reader.metadata, params.pad, params.autoscale,
+            ProcessingOperation.PolarOp(pol.op),
+        )
+
+
+def _process_safe_to_path_fast(input, output, params: ProcessingParams) -> None:
+    """Fast mode: full-resolution read, everything else in one XLA program.
+
+    The reader skips its own downsample-on-read (the fused program resamples
+    in-graph); warps still run in the reader (already at target size when
+    `size` is set, matching the reference's single-pass `-ts` warp)."""
+    from .core import fast_path
+
+    bit_depth = params.bit_depth.to_bit_depth()
+    target_arg, resample = _resolve_target_args(params)
+    warping = params.target_crs is not None and params.target_crs.lower() != "none"
+    reader = SafeReader.open_with_options(
+        input, _pol_to_reader_hint(params.polarization), target_arg, resample,
+        params.size if warping else None,
+    )
+    # post-warp rasters are already at target size; fused resample then no-ops
+    size = params.size
+    pol = params.polarization
+    if pol.kind in ("vv", "vh", "hh", "hv"):
+        fast_path.save_single_band_fast(
+            _single_band(reader, pol), output, params.format, bit_depth, size,
+            reader.metadata, params.pad, params.autoscale,
+            ProcessingOperation.SINGLE_BAND,
+        )
+    elif pol.kind == "multiband":
+        band1, band2, is_vvvh = _band_pair(reader, "Multiband")
+        fast_path.save_multiband_fast(
+            band1, band2, output, params.format, bit_depth, size,
+            reader.metadata, params.pad, params.autoscale,
+            ProcessingOperation.MULTIBAND_VV_VH if is_vvvh
+            else ProcessingOperation.MULTIBAND_HH_HV,
+            params.synrgb_mode,
+        )
+    else:
+        fast_path.save_single_band_fast(
+            _op_band(reader, pol.op), output, params.format, bit_depth, size,
             reader.metadata, params.pad, params.autoscale,
             ProcessingOperation.PolarOp(pol.op),
         )

@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefetch", type=int, default=0, metavar="N",
                    help="Batch mode: load N scenes ahead while the device "
                         "processes (0 = serial, reference-parity)")
+    p.add_argument("--fast", action="store_true",
+                   help="Fused single-program pipeline (benchmark path): one "
+                        "device dispatch per band; autoscale windows within "
+                        "1 histogram bin of exact mode")
+    p.add_argument("--resume", action="store_true",
+                   help="Batch mode: skip products whose output already exists")
     return p
 
 
@@ -127,10 +133,12 @@ def run(argv=None) -> int:
                 report = process_directory_pipelined(
                     args.input_dir, args.output_dir, params,
                     continue_on_error=True, prefetch=args.prefetch,
+                    resume=args.resume,
                 )
             else:
                 report = api.process_directory_to_path(
-                    args.input_dir, args.output_dir, params, continue_on_error=True
+                    args.input_dir, args.output_dir, params,
+                    continue_on_error=True, fast=args.fast, resume=args.resume,
                 )
             logger.info("Batch processing complete!")
             logger.info("Processed: %d", report.processed)
@@ -143,7 +151,8 @@ def run(argv=None) -> int:
                 raise MissingArgument("--input")
             if args.output is None:
                 raise MissingArgument("--output")
-            api.process_safe_to_path(args.input, args.output, params)
+            api.process_safe_to_path(args.input, args.output, params,
+                                     fast=args.fast)
             logger.info("Successfully processed: %s -> %s", args.input, args.output)
     except SarproError as e:
         print(f"error: {e}", file=sys.stderr)

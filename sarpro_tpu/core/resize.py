@@ -116,7 +116,9 @@ def _build_coeffs(in_size: int, out_size: int, filter_name: str):
             k = k / ssum
         starts[i] = xmin
         weights[i, :n] = k
-    return jnp.asarray(starts), jnp.asarray(weights.astype(np.float32))
+    # cache plain numpy: jnp constants created inside one trace must not be
+    # reused by another (tracer leak via the lru_cache)
+    return starts, weights.astype(np.float32)
 
 
 _TAP_LOOP_MAX = 24

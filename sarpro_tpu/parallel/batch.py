@@ -57,6 +57,7 @@ def process_directory_pipelined(
     params: ProcessingParams,
     continue_on_error: bool = True,
     prefetch: int = 2,
+    resume: bool = False,
 ):
     """Batch all SAFE subdirectories with `prefetch` scenes loading ahead.
 
@@ -73,6 +74,16 @@ def process_directory_pipelined(
     output_dir.mkdir(parents=True, exist_ok=True)
     report = BatchReport()
     paths = list(iterate_safe_products(input_dir))
+    if resume:
+        ext = params.format.extension
+        kept = []
+        for p in paths:
+            if (output_dir / f"{p.name}.{ext}").exists():
+                logger.info("Resume: output exists, skipping %s", p)
+                report.skipped += 1
+            else:
+                kept.append(p)
+        paths = kept
     if not paths:
         return report
 
