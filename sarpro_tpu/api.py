@@ -68,9 +68,15 @@ def _resolve_target_args(params: ProcessingParams):
     else:
         target_arg = t
     alg = params.resample_alg
-    if alg in ("nearest", "bilinear", "cubic"):
+    if alg in ("nearest", "bilinear", "cubic", "lanczos"):
         resample = alg
-    else:  # lanczos / None / anything else -> lanczos (api/mod.rs:555-556)
+    elif alg is None:
+        # unspecified → reader heuristic (Average for ≥4× reductions), the
+        # reference *CLI* semantics (runner.rs:61-67). ProcessingParams's
+        # default is "lanczos" (params.rs:38), so default params still match
+        # the reference API's lanczos default.
+        resample = None
+    else:  # unknown name → lanczos (api/mod.rs:556)
         resample = "lanczos"
     return target_arg, resample
 
@@ -348,11 +354,12 @@ def _process_safe_to_path_fast(input, output, params: ProcessingParams) -> None:
     # post-warp rasters are already at target size; fused resample then no-ops
     size = params.size
     pol = params.polarization
+    alg = None if warping else resample  # warp already consumed the filter
     if pol.kind in ("vv", "vh", "hh", "hv"):
         fast_path.save_single_band_fast(
             _single_band(reader, pol), output, params.format, bit_depth, size,
             reader.metadata, params.pad, params.autoscale,
-            ProcessingOperation.SINGLE_BAND,
+            ProcessingOperation.SINGLE_BAND, resample_alg=alg,
         )
     elif pol.kind == "multiband":
         band1, band2, is_vvvh = _band_pair(reader, "Multiband")
@@ -361,13 +368,13 @@ def _process_safe_to_path_fast(input, output, params: ProcessingParams) -> None:
             reader.metadata, params.pad, params.autoscale,
             ProcessingOperation.MULTIBAND_VV_VH if is_vvvh
             else ProcessingOperation.MULTIBAND_HH_HV,
-            params.synrgb_mode,
+            params.synrgb_mode, resample_alg=alg,
         )
     else:
         fast_path.save_single_band_fast(
             _op_band(reader, pol.op), output, params.format, bit_depth, size,
             reader.metadata, params.pad, params.autoscale,
-            ProcessingOperation.PolarOp(pol.op),
+            ProcessingOperation.PolarOp(pol.op), resample_alg=alg,
         )
 
 

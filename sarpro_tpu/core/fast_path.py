@@ -39,8 +39,10 @@ from .save import _rescale_geotransform
 logger = logging.getLogger("sarpro")
 
 
-def _final_dims(in_rows: int, in_cols: int, target_size, pad: bool):
-    rows, cols, _f = fused._plan_read_dims(in_rows, in_cols, target_size)
+def _final_dims(in_rows: int, in_cols: int, target_size, pad: bool,
+                resample_alg=None):
+    rows, cols, _f = fused._plan_read_dims(in_rows, in_cols, target_size,
+                                           resample_alg)
     if pad:
         m = max(rows, cols)
         pad_left = (m - cols) // 2
@@ -53,6 +55,7 @@ def save_single_band_fast(
     dn, output, format: OutputFormat, bit_depth: BitDepth, target_size,
     metadata=None, pad: bool = False, strategy=None,
     operation: ProcessingOperation = ProcessingOperation.SINGLE_BAND,
+    resample_alg=None,
 ) -> None:
     """Single-band DN → file through the fused program."""
     output = Path(output)
@@ -60,11 +63,11 @@ def save_single_band_fast(
     depth = bit_depth if format is OutputFormat.TIFF else BitDepth.U8
     out = fused.grayscale_pipeline(
         dn, strategy=strategy, bit_depth=depth,
-        target_size=target_size, pad=pad,
+        target_size=target_size, pad=pad, resample_alg=resample_alg,
     )
     arr = np.asarray(out)
     rows, cols, final_cols, final_rows, pad_left, pad_top = _final_dims(
-        in_rows, in_cols, target_size, pad
+        in_rows, in_cols, target_size, pad, resample_alg
     )
     gt_override, proj_override = _rescale_geotransform(
         metadata, cols, rows, final_cols, final_rows, pad_left, pad_top, 1.0, 1.0
@@ -94,12 +97,13 @@ def save_multiband_fast(
     metadata=None, pad: bool = False, strategy=None,
     operation: ProcessingOperation = ProcessingOperation.MULTIBAND_VV_VH,
     syn_mode: SyntheticRgbMode = SyntheticRgbMode.DEFAULT,
+    resample_alg=None,
 ) -> None:
     """Dual-band DN → multiband TIFF or synRGB JPEG through fused programs."""
     output = Path(output)
     in_rows, in_cols = dn1.shape
     rows, cols, final_cols, final_rows, pad_left, pad_top = _final_dims(
-        in_rows, in_cols, target_size, pad
+        in_rows, in_cols, target_size, pad, resample_alg
     )
     gt_override, proj_override = _rescale_geotransform(
         metadata, cols, rows, final_cols, final_rows, pad_left, pad_top, 1.0, 1.0
@@ -108,10 +112,10 @@ def save_multiband_fast(
     if format is OutputFormat.TIFF:
         b1 = np.asarray(fused.grayscale_pipeline(
             dn1, strategy=strategy, bit_depth=bit_depth,
-            target_size=target_size, pad=pad))
+            target_size=target_size, pad=pad, resample_alg=resample_alg))
         b2 = np.asarray(fused.grayscale_pipeline(
             dn2, strategy=strategy, bit_depth=bit_depth,
-            target_size=target_size, pad=pad))
+            target_size=target_size, pad=pad, resample_alg=resample_alg))
         writer = (write_tiff_multiband_u8 if bit_depth is BitDepth.U8
                   else write_tiff_multiband_u16)
         ds = writer(output, final_cols, final_rows, b1, b2)
@@ -120,7 +124,8 @@ def save_multiband_fast(
         ds.flush()
     else:
         rgb = np.asarray(fused.synrgb_pipeline(
-            dn1, dn2, strategy=strategy, target_size=target_size, pad=pad))
+            dn1, dn2, strategy=strategy, target_size=target_size, pad=pad,
+            resample_alg=resample_alg))
         write_rgb_jpeg(output, final_cols, final_rows, rgb)
         if metadata is not None:
             if gt_override is not None:

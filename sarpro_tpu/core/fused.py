@@ -309,8 +309,11 @@ def _pad_square(x, rows: int, cols: int):
     return jnp.pad(x, ((pr, m - rows - pr), (pc, m - cols - pc)))
 
 
-def _plan_read_dims(in_rows: int, in_cols: int, target_size: int | None):
-    """Downsample-on-read sizing + filter choice (sentinel1.rs:1084-1102)."""
+def _plan_read_dims(in_rows: int, in_cols: int, target_size: int | None,
+                    resample_alg: str | None = None):
+    """Downsample-on-read sizing + filter choice (sentinel1.rs:1084-1102):
+    user-chosen algorithm wins; otherwise Average for >=4x reduction,
+    Lanczos for mild downscale."""
     if target_size is None:
         return in_rows, in_cols, None
     long_side = max(in_rows, in_cols)
@@ -318,13 +321,14 @@ def _plan_read_dims(in_rows: int, in_cols: int, target_size: int | None):
     out_rows = max(int(np.floor(in_rows * scale + 0.5)), 1)
     out_cols = max(int(np.floor(in_cols * scale + 0.5)), 1)
     reduction = max(long_side / target_size, 1.0)
-    filt = "average" if reduction >= 4.0 else "lanczos"
+    filt = resample_alg or ("average" if reduction >= 4.0 else "lanczos")
     return out_rows, out_cols, filt
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("strategy", "target_size", "pad", "suppressed"),
+    static_argnames=("strategy", "target_size", "pad", "suppressed",
+                     "resample_alg"),
 )
 def synrgb_pipeline(
     vv_dn,
@@ -333,6 +337,7 @@ def synrgb_pipeline(
     target_size: int | None = 2048,
     pad: bool = False,
     suppressed: bool | None = None,
+    resample_alg: str | None = None,
 ):
     """Flagship fused program: dual-pol DN rasters → synthetic-RGB u8.
 
@@ -341,7 +346,7 @@ def synrgb_pipeline(
     One XLA program, zero host syncs.
     """
     in_rows, in_cols = vv_dn.shape
-    rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size)
+    rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size, resample_alg)
     if filt is not None:
         vv = _resample_dn(vv_dn, rows, cols, filt)
         vh = _resample_dn(vh_dn, rows, cols, filt)
@@ -366,7 +371,8 @@ def synrgb_pipeline(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("strategy", "bit_depth", "target_size", "pad"),
+    static_argnames=("strategy", "bit_depth", "target_size", "pad",
+                     "resample_alg"),
 )
 def grayscale_pipeline(
     dn,
@@ -374,10 +380,11 @@ def grayscale_pipeline(
     bit_depth: BitDepth = BitDepth.U8,
     target_size: int | None = None,
     pad: bool = False,
+    resample_alg: str | None = None,
 ):
     """Fused single-band program: DN raster → u8/u16 grayscale."""
     in_rows, in_cols = dn.shape
-    rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size)
+    rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size, resample_alg)
     x = _resample_dn(dn, rows, cols, filt) if filt is not None else dn.astype(jnp.float32)
     db, mask = _db_mask(x)
     s = _stats(db, mask)
