@@ -158,6 +158,24 @@ def embed_tiff_metadata(
         ds.set_metadata_item(key, value)
 
 
+class MetadataFormat:
+    """Metadata destination selector (reference: metadata.rs:10-17)."""
+
+    TIFF = "tiff"
+    JSON = "json"
+
+
+def handle_metadata(meta: SafeMetadata, format: str, output_path,
+                    dataset=None) -> None:
+    """Generic metadata handler (reference: metadata.rs:423-437)."""
+    if format == MetadataFormat.TIFF:
+        if dataset is None:
+            raise ValueError("Dataset required for TIFF metadata")
+        embed_tiff_metadata(dataset, meta, None, None, None)
+    else:
+        create_jpeg_metadata_sidecar(output_path, meta, None)
+
+
 def create_jpeg_metadata_sidecar(output_path, meta: SafeMetadata,
                                  operation: Optional[str] = None) -> None:
     """reference: metadata.rs:344-367."""
