@@ -282,12 +282,52 @@ def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
     map_y = np.asarray(srow, np.float64) - 0.5
 
     src = jnp.asarray(reader.read_band(1))
-    data = _warp_sample(
-        src,
-        jnp.asarray(map_x, jnp.float32),
-        jnp.asarray(map_y, jnp.float32),
-        out_rows, out_cols, method,
+
+    # Two-stage warp for strong reductions: pre-downsample (area average) to
+    # ~1.25x the output resolution, then sample the small intermediate. This
+    # anti-aliases (gdalwarp's -ts path samples full-res and aliases) and
+    # shrinks the sampling working set ahead of the tiled warp kernel.
+    scale_est = max(
+        (map_x.max() - map_x.min() + 1) / max(out_cols, 1),
+        (map_y.max() - map_y.min() + 1) / max(out_rows, 1),
+        1.0,
     )
+    if scale_est >= 2.0:
+        from ..core.resize import resample_plane
+
+        factor = scale_est / 1.25
+        mid_rows = max(int(np.ceil(src_rows / factor)), 1)
+        mid_cols = max(int(np.ceil(src_cols / factor)), 1)
+        src = resample_plane(src, mid_rows, mid_cols, "average")
+        # rescale the mapping from source pixels to intermediate pixels
+        # (pixel-center convention: centers map by the size ratio)
+        ry = mid_rows / src_rows
+        rx = mid_cols / src_cols
+        map_x = (map_x + 0.5) * rx - 0.5
+        map_y = (map_y + 0.5) * ry - 0.5
+        logger.info("Warp two-stage: source %dx%d -> %dx%d before sampling",
+                    src_cols, src_rows, mid_cols, mid_rows)
+
+    data = None
+    try:
+        from ..ops.kernels import use_pallas
+        from ..ops.warp_kernel import warp_sample_tiled
+
+        if use_pallas():
+            data = warp_sample_tiled(src, map_x, map_y, out_rows, out_cols,
+                                     method)
+            if data is not None:
+                logger.info("Warp: tiled Pallas sampler")
+    except Exception as e:  # noqa: BLE001 — kernel preconditions/compile
+        logger.warning("Tiled warp unavailable (%s); using XLA sampler", e)
+        data = None
+    if data is None:
+        data = _warp_sample(
+            src,
+            jnp.asarray(map_x, jnp.float32),
+            jnp.asarray(map_y, jnp.float32),
+            out_rows, out_cols, method,
+        )
     projection = geodesy.epsg_to_wkt(dst_epsg) or f"EPSG:{dst_epsg}"
     return WarpResult(data=data, geotransform=gt, projection=projection,
                       epsg=dst_epsg)
