@@ -21,9 +21,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
+# GSPMD cannot partition Pallas custom calls: sharded multi-chip pipelines
+# (parallel/sharded.py) force the XLA fallbacks so histogram reductions turn
+# into per-shard partials + psum. Single-chip paths keep the kernels.
+_FORCE_XLA = False
+
+
+class force_xla_fallbacks:
+    """Context manager: route kernel dispatch to the XLA fallbacks."""
+
+    def __enter__(self):
+        global _FORCE_XLA
+        self._prev = _FORCE_XLA
+        _FORCE_XLA = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_XLA
+        _FORCE_XLA = self._prev
+        return False
+
 
 def use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    return not _FORCE_XLA and jax.default_backend() == "tpu"
 
 
 def _pad_flat(x, k: int, fill):

@@ -60,9 +60,13 @@ def synrgb_batch(
     pad: bool = False,
 ):
     """Process a batch of dual-pol scenes to synRGB across the mesh."""
+    from ..ops.kernels import force_xla_fallbacks
+
     vv = shard_scene_batch(jnp.asarray(vv_batch), mesh)
     vh = shard_scene_batch(jnp.asarray(vh_batch), mesh)
-    with mesh:
+    # Pallas custom calls are not GSPMD-partitionable: trace with the XLA
+    # fallbacks so histograms lower to shardable scatters + psum
+    with mesh, force_xla_fallbacks():
         return _synrgb_batch_jit(vv, vh, strategy, target_size, pad, mesh)
 
 
@@ -91,6 +95,8 @@ def grayscale_batch(
     pad: bool = False,
 ):
     """Process a batch of single-pol scenes across the mesh."""
+    from ..ops.kernels import force_xla_fallbacks
+
     dn = shard_scene_batch(jnp.asarray(dn_batch), mesh)
-    with mesh:
+    with mesh, force_xla_fallbacks():
         return _gray_batch_jit(dn, strategy, bit_depth, target_size, pad, mesh)
