@@ -116,11 +116,12 @@ def histogram(idx, num_bins: int):
 # ---------------------------------------------------------------------------
 # CLAHE bilinear CDF lookup
 # ---------------------------------------------------------------------------
-_CLAHE_K = 2048  # VMEM-bound: f32 one-hot (K,256) + (K,1) lane-padded cols
+_CLAHE_K = 4096  # VMEM-bound: bf16 one-hot (K,256) + (K,1) lane-padded cols
 
 
 def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
-                  n_bins: int, cols: int, bin_ref, cdfs_ref, out_ref):
+                  n_bins: int, cols: int, bin_ref, cdhi_ref, cdlo_ref,
+                  out_ref):
     k = _CLAHE_K
     # recover (r, c) from the flat pixel index — saves two lane-padded inputs
     flat = (pl.program_id(0) * k
@@ -155,15 +156,20 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
         + jnp.where(tids == ty1 * tiles_x + tx0, w10, 0.0)
         + jnp.where(tids == ty1 * tiles_x + tx1, w11, 0.0)
     )
-    # select-bin-first: per-pixel CDF value of EVERY tile at own bin
+    # select-bin-first: per-pixel CDF value of EVERY tile at own bin.
+    # The CDF table arrives hi/lo-split into two bf16 planes (the one-hot is
+    # exact in bf16, so selection reconstructs the f32 CDF to ~1e-5).
     bins = bin_ref[:]  # (K,1), invalid pixels carry n_bins (all-zero onehot)
     onehot_bin = (
         bins == jax.lax.broadcasted_iota(jnp.int32, (k, n_bins), 1)
-    ).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
     pt = jax.lax.dot_general(  # (K, n_tiles)
-        onehot_bin, cdfs_ref[:],
+        onehot_bin, cdhi_ref[:],
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # exact one-hot selection
+    )
+    pt = pt + jax.lax.dot_general(
+        onehot_bin, cdlo_ref[:],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
     out_ref[:] = jnp.sum(wmat * pt, axis=1, keepdims=True)
 
@@ -175,6 +181,11 @@ def _clahe_lookup_pallas(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
     n = bin_idx.size
     n_tiles, n_bins = cdfs.shape
     b2, g = _pad_flat(bin_idx.astype(jnp.int32), _CLAHE_K, n_bins)
+    # hi/lo bf16 split of the f32 CDFs; the barrier stops XLA from folding
+    # convert(convert(x)) back to x, which would zero the lo plane
+    cdfs = cdfs.astype(jnp.float32)
+    cdhi = jax.lax.optimization_barrier(cdfs.astype(jnp.bfloat16))
+    cdlo = (cdfs - cdhi.astype(jnp.float32)).astype(jnp.bfloat16)
     kern = functools.partial(_clahe_kernel, tiles_x, tiles_y, tile_h, tile_w,
                              n_bins, cols)
     out = pl.pallas_call(
@@ -184,11 +195,13 @@ def _clahe_lookup_pallas(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
             pl.BlockSpec((_CLAHE_K, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, n_bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, n_bins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_CLAHE_K, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g * _CLAHE_K, 1), jnp.float32),
-    )(b2, cdfs.astype(jnp.float32))
+    )(b2, cdhi, cdlo)
     return out.reshape(-1)[:n]
 
 
