@@ -252,16 +252,18 @@ def clahe_lookup(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
 # ---------------------------------------------------------------------------
 # synRGB LUT lookup (1D r/g tables + 2D blue table)
 # ---------------------------------------------------------------------------
-_SYNRGB_K = 2048
+_SYNRGB_K = 4096
 
 
-def _synrgb_kernel(b1_ref, b2_ref, lutr_ref, lutg_ref, lutb_ref, out_ref):
+def _synrgb_kernel(packed_ref, lutr_ref, lutg_ref, lutb_ref, out_ref):
     """r/g via masked one-hot reductions; blue = row-select of the 2D table
     on the MXU then column-select. u8 tables are exact in bf16 (integers
-    <= 255), so the bf16 MXU pass is bit-exact."""
+    <= 255), so the bf16 MXU pass is bit-exact. Both bands arrive packed as
+    b1*256 + b2 in one lane-padded column (halves the input VMEM)."""
     k = _SYNRGB_K
-    oh1 = (b1_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (k, 256), 1))
-    oh2 = (b2_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (k, 256), 1))
+    packed = packed_ref[:]
+    oh1 = ((packed // 256) == jax.lax.broadcasted_iota(jnp.int32, (k, 256), 1))
+    oh2 = ((packed % 256) == jax.lax.broadcasted_iota(jnp.int32, (k, 256), 1))
     oh1f = oh1.astype(jnp.float32)
     oh2f = oh2.astype(jnp.float32)
     r = jnp.sum(oh1f * lutr_ref[:], axis=1, keepdims=True)
@@ -279,8 +281,9 @@ def _synrgb_kernel(b1_ref, b2_ref, lutr_ref, lutg_ref, lutb_ref, out_ref):
 @jax.jit
 def _synrgb_lookup_pallas(b1, b2, lut_r, lut_g, lut_b):
     n = b1.size
-    b1c, g = _pad_flat(b1.astype(jnp.int32), _SYNRGB_K, 0)
-    b2c, _ = _pad_flat(b2.astype(jnp.int32), _SYNRGB_K, 0)
+    packed = (b1.astype(jnp.int32).reshape(-1) * 256
+              + b2.astype(jnp.int32).reshape(-1))
+    pc, g = _pad_flat(packed, _SYNRGB_K, 0)
     lutr = lut_r.astype(jnp.float32).reshape(1, 256)
     lutg = lut_g.astype(jnp.float32).reshape(1, 256)
     lutb = lut_b.astype(jnp.float32).reshape(256, 256)
@@ -289,7 +292,6 @@ def _synrgb_lookup_pallas(b1, b2, lut_r, lut_g, lut_b):
         grid=(g,),
         in_specs=[
             pl.BlockSpec((_SYNRGB_K, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SYNRGB_K, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((256, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -297,7 +299,7 @@ def _synrgb_lookup_pallas(b1, b2, lut_r, lut_g, lut_b):
         out_specs=pl.BlockSpec((_SYNRGB_K, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g * _SYNRGB_K, 3), jnp.float32),
-    )(b1c, b2c, lutr, lutg, lutb)
+    )(pc, lutr, lutg, lutb)
     return out[:n].astype(jnp.uint8)
 
 
