@@ -53,4 +53,19 @@ def __getattr__(name):
         from . import io
 
         return getattr(io, name)
+    # reader/writer helpers re-exported at the crate root in the reference
+    # (src/lib.rs:227-234)
+    if name in ("RasterReader", "RasterMetadata"):
+        from .io import raster
+
+        return getattr(raster, name)
+    if name in ("create_jpeg_metadata_sidecar", "embed_tiff_metadata",
+                "extract_metadata_fields"):
+        from .io.writers import metadata as _md
+
+        return getattr(_md, name)
+    if name in ("SafeError", "RasterError", "UnsupportedProduct"):
+        from . import errors as _errors
+
+        return getattr(_errors, name)
     raise AttributeError(f"module 'sarpro_tpu' has no attribute {name!r}")

@@ -151,9 +151,13 @@ def run(argv=None) -> int:
                 raise MissingArgument("--input")
             if args.output is None:
                 raise MissingArgument("--output")
+            import time
+
+            t0 = time.perf_counter()
             api.process_safe_to_path(args.input, args.output, params,
                                      fast=args.fast)
-            logger.info("Successfully processed: %s -> %s", args.input, args.output)
+            logger.info("Successfully processed: %s -> %s (%.3f s)",
+                        args.input, args.output, time.perf_counter() - t0)
     except SarproError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
