@@ -64,11 +64,14 @@ def default_luts() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return lut_r, lut_g, blue.reshape(-1)  # blue flat index = (b1 << 8) | b2
 
 
-@jax.jit
 def _apply_luts(band1, band2, lut_r, lut_g, lut_b):
+    # deliberately NOT jitted: with concrete inputs the lookup dispatcher
+    # chunks huge rasters into separate kernel dispatches (the TPU compiler
+    # cannot handle many synRGB kernels — or one giant gather — per program)
     from ..ops import synrgb_lookup
 
-    rgb = synrgb_lookup(band1.ravel(), band2.ravel(), lut_r, lut_g, lut_b)
+    rgb = synrgb_lookup(band1.ravel(), band2.ravel(), jnp.asarray(lut_r),
+                        jnp.asarray(lut_g), jnp.asarray(lut_b))
     return rgb.reshape(band1.shape + (3,))
 
 
@@ -128,12 +131,16 @@ def suppressed_luts(floor_with_cushion: int) -> tuple[np.ndarray, np.ndarray, np
 
 
 @jax.jit
-def _apply_suppressed(band1, band2, lut_r, lut_g, lut_b, floor_c):
+def _water_mask(band1, band2, rgb, floor_c):
     b1 = band1.astype(jnp.int32)
     b2 = band2.astype(jnp.int32)
-    rgb = _apply_luts(band1, band2, lut_r, lut_g, lut_b)
     water = (b1 <= floor_c) & (b2 <= floor_c)
     return jnp.where(water[..., None], jnp.uint8(0), rgb)
+
+
+def _apply_suppressed(band1, band2, lut_r, lut_g, lut_b, floor_c):
+    rgb = _apply_luts(band1, band2, lut_r, lut_g, lut_b)
+    return _water_mask(jnp.asarray(band1), jnp.asarray(band2), rgb, floor_c)
 
 
 def create_synthetic_rgb_suppressed(band1, band2) -> jax.Array:

@@ -104,13 +104,29 @@ def _histogram_xla(idx, num_bins: int):
     return jnp.zeros((num_bins,), jnp.int32).at[safe].add(valid.astype(jnp.int32))
 
 
+# The Mosaic compiler crashes on large grids/operands (empirically: the
+# lookup kernels fail above ~2048 grid steps, the histogram somewhat later);
+# chunk kernel invocations below these and combine in XLA.
+_MAX_ELEMS = 16 << 20          # histogram (K=8192 -> 2048 steps)
+_MAX_LOOKUP_ELEMS = 4 << 20    # lookups (K=4096 -> 1024 steps; the synRGB
+                               # kernel crashes the compiler at 2048 steps)
+
+
 def histogram(idx, num_bins: int):
     """Counts of idx values in [0, num_bins); entries >= num_bins (the mask
     convention) are ignored. num_bins must be a multiple of 128."""
     assert num_bins % LANE == 0, num_bins
-    if use_pallas():
-        return _histogram_pallas(idx, num_bins)
-    return _histogram_xla(idx, num_bins)
+    if not use_pallas():
+        return _histogram_xla(idx, num_bins)
+    flat = idx.reshape(-1)
+    n = flat.size
+    if n <= _MAX_ELEMS:
+        return _histogram_pallas(flat, num_bins)
+    out = None
+    for start in range(0, n, _MAX_ELEMS):
+        part = _histogram_pallas(flat[start:start + _MAX_ELEMS], num_bins)
+        out = part if out is None else out + part
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -120,12 +136,15 @@ _CLAHE_K = 4096  # VMEM-bound: bf16 one-hot (K,256) + (K,1) lane-padded cols
 
 
 def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
-                  n_bins: int, cols: int, bin_ref, cdhi_ref, cdlo_ref,
-                  out_ref):
+                  n_bins: int, cols: int, base_ref, bin_ref, cdhi_ref,
+                  cdlo_ref, out_ref):
     k = _CLAHE_K
-    # recover (r, c) from the flat pixel index — saves two lane-padded inputs
-    flat = (pl.program_id(0) * k
-            + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0))
+    i = pl.program_id(0)
+    # recover (r, c) from the flat pixel index — saves two lane-padded
+    # inputs. The global block index streams through SMEM so chunked
+    # invocations (huge rasters) share one compiled kernel.
+    gb = base_ref[i % 8, 0]
+    flat = gb * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
     r = flat // cols
     c = flat % cols
     rf = r.astype(jnp.float32) / np.float32(tile_h) - 0.5  # (K,1)
@@ -176,22 +195,22 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cols", "tiles_x", "tiles_y", "tile_h", "tile_w"))
-def _clahe_lookup_pallas(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
+    static_argnames=("cols", "tiles_x", "tiles_y", "tile_h", "tile_w",
+                     "block_base"))
+def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
+                               tile_h, tile_w, block_base: int):
     n = bin_idx.size
-    n_tiles, n_bins = cdfs.shape
+    n_tiles, n_bins = cdhi.shape
     b2, g = _pad_flat(bin_idx.astype(jnp.int32), _CLAHE_K, n_bins)
-    # hi/lo bf16 split of the f32 CDFs; the barrier stops XLA from folding
-    # convert(convert(x)) back to x, which would zero the lo plane
-    cdfs = cdfs.astype(jnp.float32)
-    cdhi = jax.lax.optimization_barrier(cdfs.astype(jnp.bfloat16))
-    cdlo = (cdfs - cdhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    base = (jnp.arange(-(-g // 8) * 8, dtype=jnp.int32) + block_base
+            ).reshape(-1, 1)
     kern = functools.partial(_clahe_kernel, tiles_x, tiles_y, tile_h, tile_w,
                              n_bins, cols)
     out = pl.pallas_call(
         kern,
         grid=(g,),
         in_specs=[
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((_CLAHE_K, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, n_bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -201,8 +220,29 @@ def _clahe_lookup_pallas(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
         out_specs=pl.BlockSpec((_CLAHE_K, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g * _CLAHE_K, 1), jnp.float32),
-    )(b2, cdhi, cdlo)
+    )(base, b2, cdhi, cdlo)
     return out.reshape(-1)[:n]
+
+
+def _clahe_lookup_pallas(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
+    # hi/lo bf16 split of the f32 CDFs; the barrier stops XLA from folding
+    # convert(convert(x)) back to x, which would zero the lo plane
+    cdfs = jnp.asarray(cdfs, jnp.float32)
+    cdhi = jax.lax.optimization_barrier(cdfs.astype(jnp.bfloat16))
+    cdlo = (cdfs - cdhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    flat = bin_idx.reshape(-1)
+    n = flat.size
+    if n <= _MAX_LOOKUP_ELEMS:
+        return _clahe_lookup_pallas_chunk(flat, cdhi, cdlo, cols, tiles_x,
+                                          tiles_y, tile_h, tile_w, 0)
+    assert _MAX_LOOKUP_ELEMS % _CLAHE_K == 0
+    parts = []
+    for start in range(0, n, _MAX_LOOKUP_ELEMS):
+        parts.append(_clahe_lookup_pallas_chunk(
+            flat[start:start + _MAX_LOOKUP_ELEMS], cdhi, cdlo, cols, tiles_x,
+            tiles_y, tile_h, tile_w, start // _CLAHE_K,
+        ))
+    return jnp.concatenate(parts)
 
 
 @functools.partial(
@@ -315,6 +355,17 @@ def _synrgb_lookup_xla(b1, b2, lut_r, lut_g, lut_b):
 
 def synrgb_lookup(b1, b2, lut_r, lut_g, lut_b):
     """(N,3) u8 from u8 bands + 256/256/65536 LUTs (flat N inputs)."""
-    if use_pallas():
-        return _synrgb_lookup_pallas(b1, b2, lut_r, lut_g, lut_b)
-    return _synrgb_lookup_xla(b1, b2, lut_r, lut_g, lut_b)
+    if not use_pallas():
+        return _synrgb_lookup_xla(b1, b2, lut_r, lut_g, lut_b)
+    f1 = b1.reshape(-1)
+    f2 = b2.reshape(-1)
+    n = f1.size
+    if n <= _MAX_LOOKUP_ELEMS:
+        return _synrgb_lookup_pallas(f1, f2, lut_r, lut_g, lut_b)
+    parts = []
+    for start in range(0, n, _MAX_LOOKUP_ELEMS):
+        parts.append(_synrgb_lookup_pallas(
+            f1[start:start + _MAX_LOOKUP_ELEMS], f2[start:start + _MAX_LOOKUP_ELEMS],
+            lut_r, lut_g, lut_b,
+        ))
+    return jnp.concatenate(parts)
