@@ -219,13 +219,15 @@ def _resample_dn(x, out_rows: int, out_cols: int, filter_name: str):
 
     The first (row) pass gathers in the input's native dtype — u16 DN rasters
     stream from HBM at half the f32 traffic; _resample_axis0 casts per tap."""
+    from .resize import _apply_axis0
+
     in_rows, in_cols = x.shape
     if in_rows != out_rows:
         s, w = _build_coeffs(in_rows, out_rows, filter_name)
-        x = _resample_axis0(x, s, w)
+        x = _apply_axis0(x, s, w, out_rows)
     if in_cols != out_cols:
         s, w = _build_coeffs(in_cols, out_cols, filter_name)
-        x = _resample_axis0(x.T, s, w).T
+        x = _apply_axis0(x.T, s, w, out_cols).T
     return x.astype(jnp.float32)
 
 

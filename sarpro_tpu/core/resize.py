@@ -155,6 +155,14 @@ def _nearest_axis0(x, idx):
     return jnp.take(x, idx, axis=0)
 
 
+def _apply_axis0(x, s_np, w_np, out_n: int):
+    """Axis-0 resample. The tap-loop of whole-row gathers wins on TPU: a
+    banded per-block-DMA Pallas kernel was measured SLOWER (135 vs 125 ms on
+    the 400MP headline) — per-block overhead over ~10k tiny blocks exceeds
+    the gather cost it saves."""
+    return _resample_axis0(x, jnp.asarray(s_np), jnp.asarray(w_np))
+
+
 def resample_plane(
     x, out_rows: int, out_cols: int, filter_name: str = "lanczos3"
 ) -> jax.Array:
@@ -168,10 +176,10 @@ def resample_plane(
         return _nearest_axis0(y.T, jnp.asarray(ci, jnp.int32)).T
     if in_rows != out_rows:
         s, w = _build_coeffs(in_rows, out_rows, filter_name)
-        x = _resample_axis0(x, s, w)
+        x = _apply_axis0(x, s, w, out_rows)
     if in_cols != out_cols:
         s, w = _build_coeffs(in_cols, out_cols, filter_name)
-        x = _resample_axis0(x.T, s, w).T
+        x = _apply_axis0(x.T, s, w, out_cols).T
     return x
 
 
@@ -194,10 +202,10 @@ def _resize_quantized(data, original_cols, original_rows, target_cols, target_ro
     x = jnp.asarray(data).reshape(original_rows, original_cols).astype(jnp.float32)
     if original_cols != target_cols:
         s, w = _build_coeffs(original_cols, target_cols, "lanczos3")
-        x = cast(_resample_axis0(x.T, s, w).T).astype(jnp.float32)
+        x = cast(_apply_axis0(x.T, s, w, target_cols).T).astype(jnp.float32)
     if original_rows != target_rows:
         s, w = _build_coeffs(original_rows, target_rows, "lanczos3")
-        x = _resample_axis0(x, s, w)
+        x = _apply_axis0(x, s, w, target_rows)
     return cast(x)
 
 
