@@ -72,3 +72,35 @@ def test_cli_missing_args(tmp_path, capsys):
     assert "Missing required argument: --input" in capsys.readouterr().err
     assert cli.run(["--batch"]) == 1
     assert "--input-dir" in capsys.readouterr().err
+
+
+def test_cli_every_polarization_end_to_end(tmp_path):
+    """Every CLI polarization choice produces a valid output file."""
+    base = fixtures.make_safe(tmp_path)
+    for pol in ("vv", "vh", "multiband", "sum", "diff", "ratio",
+                "n-diff", "log-ratio"):
+        out = tmp_path / f"o_{pol}.tiff"
+        rc = cli.run([
+            "-i", str(base), "-o", str(out),
+            "--polarization", pol, "--autoscale", "robust", "--size", "32",
+        ])
+        assert rc == 0, pol
+        r = TiffReader(out)
+        assert r.width == 32 and r.height == 24, pol
+        md = r.gdal_metadata()
+        assert "POLARIZATIONS" in md, pol
+
+
+def test_cli_every_autoscale_end_to_end(tmp_path):
+    from PIL import Image
+
+    base = fixtures.make_safe(tmp_path)
+    for strat in ("standard", "robust", "adaptive", "equalized", "clahe",
+                  "tamed", "default"):
+        out = tmp_path / f"s_{strat}.jpg"
+        rc = cli.run([
+            "-i", str(base), "-o", str(out), "-f", "jpeg",
+            "--autoscale", strat, "--size", "32",
+        ])
+        assert rc == 0, strat
+        assert Image.open(out).size == (32, 24), strat
