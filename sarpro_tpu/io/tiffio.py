@@ -527,7 +527,7 @@ class TiffWriter:
     def set_metadata(self, items: dict[str, str]):
         self._metadata.update(items)
 
-    def write(self, bands: list[np.ndarray]):
+    def write(self, bands: list[np.ndarray], force_bigtiff: bool = False):
         """Write one or more equally-shaped 2D bands (u8 or u16)."""
         if not bands:
             raise RasterError("no bands to write")
@@ -545,7 +545,7 @@ class TiffWriter:
         ).astype(dtype.newbyteorder("<"))
 
         data_bytes = interleaved.nbytes
-        big = data_bytes + 65536 > 0xFFFFFFFF
+        big = force_bigtiff or data_bytes + 65536 > 0xFFFFFFFF
         self._write_file(interleaved, rows, cols, n, dtype, big)
 
     # -- low-level ------------------------------------------------------------

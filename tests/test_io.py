@@ -261,3 +261,19 @@ def test_raster_reader_identity_fallback(tmp_path, rng):
     r = RasterReader(p)
     assert r.metadata.geotransform == [0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
     assert r.metadata.projection == ""
+
+
+def test_bigtiff_roundtrip(tmp_path, rng):
+    """BigTIFF layout (64-bit offsets) writes and reads back identically."""
+    arr = rng.integers(0, 65535, (50, 70)).astype(np.uint16)
+    path = tmp_path / "big.tif"
+    w = TiffWriter(path)
+    w.set_geotransform([1.0, 2.0, 0.0, 3.0, 0.0, -2.0])
+    w.set_projection("EPSG:4326")
+    w.set_metadata_item("K", "V")
+    w.write([arr], force_bigtiff=True)
+    r = TiffReader(path)
+    assert r.big
+    np.testing.assert_array_equal(r.read(1), arr)
+    assert r.geo_info().geotransform == [1.0, 2.0, 0.0, 3.0, 0.0, -2.0]
+    assert r.gdal_metadata() == {"K": "V"}
