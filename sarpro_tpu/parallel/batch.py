@@ -132,7 +132,16 @@ def process_directory_pipelined(
 
         refill()
         while pending:
-            load = pending.pop(0).result()
+            fut = pending.pop(0)
+            try:
+                load = fut.result()
+            except Exception as e:  # noqa: BLE001 — loader thread crashed
+                logger.warning("Scene loader failed: %s", e)
+                report.errors += 1
+                refill()
+                if not continue_on_error:
+                    raise
+                continue
             refill()
             if load.skipped:
                 logger.warning("Skipping unsupported product: %s", load.path)

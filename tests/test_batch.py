@@ -55,3 +55,27 @@ def test_cli_prefetch_flag(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Processed: 3" in out
     assert "Skipped: 2" in out
+
+
+def test_pipelined_batch_fault_isolation(tmp_path, monkeypatch):
+    """A loader crash on one scene must not take down the batch (the
+    reference's per-scene error tolerance, extended to the threaded driver)."""
+    import sarpro_tpu.parallel.batch as batch_mod
+
+    indir = _setup(tmp_path)
+    real_load = batch_mod._load_scene
+
+    def flaky(path, params):
+        if path.name == "b.SAFE":
+            raise RuntimeError("synthetic loader crash")
+        return real_load(path, params)
+
+    monkeypatch.setattr(batch_mod, "_load_scene", flaky)
+    params = ProcessingParams(size=32, autoscale=AutoscaleStrategy.STANDARD)
+    report = process_directory_pipelined(indir, tmp_path / "outf", params,
+                                         prefetch=2)
+    # ThreadPoolExecutor surfaces the exception via future.result(); the
+    # driver records it as an error and continues
+    assert report.processed == 2
+    assert report.errors == 1
+    assert report.skipped == 2
