@@ -248,6 +248,40 @@ def iterate_safe_products(input_dir):
     return iter(sorted(p for p in Path(input_dir).iterdir() if p.is_dir()))
 
 
+def scene_skip_reason(path, params: ProcessingParams) -> Optional[str]:
+    """Cheap (metadata-only) viability check for batch mode.
+
+    Mirrors the reference's warnings-mode reader skip semantics
+    (sentinel1.rs:592-796 via api/mod.rs:502-533): unsupported product type,
+    missing requested polarization files, and unsatisfiable band pairs all
+    return a skip reason instead of becoming errors. Unlike the reference we
+    do NOT load the raster data twice (known inefficiency, api/mod.rs:502-518)
+    — the check reads XML only.
+
+    Returns None when the product is viable, else a human-readable reason.
+    """
+    from .io.safe import identify_polarization_files, parse_comprehensive_metadata
+
+    path = Path(path)
+    if not (path / "annotation").is_dir() or not (path / "measurement").is_dir():
+        return "missing annotation/measurement directory"
+    meta = parse_comprehensive_metadata(path)
+    if meta.product_type.upper() != "GRD":
+        return f"unsupported product type: {meta.product_type}"
+    vv, vh, hh, hv = identify_polarization_files(
+        path / "measurement", meta.polarizations
+    )
+    kind = params.polarization.kind
+    if kind in ("vv", "vh", "hh", "hv"):
+        if {"vv": vv, "vh": vh, "hh": hh, "hv": hv}[kind] is None:
+            return f"{kind.upper()} measurement file not found"
+        return None
+    # multiband and polarization ops need a co/cross pair (api.py:_band_pair)
+    if (vv is not None and vh is not None) or (hh is not None and hv is not None):
+        return None
+    return "no usable polarization pair (need VV+VH or HH+HV)"
+
+
 def process_directory_to_path(
     input_dir, output_dir, params: ProcessingParams,
     continue_on_error: bool = True, fast: bool = False, resume: bool = False,
@@ -263,19 +297,13 @@ def process_directory_to_path(
     target_arg, resample = _resolve_target_args(params)
     for path in iterate_safe_products(input_dir):
         # viability: parse metadata + check product type / pol availability
+        # (reference: api/mod.rs:502-533 — skip, don't error)
         try:
-            from .io.safe import parse_comprehensive_metadata
-
-            if not (path / "annotation").is_dir() or not (path / "measurement").is_dir():
-                report.skipped += 1
-                continue
-            meta = parse_comprehensive_metadata(path)
-            if meta.product_type.upper() != "GRD":
-                logger.warning("Skipping unsupported product type: %s (%s)",
-                               meta.product_type, path)
-                report.skipped += 1
-                continue
+            reason = scene_skip_reason(path, params)
         except Exception:
+            reason = "unreadable product metadata"
+        if reason is not None:
+            logger.warning("Skipping %s: %s", path, reason)
             report.skipped += 1
             continue
         ext = params.format.extension

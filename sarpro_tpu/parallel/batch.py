@@ -31,11 +31,16 @@ class _SceneLoad:
 
 
 def _load_scene(path: Path, params: ProcessingParams) -> _SceneLoad:
-    from ..api import _pol_to_reader_hint, _resolve_target_args
+    from ..api import _pol_to_reader_hint, _resolve_target_args, scene_skip_reason
     from ..io.safe import SafeReader
 
     try:
-        if not (path / "annotation").is_dir() or not (path / "measurement").is_dir():
+        try:
+            reason = scene_skip_reason(path, params)
+        except Exception:
+            reason = "unreadable product metadata"
+        if reason is not None:
+            logger.warning("Skipping %s: %s", path, reason)
             return _SceneLoad(path, skipped=True)
         target_arg, resample = _resolve_target_args(params)
         reader = SafeReader.open_with_warnings_with_options(

@@ -79,3 +79,40 @@ def test_pipelined_batch_fault_isolation(tmp_path, monkeypatch):
     assert report.processed == 2
     assert report.errors == 1
     assert report.skipped == 2
+
+
+def test_missing_pol_counts_as_skipped_both_paths(tmp_path):
+    """VERDICT r1 item 4: a GRD product missing VH under --polarization
+    multiband must land in `skipped`, not `errors`, on BOTH batch paths
+    (reference: api/mod.rs:502-533 warnings-mode viability)."""
+    from sarpro_tpu.api import process_directory_to_path
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    fixtures.make_safe(indir, name="full.SAFE", pols=("vv", "vh"), seed=1)
+    fixtures.make_safe(indir, name="vvonly.SAFE", pols=("vv",), seed=2)
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.TAMED, size=32,
+    )
+
+    serial = process_directory_to_path(indir, tmp_path / "out_s", params)
+    assert (serial.processed, serial.skipped, serial.errors) == (1, 1, 0)
+    piped = process_directory_pipelined(indir, tmp_path / "out_p", params,
+                                        prefetch=2)
+    assert (piped.processed, piped.skipped, piped.errors) == (1, 1, 0)
+    assert (tmp_path / "out_s" / "full.SAFE.jpg").exists()
+    assert (tmp_path / "out_p" / "full.SAFE.jpg").exists()
+
+
+def test_single_pol_missing_file_skipped(tmp_path):
+    """HH requested but product is VV-only → skipped on the serial path."""
+    from sarpro_tpu.api import process_directory_to_path
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    fixtures.make_safe(indir, name="vvonly.SAFE", pols=("vv",), seed=3)
+    params = ProcessingParams(polarization=Polarization.HH, size=32,
+                              autoscale=AutoscaleStrategy.STANDARD)
+    report = process_directory_to_path(indir, tmp_path / "out", params)
+    assert (report.processed, report.skipped, report.errors) == (0, 1, 0)
