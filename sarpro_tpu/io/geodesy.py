@@ -150,6 +150,38 @@ def ups_forward(lon_deg, lat_deg, north: bool):
     return x, y
 
 
+def webmercator_forward(lon_deg, lat_deg):
+    """EPSG:3857 Pseudo-Mercator forward (spherical formulas on WGS84
+    lon/lat, per the EPSG 1024 method gdalwarp uses for -t_srs EPSG:3857)."""
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    return _A * lon, _A * np.log(np.tan(np.pi / 4 + lat / 2))
+
+
+def webmercator_inverse(x, y):
+    lon = np.degrees(np.asarray(x, np.float64) / _A)
+    lat = np.degrees(2 * np.arctan(np.exp(np.asarray(y, np.float64) / _A)) - np.pi / 2)
+    return lon, lat
+
+
+def mercator_forward(lon_deg, lat_deg):
+    """EPSG:3395 World Mercator forward (ellipsoidal, isometric latitude)."""
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    s = np.sin(lat)
+    psi = np.arctanh(s) - _E * np.arctanh(_E * s)
+    return _A * lon, _A * psi
+
+
+def mercator_inverse(x, y):
+    """Ellipsoidal Mercator inverse via the conformal→geodetic series."""
+    chi = 2 * np.arctan(np.exp(np.asarray(y, np.float64) / _A)) - np.pi / 2
+    lat = chi.copy()
+    for j in range(6):
+        lat = lat + _DELTA[j] * np.sin(2.0 * (j + 1) * chi)
+    return np.degrees(np.asarray(x, np.float64) / _A), np.degrees(lat)
+
+
 def ups_inverse(easting, northing, north: bool):
     sign = 1.0 if north else -1.0
     dx = np.asarray(easting, np.float64) - UPS_FE
@@ -201,7 +233,18 @@ def epsg_kind(code: int) -> Optional[dict]:
         return {"kind": "ups", "north": True}
     if code == 32761:
         return {"kind": "ups", "north": False}
+    if code == 3857:
+        return {"kind": "webmercator"}
+    if code == 3395:
+        return {"kind": "mercator"}
     return None
+
+
+SUPPORTED_CRS_FAMILIES = (
+    "EPSG:4326 (geographic), EPSG:326xx/327xx (UTM WGS84 N/S), "
+    "EPSG:32661/32761 (UPS), EPSG:3857 (Web Mercator), "
+    "EPSG:3395 (World Mercator)"
+)
 
 
 _WKT_GEOGCS = (
@@ -238,6 +281,33 @@ def epsg_to_wkt(code: int) -> Optional[str]:
             f'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
             f'AUTHORITY["EPSG","{code}"]]'
         )
+    if info["kind"] == "webmercator":
+        return (
+            f'PROJCS["WGS 84 / Pseudo-Mercator",{_WKT_GEOGCS},'
+            f'PROJECTION["Mercator_1SP"],'
+            f'PARAMETER["central_meridian",0],'
+            f'PARAMETER["scale_factor",1],'
+            f'PARAMETER["false_easting",0],'
+            f'PARAMETER["false_northing",0],'
+            f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+            f'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+            f'EXTENSION["PROJ4","+proj=merc +a=6378137 +b=6378137 '
+            f'+lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m '
+            f'+nadgrids=@null +wktext +no_defs"],'
+            f'AUTHORITY["EPSG","3857"]]'
+        )
+    if info["kind"] == "mercator":
+        return (
+            f'PROJCS["WGS 84 / World Mercator",{_WKT_GEOGCS},'
+            f'PROJECTION["Mercator_1SP"],'
+            f'PARAMETER["central_meridian",0],'
+            f'PARAMETER["scale_factor",1],'
+            f'PARAMETER["false_easting",0],'
+            f'PARAMETER["false_northing",0],'
+            f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+            f'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+            f'AUTHORITY["EPSG","3395"]]'
+        )
     north = info["north"]
     name = "WGS 84 / UPS North (N,E)" if north else "WGS 84 / UPS South (N,E)"
     lat0 = 90 if north else -90
@@ -258,11 +328,17 @@ def project_forward(lon, lat, code: int):
     """(lon, lat)° → target CRS coordinates for any supported EPSG code."""
     info = epsg_kind(code)
     if info is None:
-        raise ValueError(f"unsupported target CRS EPSG:{code}")
+        raise ValueError(
+            f"unsupported target CRS EPSG:{code}; supported: {SUPPORTED_CRS_FAMILIES}"
+        )
     if info["kind"] == "geographic":
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
     if info["kind"] == "utm":
         return utm_forward(lon, lat, info["zone"], info["south"])
+    if info["kind"] == "webmercator":
+        return webmercator_forward(lon, lat)
+    if info["kind"] == "mercator":
+        return mercator_forward(lon, lat)
     return ups_forward(lon, lat, info["north"])
 
 
@@ -270,11 +346,17 @@ def project_inverse(x, y, code: int):
     """Target CRS coordinates → (lon, lat)°."""
     info = epsg_kind(code)
     if info is None:
-        raise ValueError(f"unsupported target CRS EPSG:{code}")
+        raise ValueError(
+            f"unsupported target CRS EPSG:{code}; supported: {SUPPORTED_CRS_FAMILIES}"
+        )
     if info["kind"] == "geographic":
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
     if info["kind"] == "utm":
         return utm_inverse(x, y, info["zone"], info["south"])
+    if info["kind"] == "webmercator":
+        return webmercator_inverse(x, y)
+    if info["kind"] == "mercator":
+        return mercator_inverse(x, y)
     return ups_inverse(x, y, info["north"])
 
 

@@ -219,12 +219,34 @@ class TiffReader:
             arr = np.concatenate([arr, np.zeros(out_count - arr.size, self.dtype)])
         return arr
 
-    def _undo_predictor(self, arr: np.ndarray, rows: int) -> np.ndarray:
-        """Horizontal-differencing predictor undo (TIFF predictor=2)."""
-        if self.predictor != 2:
+    def _undo_predictor(self, arr: np.ndarray, rows: int,
+                        cols: Optional[int] = None,
+                        samples: Optional[int] = None) -> np.ndarray:
+        """Predictor undo for one decoded block.
+
+        `cols`/`samples` describe the block geometry: tile width for tiled
+        files, 1 sample for planar strips (each strip holds one plane).
+        Handles predictor=2 (horizontal differencing) and predictor=3
+        (floating-point byte-split differencing, as produced by libtiff/GDAL).
+        """
+        if self.predictor == 1:
             return arr
-        a = arr.reshape(rows, self.width, self.samples)
-        return np.cumsum(a, axis=1, dtype=self.dtype).reshape(arr.shape)
+        cols = self.width if cols is None else cols
+        samples = self.samples if samples is None else samples
+        if self.predictor == 2:
+            a = arr.reshape(rows, cols, samples)
+            return np.cumsum(a, axis=1, dtype=self.dtype).reshape(arr.shape)
+        if self.predictor == 3:
+            # fp predictor: per row, bytes are differenced then stored split
+            # into byte-significance planes, MSB plane first (libtiff fpDiff)
+            item = self.dtype.itemsize
+            n = cols * samples
+            b = arr.view(np.uint8).reshape(rows, n * item)
+            b = np.cumsum(b, axis=1, dtype=np.uint8)
+            be = np.ascontiguousarray(b.reshape(rows, item, n).transpose(0, 2, 1))
+            big = be.reshape(rows * n * item).view(self.dtype.newbyteorder(">"))
+            return big.astype(self.dtype).reshape(arr.shape)
+        raise RasterError(f"unsupported TIFF predictor {self.predictor}")
 
     def _contiguous_uncompressed(self) -> bool:
         if self.compression != COMPRESSION_NONE or self.tiled or self.planar != 1:
@@ -298,7 +320,8 @@ class TiffReader:
             cnt = rows * self.width
             self._fh.seek(int(self.offsets[i]))
             blob = self._fh.read(int(self.byte_counts[i]))
-            out[pos:pos + cnt] = self._decompress(blob, cnt)
+            out[pos:pos + cnt] = self._undo_predictor(
+                self._decompress(blob, cnt), rows, samples=1)
             pos += cnt
         return out
 
@@ -315,7 +338,10 @@ class TiffReader:
                 for tx in range(tiles_x):
                     self._fh.seek(int(self.offsets[idx]))
                     blob = self._fh.read(int(self.byte_counts[idx]))
-                    tile = self._decompress(blob, th * tw * s).reshape(th, tw, s)
+                    tile = self._undo_predictor(
+                        self._decompress(blob, th * tw * s), th,
+                        cols=tw, samples=s,
+                    ).reshape(th, tw, s)
                     y0, x0 = ty * th, tx * tw
                     h = min(th, self.height - y0)
                     w = min(tw, self.width - x0)

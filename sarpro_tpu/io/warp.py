@@ -254,7 +254,10 @@ def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
     equivalent of the reference's gdalwarp invocation (sentinel1.rs:988-1071)."""
     dst_epsg = geodesy.parse_epsg_code(target_crs)
     if dst_epsg is None or geodesy.epsg_kind(dst_epsg) is None:
-        raise ProcessingError(f"unsupported target CRS: {target_crs}")
+        raise ProcessingError(
+            f"unsupported target CRS: {target_crs}; supported: "
+            f"{geodesy.SUPPORTED_CRS_FAMILIES}"
+        )
     method = _resample_name(resample_alg)
 
     mapping = _SourceMapping(reader)

@@ -197,3 +197,36 @@ def test_warp_skip_when_already_in_target(tmp_path):
     gi = TiffReader(out).geo_info()
     # unchanged source geotransform (no warp happened)
     assert gi.geotransform == [500000.0, 10.0, 0.0, 5100000.0, 0.0, -10.0]
+
+
+def test_warp_to_epsg3857(tmp_path):
+    """VERDICT r1 item 5: --target-crs EPSG:3857 must warp, not error."""
+    base = fixtures.make_safe(tmp_path, name="wm.SAFE", pols=("vv",))
+    out = tmp_path / "wm.tiff"
+    params = ProcessingParams(
+        polarization=Polarization.VV, autoscale=AutoscaleStrategy.STANDARD,
+        size=64, target_crs="EPSG:3857", resample_alg="bilinear",
+    )
+    api.process_safe_to_path(base, out, params)
+    r = TiffReader(out)
+    gi = r.geo_info()
+    gt = gi.geotransform
+    from sarpro_tpu.io import geodesy
+    # fixture GCP extent lon 11..11.25, lat 45.75..46 → projected bbox corners
+    x0, y1 = geodesy.webmercator_forward(11.0, 46.0)
+    x1, y0 = geodesy.webmercator_forward(11.25, 45.75)
+    assert gt[0] == pytest.approx(x0, abs=(x1 - x0) * 0.02)
+    assert gt[3] == pytest.approx(y1, abs=(y1 - y0) * 0.02)
+    assert gi.epsg == 3857
+    # pixel data present
+    a = r.read(1)
+    assert a.shape[1] == 64 and a.max() > 0
+
+
+def test_warp_unsupported_crs_actionable_error(tmp_path):
+    base = fixtures.make_safe(tmp_path, name="bad.SAFE", pols=("vv",))
+    params = ProcessingParams(
+        polarization=Polarization.VV, size=64, target_crs="EPSG:2154",
+    )
+    with pytest.raises(Exception, match="supported:"):
+        api.process_safe_to_path(base, tmp_path / "x.tiff", params)

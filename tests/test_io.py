@@ -277,3 +277,212 @@ def test_bigtiff_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(r.read(1), arr)
     assert r.geo_info().geotransform == [1.0, 2.0, 0.0, 3.0, 0.0, -2.0]
     assert r.gdal_metadata() == {"K": "V"}
+
+
+# -- foreign TIFF layout coverage: tiled / planar / predictor (VERDICT r1 #7) --
+
+def _build_tiff(path, data, *, tiled=False, tile=(16, 16), planar=1,
+                predictor=1, rows_per_strip=8, compress=True):
+    """Hand-rolled little-endian classic TIFF writer, independent of
+    sarpro_tpu's codec, to fabricate foreign layouts our writer never emits:
+    tiled, planar-configuration 2, predictor 2/3, deflate-compressed."""
+    import struct as st
+    import zlib as zl
+
+    if data.ndim == 2:
+        data = data[:, :, None]
+    h, w, s = data.shape
+    item = data.dtype.itemsize
+    fmt = 3 if data.dtype.kind == "f" else 1
+
+    def enc_predictor(block):  # block: (rows, cols, samps)
+        if predictor == 2:
+            out = block.astype(block.dtype).copy()
+            out[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
+            return out.tobytes()
+        if predictor == 3:
+            r, c, ss = block.shape
+            be = np.ascontiguousarray(block.astype(block.dtype.newbyteorder(">")))
+            byts = be.view(np.uint8).reshape(r, c * ss, item)
+            planes = byts.transpose(0, 2, 1).reshape(r, c * ss * item)
+            d = planes.copy()
+            d[:, 1:] = planes[:, 1:] - planes[:, :-1]
+            return d.tobytes()
+        return block.tobytes()
+
+    blocks = []
+    if tiled:
+        tw, th = tile
+        planes = range(s) if planar == 2 else [None]
+        for p in planes:
+            for ty in range(-(-h // th)):
+                for tx in range(-(-w // tw)):
+                    pad = np.zeros((th, tw, 1 if planar == 2 else s), data.dtype)
+                    src = data[ty*th:ty*th+th, tx*tw:tx*tw+tw]
+                    src = src[:, :, p:p+1] if planar == 2 else src
+                    pad[:src.shape[0], :src.shape[1]] = src
+                    blocks.append(enc_predictor(pad))
+    else:
+        planes = range(s) if planar == 2 else [None]
+        for p in planes:
+            for y0 in range(0, h, rows_per_strip):
+                src = data[y0:y0+rows_per_strip]
+                src = src[:, :, p:p+1] if planar == 2 else src
+                blocks.append(enc_predictor(src))
+    if compress:
+        blocks = [zl.compress(b) for b in blocks]
+
+    out = bytearray(st.pack("<2sHI", b"II", 42, 0))
+    offsets, counts = [], []
+    for b in blocks:
+        offsets.append(len(out)); counts.append(len(b)); out += b
+        if len(out) % 2: out += b"\0"
+
+    def ext_array(vals, typ):  # LONG=4 SHORT=3
+        sz, code = (4, "I") if typ == 4 else (2, "H")
+        if len(vals) * sz <= 4:
+            raw = st.pack(f"<{len(vals)}{code}", *vals).ljust(4, b"\0")
+            return None, raw
+        off = len(out)
+        out.extend(st.pack(f"<{len(vals)}{code}", *vals))
+        if len(out) % 2: out.append(0)
+        return off, None
+
+    entries = []
+    def tag(t, typ, vals):
+        vals = vals if isinstance(vals, (list, tuple)) else [vals]
+        off, raw = ext_array(list(vals), typ)
+        if raw is None:
+            entries.append(st.pack("<HHII", t, typ, len(vals), off))
+        else:
+            entries.append(st.pack("<HHI4s", t, typ, len(vals), raw))
+
+    tag(256, 4, w); tag(257, 4, h); tag(258, 3, [item*8]*s)
+    tag(259, 3, 8 if compress else 1); tag(262, 3, 1); tag(277, 3, s)
+    if tiled:
+        tag(322, 4, tile[0]); tag(323, 4, tile[1])
+        tag(324, 4, offsets); tag(325, 4, counts)
+    else:
+        tag(278, 4, rows_per_strip); tag(273, 4, offsets); tag(279, 4, counts)
+    tag(284, 3, planar); tag(317, 3, predictor); tag(339, 3, [fmt]*s)
+
+    entries.sort(key=lambda e: st.unpack("<H", e[:2])[0])
+    ifd_off = len(out)
+    out += st.pack("<H", len(entries)) + b"".join(entries) + st.pack("<I", 0)
+    out[4:8] = st.pack("<I", ifd_off)
+    import pathlib as _pl
+    _pl.Path(path).write_bytes(bytes(out))
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("planar", [1, 2])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_tiff_layout_matrix(tmp_path, rng, tiled, planar, predictor, dtype):
+    """Deflate + predictor across striped/tiled × chunky/planar layouts,
+    including non-multiple tile/strip edges (closes tiffio.py predictor gaps)."""
+    nbands = 2 if planar == 2 else 1
+    shape = (37, 53, nbands) if nbands > 1 else (37, 53)
+    arr = rng.integers(0, np.iinfo(dtype).max, shape).astype(dtype)
+    path = tmp_path / "x.tif"
+    _build_tiff(path, arr, tiled=tiled, planar=planar, predictor=predictor)
+    r = TiffReader(path)
+    got = r.read(1)
+    want = arr[..., 0] if nbands > 1 else arr
+    np.testing.assert_array_equal(got, want)
+    if nbands > 1:
+        np.testing.assert_array_equal(r.read(2), arr[..., 1])
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+def test_tiff_float_predictor3(tmp_path, rng, tiled):
+    arr = rng.normal(0, 100, (29, 41)).astype(np.float32)
+    path = tmp_path / "f.tif"
+    _build_tiff(path, arr, tiled=tiled, predictor=3)
+    np.testing.assert_array_equal(TiffReader(path).read(1), arr)
+
+
+def test_tiff_lzw_predictor2_via_pil(tmp_path, rng):
+    """Cross-check against an independent encoder (PIL libtiff LZW+pred2)."""
+    arr = rng.integers(0, 255, (64, 96)).astype(np.uint8)
+    path = tmp_path / "p.tif"
+    Image.fromarray(arr).save(path, compression="tiff_lzw", tiffinfo={317: 2})
+    np.testing.assert_array_equal(TiffReader(path).read(1), arr)
+
+
+def test_tiff_malformed_files_raise_cleanly(tmp_path, rng):
+    """Fuzz pass: truncations and corruptions must raise, not crash/hang."""
+    arr = rng.integers(0, 65535, (37, 53)).astype(np.uint16)
+    good = tmp_path / "good.tif"
+    _build_tiff(good, arr, tiled=True, predictor=2)
+    blob = good.read_bytes()
+    local = np.random.default_rng(0)
+    for i in range(40):
+        bad = bytearray(blob)
+        mode = i % 4
+        if mode == 0:
+            bad = bad[: local.integers(4, len(bad))]           # truncate
+        elif mode == 1:
+            bad[local.integers(0, len(bad))] ^= 0xFF           # bitflip
+        elif mode == 2:
+            pos = local.integers(4, 8)
+            bad[pos] = local.integers(0, 256)                  # IFD ptr fuzz
+        else:
+            for _ in range(16):                                # header-area spray
+                bad[local.integers(0, min(256, len(bad)))] = local.integers(0, 256)
+        p = tmp_path / f"bad{i}.tif"
+        p.write_bytes(bytes(bad))
+        try:
+            TiffReader(p).read(1)
+        except Exception:
+            pass  # any exception is fine; crashes/hangs are not
+
+
+# -- Mercator family (VERDICT r1 #5) -----------------------------------------
+
+def test_webmercator_known_values_and_roundtrip():
+    # exact edge: lon 180° → π·a
+    x, y = geodesy.webmercator_forward(180.0, 0.0)
+    assert x == pytest.approx(20037508.342789244, abs=1e-6)
+    assert y == pytest.approx(0.0, abs=1e-9)
+    lon = np.array([-150.0, -11.3, 0.0, 11.25, 77.7])
+    lat = np.array([-80.0, -45.0, 0.0, 46.0, 84.9])
+    x, y = geodesy.webmercator_forward(lon, lat)
+    lon2, lat2 = geodesy.webmercator_inverse(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_world_mercator_roundtrip_and_ellipsoidal():
+    lon = np.array([-150.0, -11.3, 0.0, 11.25, 77.7])
+    lat = np.array([-80.0, -45.0, 0.0, 46.0, 84.0])
+    x, y = geodesy.mercator_forward(lon, lat)
+    lon2, lat2 = geodesy.mercator_inverse(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # same easting as spherical, DIFFERENT northing (ellipsoidal correction)
+    xs, ys = geodesy.webmercator_forward(lon, lat)
+    np.testing.assert_allclose(x, xs, atol=1e-6)
+    assert np.all(np.abs(y[lat != 0] - ys[lat != 0]) > 1000.0)
+    # independent formulation: y = a·ln(tan(π/4+φ/2)·((1−e·sinφ)/(1+e·sinφ))^(e/2))
+    phi = np.radians(46.0)
+    e = np.sqrt(0.00669437999014)
+    expect = 6378137.0 * np.log(
+        np.tan(np.pi / 4 + phi / 2)
+        * ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2)
+    )
+    assert geodesy.mercator_forward(0.0, 46.0)[1] == pytest.approx(expect, abs=1e-6)
+    # the well-known ≤0.54% Web-vs-true-Mercator northing discrepancy
+    assert 0.0050 < (ys[3] - y[3]) / ys[3] < 0.0055
+
+
+def test_project_dispatch_mercators():
+    for code in (3857, 3395):
+        x, y = geodesy.project_forward(11.25, 46.0, code)
+        lon, lat = geodesy.project_inverse(x, y, code)
+        assert lon == pytest.approx(11.25, abs=1e-9)
+        assert lat == pytest.approx(46.0, abs=1e-9)
+        wkt = geodesy.epsg_to_wkt(code)
+        assert f'"{code}"' in wkt and "Mercator" in wkt
+    with pytest.raises(ValueError, match="supported:"):
+        geodesy.project_forward(0.0, 0.0, 2154)
