@@ -1,0 +1,183 @@
+"""End-to-end (disk → device → file) benchmark for the headline config.
+
+VERDICT r1 items 1-2: the reference's baselines are end-to-end wall times
+(`/root/reference/README.md:63`: 348.21 ms for dual-band 400 MP GRD →
+2048×2048 synRGB JPEG, no warp, on a 12-core Apple M4 Pro), and round 1 only
+measured HBM-resident device compute. This module builds a full-size
+synthetic SAFE on local disk (2× 20000×20000 u16 striped contiguous TIFFs,
+the real S1 GRD layout) and times the REAL file pipeline
+(`api.process_safe_to_path(fast=True)` — the CLI's `--fast` route) from disk
+to the written JPEG, plus a read/transfer/compute/fetch/encode breakdown.
+
+Host hardware context recorded alongside the numbers: this environment has
+ONE CPU core (vs the reference machine's 12) and the TPU sits behind a
+remote RPC tunnel (~27 ms/dispatch, ~140 MB/s host→device measured r1);
+both are documented in the emitted JSON so the comparison is honest.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+DATA = REPO / ".bench"
+SIDE = 20000  # 400 MP per band
+
+
+def ensure_fullsize_safe(side: int = SIDE, seed: int = 11) -> Path:
+    """Generate (once, cached) the full-size synthetic SAFE on disk."""
+    name = f"S1A_IW_GRDH_1SDV_BENCH{side}.SAFE"
+    base = DATA / name
+    marker = base / ".complete"
+    if marker.exists():
+        return base
+    sys.path.insert(0, str(REPO / "tests"))
+    import fixtures
+
+    DATA.mkdir(exist_ok=True)
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(seed)
+    # SAR-like lognormal DN, built from a (side/10, side) f32 block tiled
+    # with row-rolls — full-size per-element lognormal would cost minutes.
+    block_rows = side // 10
+    print(f"[e2e] generating {name} (2x {side}x{side} u16)...", file=sys.stderr)
+
+    def gen_band(mean: float) -> np.ndarray:
+        blk = rng.lognormal(mean, 1.1, (block_rows, side)).astype(np.float32)
+        np.clip(blk, 0, 65535, out=blk)
+        blk16 = blk.astype(np.uint16)
+        blk16[rng.random((block_rows, side)) < 0.01] = 0
+        out = np.empty((side, side), np.uint16)
+        for i in range(10):
+            out[i * block_rows:(i + 1) * block_rows] = np.roll(
+                blk16, 97 * i, axis=1)
+        return out
+
+    base.mkdir(parents=True, exist_ok=True)
+    (base / "annotation").mkdir(exist_ok=True)
+    (base / "measurement").mkdir(exist_ok=True)
+    pol_entries = "\n      ".join(
+        "<s1sarl1:transmitterReceiverPolarisation>%s"
+        "</s1sarl1:transmitterReceiverPolarisation>" % p for p in ("VV", "VH")
+    )
+    (base / "manifest.safe").write_text(
+        fixtures.MANIFEST_TEMPLATE.format(
+            product_type="GRD", pass_direction="ASCENDING",
+            polarisation_entries=pol_entries,
+        )
+    )
+    for pol, mean in (("vv", 5.0), ("vh", 4.2)):
+        (base / "annotation" / f"s1a-iw-grd-{pol}-001.xml").write_text(
+            fixtures.ANNOTATION_TEMPLATE.format(
+                product_type="GRD", pol=pol.upper(),
+                pass_direction="ASCENDING", samples=side, lines=side,
+            )
+        )
+        fixtures._write_measurement_tiff(
+            base / "measurement" / f"s1a-iw-grd-{pol}-001.tiff",
+            gen_band(mean),
+        )
+    marker.write_text("ok")
+    print(f"[e2e] generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    return base
+
+
+def run_e2e(runs: int = 5, strategy: str = "clahe") -> dict:
+    """p50 end-to-end wall time of the real --fast CLI pipeline."""
+    from sarpro_tpu import api
+    from sarpro_tpu.params import ProcessingParams
+    from sarpro_tpu.types import (
+        AutoscaleStrategy, OutputFormat, Polarization,
+    )
+
+    base = ensure_fullsize_safe()
+    out = DATA / f"e2e_{strategy}.jpg"
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy(strategy), size=2048, pad=True,
+        # CLI default: unspecified → reader heuristic (Average for the 9.8x
+        # reduction here), exactly the reference CLI's downsample-on-read
+        resample_alg=None,
+    )
+    times = []
+    for i in range(runs + 1):  # first run is warmup (jit compile)
+        t0 = time.perf_counter()
+        api.process_safe_to_path(base, out, params, fast=True)
+        dt = (time.perf_counter() - t0) * 1000.0
+        if i > 0:
+            times.append(dt)
+    return {
+        "p50_ms": float(np.percentile(times, 50)),
+        "times_ms": [round(t, 1) for t in times],
+        "config": f"disk 400MP dual-pol SAFE -> 2048 {strategy} synRGB JPEG "
+                  f"(--fast), pad",
+    }
+
+
+def run_breakdown() -> dict:
+    """Per-stage timing of the same flow (read/transfer/compute/fetch/write)."""
+    import jax.numpy as jnp
+
+    from sarpro_tpu.core import fused
+    from sarpro_tpu.io.raster import RasterReader
+    from sarpro_tpu.io.writers.jpeg import write_rgb_jpeg
+    from sarpro_tpu.types import AutoscaleStrategy
+
+    base = ensure_fullsize_safe()
+    paths = sorted((base / "measurement").glob("*.tiff"))
+
+    def t(fn):
+        t0 = time.perf_counter()
+        r = fn()
+        return (time.perf_counter() - t0) * 1000.0, r
+
+    read_ms, planes = 0.0, []
+    for p in paths:
+        ms, arr = t(lambda p=p: RasterReader(p).read_band_resampled(
+            1, 2048, 2048, "average"))
+        read_ms += ms
+        planes.append(arr)
+
+    def xfer():
+        devs = [jnp.asarray(a) for a in planes]
+        for d in devs:
+            np.asarray(d[0, 0])  # force the host->device ship
+        return devs
+
+    xfer_ms, dev = t(xfer)
+    # warmup compile
+    out = fused.synrgb_pipeline(dev[0], dev[1],
+                                strategy=AutoscaleStrategy.CLAHE,
+                                target_size=2048, pad=True)
+    _ = int(np.asarray(out[0, 0, 0]))
+    comp = []
+    for _ in range(5):
+        ms, out = t(lambda: fused.synrgb_pipeline(
+            dev[0], dev[1], strategy=AutoscaleStrategy.CLAHE,
+            target_size=2048, pad=True))
+        # force completion with a scalar fetch (block_until_ready is a no-op
+        # under the axon remote platform)
+        ms2, _ = t(lambda: int(np.asarray(out[0, 0, 0])))
+        comp.append(ms + ms2)
+    fetch_ms, host_rgb = t(lambda: np.asarray(out))
+    write_ms, _ = t(lambda: write_rgb_jpeg(DATA / "bd.jpg", 2048, 2048,
+                                           host_rgb))
+    return {
+        "read_reduce_ms": round(read_ms, 1),
+        "h2d_transfer_ms": round(xfer_ms, 1),
+        "device_compute_ms": round(float(np.percentile(comp, 50)), 1),
+        "d2h_fetch_ms": round(fetch_ms, 1),
+        "jpeg_write_ms": round(write_ms, 1),
+        "note": "read is dual-band single-pass native box reduce from disk; "
+                "transfer/fetch ride the axon RPC tunnel (~27ms/dispatch)",
+    }
+
+
+if __name__ == "__main__":
+    res = {"e2e": run_e2e(), "breakdown": run_breakdown()}
+    print(json.dumps(res, indent=2))

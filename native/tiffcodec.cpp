@@ -207,4 +207,45 @@ int64_t decode_strips(const uint8_t* srcs,
     return fail.load();
 }
 
+// ---------------------------------------------------------------------------
+// Separable box-average reduce: u16 source → f32 output
+// ---------------------------------------------------------------------------
+// The downsample-on-read hot path (reference: GDAL RasterIOResampled Average,
+// src/io/gdal.rs:145-177). Window tables (ys/yc = per-output-row source start/
+// count; xs/xc = per-output-col) are precomputed in Python from the SAME
+// Pillow-style coefficient builder the device resampler uses, so host and
+// device reductions share exact box boundaries. Single streaming pass over
+// the source (memory-bandwidth bound); u32 column accumulator stays L2-hot.
+//
+// `src` points at global source row `src_row0` (chunked callers pass the
+// chunk's first row); output rows [oy0, oy1) are produced into `out`, which
+// holds (oy1-oy0) x out_cols floats.
+void box_reduce_u16_f32(const uint16_t* src, int64_t src_row0,
+                        int64_t src_cols,
+                        float* out, int64_t oy0, int64_t oy1, int64_t out_cols,
+                        const int32_t* ys, const int32_t* yc,
+                        const int32_t* xs, const int32_t* xc) {
+    std::vector<uint32_t> acc(static_cast<size_t>(src_cols));
+    for (int64_t oy = oy0; oy < oy1; ++oy) {
+        std::memset(acc.data(), 0, static_cast<size_t>(src_cols) * 4);
+        const int64_t r0 = ys[oy];
+        const int64_t n = yc[oy];
+        for (int64_t r = 0; r < n; ++r) {
+            const uint16_t* row = src + (r0 + r - src_row0) * src_cols;
+            uint32_t* a = acc.data();
+            for (int64_t x = 0; x < src_cols; ++x) a[x] += row[x];
+        }
+        float* orow = out + (oy - oy0) * out_cols;
+        const double inv_n = 1.0 / static_cast<double>(n);
+        for (int64_t ox = 0; ox < out_cols; ++ox) {
+            const int64_t x0 = xs[ox];
+            const int64_t m = xc[ox];
+            uint64_t s = 0;
+            for (int64_t j = 0; j < m; ++j) s += acc[x0 + j];
+            orow[ox] = static_cast<float>(
+                static_cast<double>(s) * inv_n / static_cast<double>(m));
+        }
+    }
+}
+
 }  // extern "C"

@@ -44,6 +44,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.decode_strips.restype = i64
     lib.decode_strips.argtypes = [u8p, i64p, i64p, u8p, i64p, i64p, i64,
                                   ctypes.c_int32, ctypes.c_int32]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.box_reduce_u16_f32.restype = None
+    lib.box_reduce_u16_f32.argtypes = [u16p, i64, i64, f32p, i64, i64, i64,
+                                       i32p, i32p, i32p, i32p]
     _LIB = lib
     return _LIB
 
@@ -100,3 +106,24 @@ def decode_strips(
     )
     if rc != 0:
         raise ValueError(f"strip {rc - 1} failed to decode")
+
+
+def box_reduce_u16(
+    src: np.ndarray, out: np.ndarray, oy0: int, oy1: int,
+    ys: np.ndarray, yc: np.ndarray, xs: np.ndarray, xc: np.ndarray,
+    src_row0: int = 0,
+) -> None:
+    """Box-average output rows [oy0, oy1) from a u16 source chunk whose first
+    row is global row `src_row0`. `out` holds (oy1-oy0, out_cols) float32."""
+    lib = _load()
+    assert src.dtype == np.uint16 and src.flags.c_contiguous
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.box_reduce_u16_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        src_row0, src.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        oy0, oy1, out.shape[1],
+        ys.ctypes.data_as(i32), yc.ctypes.data_as(i32),
+        xs.ctypes.data_as(i32), xc.ctypes.data_as(i32),
+    )

@@ -13,9 +13,36 @@ from typing import Optional
 
 import numpy as np
 
+import logging
+
+from .. import _native
 from ..errors import RasterError
 from . import geodesy
 from .tiffio import GeoInfo, TiffReader
+
+logger = logging.getLogger("sarpro")
+
+
+def _average_windows(in_size: int, out_size: int):
+    """Contiguous uniform-weight source windows of the 'average' filter,
+    derived from the SAME coefficient builder the device resampler uses
+    (core/resize._build_coeffs) so host and device boxes match exactly.
+    Returns (starts, counts) int32 arrays, or None if the windows are not
+    plain boxes (never happens for the box kernel; guards the fast path)."""
+    from ..core.resize import _build_coeffs
+
+    starts, weights = _build_coeffs(in_size, out_size, "average")
+    nz = weights > 0
+    first = nz.argmax(axis=1).astype(np.int64)
+    count = nz.sum(axis=1).astype(np.int64)
+    if np.any(count <= 0):
+        return None
+    idx = np.arange(weights.shape[1])
+    contiguous = (idx >= first[:, None]) & (idx < (first + count)[:, None])
+    if not np.array_equal(contiguous, nz):
+        return None
+    ys = (starts.astype(np.int64) + first).astype(np.int32)
+    return ys, count.astype(np.int32)
 
 
 @dataclasses.dataclass
@@ -102,12 +129,131 @@ class RasterReader:
         self, band: int, out_cols: int, out_rows: int, alg: str | None = None
     ) -> np.ndarray:
         """Decimated read to (out_rows, out_cols) — the downsample-on-read
-        fast path (reference: gdal.rs:145-177). Resampling runs on-device."""
+        fast path (reference: gdal.rs:145-177).
+
+        Average-filter reductions stream through the native single-pass box
+        reducer (one touch of the source bytes, no full-raster f32
+        materialization, no device round-trip); other filters read full and
+        resample on device."""
+        filt = alg or "average"
+        t = self._tiff
+        if (filt in ("average", "box") and t.samples == 1 and band == 1
+                and t.dtype == np.dtype(np.uint16)
+                and out_rows < t.height and out_cols < t.width
+                and _native.available()):
+            ywin = _average_windows(t.height, out_rows)
+            xwin = _average_windows(t.width, out_cols)
+            if ywin is not None and xwin is not None:
+                try:
+                    return self._read_average_streamed(out_rows, out_cols,
+                                                       ywin, xwin)
+                except Exception as e:  # noqa: BLE001 — fall back to device
+                    logger.warning(
+                        "streamed decimated read failed (%s); falling back", e)
         from ..core.resize import resample_plane
 
-        full = self._tiff.read(band).astype(np.float32)
-        filt = alg or "average"
+        full = t.read(band).astype(np.float32)
         return np.asarray(resample_plane(full, out_rows, out_cols, filt))
+
+    def read_band_resampled_to_device(
+        self, band: int, out_cols: int, out_rows: int,
+        alg: str | None = None, chunk_out_rows: int = 512,
+    ):
+        """Decimated read that streams host→device copies per chunk
+        (VERDICT r1 item 2): each reduced output chunk is enqueued with
+        `jax.device_put` while the next chunk decodes, and the full device
+        plane is assembled with one on-device concatenate when the last
+        chunk lands. Falls back to `read_band_resampled` + one transfer when
+        the native streamed route is unavailable."""
+        import jax
+        import jax.numpy as jnp
+
+        from .. import _native
+
+        filt = alg or "average"
+        t = self._tiff
+        native_ok = (
+            filt in ("average", "box") and t.samples == 1 and band == 1
+            and t.dtype == np.dtype(np.uint16)
+            and out_rows < t.height and out_cols < t.width
+            and _native.available()
+        )
+        ywin = _average_windows(t.height, out_rows) if native_ok else None
+        xwin = _average_windows(t.width, out_cols) if native_ok else None
+        if ywin is None or xwin is None:
+            return jnp.asarray(self.read_band_resampled(band, out_cols,
+                                                        out_rows, alg))
+        ys, yc = ywin
+        xs, xc = xwin
+        chunks = []
+        for o0 in range(0, out_rows, chunk_out_rows):
+            o1 = min(o0 + chunk_out_rows, out_rows)
+            r0, r1 = int(ys[o0]), int(ys[o1 - 1] + yc[o1 - 1])
+            src = np.ascontiguousarray(
+                t.read_strip_range(r0, r1, band), np.uint16)
+            part = np.empty((o1 - o0, out_cols), np.float32)
+            _native.box_reduce_u16(src, part, o0, o1, ys, yc, xs, xc,
+                                   src_row0=r0)
+            chunks.append(jax.device_put(part))  # async enqueue
+        if len(chunks) == 1:
+            return chunks[0]
+        return jnp.concatenate(chunks, axis=0)
+
+    def _read_average_streamed(self, out_rows: int, out_cols: int,
+                               ywin, xwin) -> np.ndarray:
+        """Single-pass host box-average (VERDICT r1 items 1-2).
+
+        Contiguous uncompressed rasters (the Sentinel-1 GRD layout) reduce
+        straight from an mmap — kernel readahead overlaps disk I/O with the
+        reduction. Compressed/striped layouts stream strip-range decodes in
+        chunks with a one-deep prefetch thread."""
+        import concurrent.futures
+
+        from .. import _native
+
+        t = self._tiff
+        ys, yc = ywin
+        xs, xc = xwin
+        out = np.empty((out_rows, out_cols), np.float32)
+        if t._contiguous_uncompressed() and t.dtype.itemsize == 2:
+            import mmap as _mmap
+
+            with open(self.path, "rb") as fh:
+                mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+                try:
+                    if hasattr(_mmap, "MADV_SEQUENTIAL"):
+                        mm.madvise(_mmap.MADV_SEQUENTIAL)
+                    src = np.frombuffer(
+                        mm, dtype=t.dtype, count=t.height * t.width,
+                        offset=int(t.offsets[0]),
+                    ).reshape(t.height, t.width)
+                    _native.box_reduce_u16(src, out, 0, out_rows, ys, yc,
+                                           xs, xc)
+                    del src
+                finally:
+                    mm.close()
+            return out
+        # chunked streaming: group output rows into ~4096-source-row chunks
+        chunks = []
+        oy0 = 0
+        while oy0 < out_rows:
+            r0 = int(ys[oy0])
+            oy1 = oy0 + 1
+            while oy1 < out_rows and int(ys[oy1] + yc[oy1]) - r0 <= 4096:
+                oy1 += 1
+            r1 = int(ys[oy1 - 1] + yc[oy1 - 1])
+            chunks.append((oy0, oy1, r0, r1))
+            oy0 = oy1
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(t.read_strip_range, chunks[0][2], chunks[0][3])
+            for i, (o0, o1, r0, r1) in enumerate(chunks):
+                src = np.ascontiguousarray(nxt.result(), np.uint16)
+                if i + 1 < len(chunks):
+                    nxt = pool.submit(t.read_strip_range,
+                                      chunks[i + 1][2], chunks[i + 1][3])
+                _native.box_reduce_u16(src, out[o0:o1], o0, o1, ys, yc,
+                                       xs, xc, src_row0=r0)
+        return out
 
     def close(self):
         self._tiff.close()

@@ -353,7 +353,9 @@ class TiffReader:
 
     def read_strip_range(self, row0: int, row1: int, band: int = 1) -> np.ndarray:
         """Read rows [row0, row1) of one band — the building block for
-        streamed / decimated reads (replaces GDAL RasterIO windows)."""
+        streamed / decimated reads (replaces GDAL RasterIO windows,
+        reference: gdal.rs:145-177). Decodes only the strips covering the
+        row window; never materializes the full raster."""
         if self._contiguous_uncompressed():
             row_bytes = self.width * self.samples * self.dtype.itemsize
             off = int(self.offsets[0]) + row0 * row_bytes
@@ -362,6 +364,23 @@ class TiffReader:
                               offset=off)
             arr = arr.reshape(row1 - row0, self.width, self.samples)
             return arr[..., band - 1]
+        if not self.tiled and self.planar == 1:
+            rps = self.rows_per_strip
+            s0, s1 = row0 // rps, -(-row1 // rps)
+            rows_cov = min(s1 * rps, self.height) - s0 * rps
+            out = np.empty(rows_cov * self.width * self.samples, self.dtype)
+            pos = 0
+            for i in range(s0, s1):
+                rows = min(rps, self.height - i * rps)
+                cnt = rows * self.width * self.samples
+                self._fh.seek(int(self.offsets[i]))
+                blob = self._fh.read(int(self.byte_counts[i]))
+                out[pos:pos + cnt] = self._undo_predictor(
+                    self._decompress(blob, cnt), rows)
+                pos += cnt
+            out = out[:pos].reshape(-1, self.width, self.samples)
+            lo = row0 - s0 * rps
+            return out[lo:lo + (row1 - row0), :, band - 1]
         return self.read(band)[row0:row1]
 
     # -- geo ------------------------------------------------------------------

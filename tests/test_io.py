@@ -486,3 +486,51 @@ def test_project_dispatch_mercators():
         assert f'"{code}"' in wkt and "Mercator" in wkt
     with pytest.raises(ValueError, match="supported:"):
         geodesy.project_forward(0.0, 0.0, 2154)
+
+
+# -- streamed decimated reads (VERDICT r1 items 1-2) --------------------------
+
+@pytest.mark.parametrize("compression", [None, "tiff_lzw"])
+def test_streamed_average_read_matches_device(tmp_path, rng, compression):
+    """Native single-pass box reduce == device 'average' resample (both are
+    driven by the same _build_coeffs windows)."""
+    from sarpro_tpu.core.resize import resample_plane
+    from sarpro_tpu import _native
+    if not _native.available():
+        pytest.skip("native codec not built")
+    arr = rng.integers(0, 65535, (977, 1203)).astype(np.uint16)
+    path = tmp_path / "s.tif"
+    kw = {"compression": compression} if compression else {}
+    Image.fromarray(arr).save(path, **kw)
+    r = RasterReader(path)
+    out_rows, out_cols = 97, 119  # ~10x reduction, fractional boxes
+    got = r.read_band_resampled(1, out_cols, out_rows, "average")
+    assert got.dtype == np.float32 and got.shape == (out_rows, out_cols)
+    want = np.asarray(resample_plane(arr.astype(np.float32), out_rows,
+                                     out_cols, "average"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=0.05)
+
+
+def test_streamed_average_chunked_equals_mmap(tmp_path, rng):
+    """The chunked (compressed-file) route and the mmap route agree exactly."""
+    from sarpro_tpu import _native
+    if not _native.available():
+        pytest.skip("native codec not built")
+    arr = rng.integers(0, 65535, (500, 640)).astype(np.uint16)
+    p_raw = tmp_path / "raw.tif"
+    p_lzw = tmp_path / "lzw.tif"
+    Image.fromarray(arr).save(p_raw)
+    Image.fromarray(arr).save(p_lzw, compression="tiff_lzw")
+    a = RasterReader(p_raw).read_band_resampled(1, 64, 50, "average")
+    b = RasterReader(p_lzw).read_band_resampled(1, 64, 50, "average")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_read_strip_range_decodes_only_covering_strips(tmp_path, rng):
+    arr = rng.integers(0, 65535, (300, 128)).astype(np.uint16)
+    path = tmp_path / "r.tif"
+    Image.fromarray(arr).save(path, compression="tiff_adobe_deflate")
+    t = TiffReader(path)
+    assert not t._contiguous_uncompressed()
+    got = t.read_strip_range(37, 251)
+    np.testing.assert_array_equal(got, arr[37:251])
