@@ -52,12 +52,21 @@ def _db_mask(x):
     return db, db > DB_VALID_THRESHOLD
 
 
-def _stats(db, mask):
-    """count/min/max + 4096-bin histogram + percentiles, all in-graph."""
+def _stats(db, mask, row_axis: str | None = None):
+    """count/min/max + 4096-bin histogram + percentiles, all in-graph.
+
+    With `row_axis` set (shard_map over row-sharded rasters), the local
+    reductions become cross-shard collectives — per-shard Pallas histograms
+    combine with one psum over ICI (SURVEY.md §2.5), so the MXU kernels stay
+    active under sharding instead of falling back to XLA scatters."""
     count = jnp.sum(mask, dtype=jnp.int32)
     big = jnp.float32(np.inf)
     mn = jnp.min(jnp.where(mask, db, big))
     mx = jnp.max(jnp.where(mask, db, -big))
+    if row_axis is not None:
+        count = jax.lax.psum(count, row_axis)
+        mn = jax.lax.pmin(mn, row_axis)
+        mx = jax.lax.pmax(mx, row_axis)
     mn = jnp.where(count > 0, mn, 0.0)
     mx = jnp.where(count > 0, mx, 0.0)
     span = mx - mn
@@ -70,9 +79,15 @@ def _stats(db, mask):
     shift = (mn + mx) * 0.5
     d = jnp.where(mask, db - shift, 0.0)
     n = jnp.maximum(count.astype(jnp.float32), 1.0)
-    m1 = jnp.sum(d) / n
+    sum_d = jnp.sum(d)
+    sum_dd = jnp.sum(d * d)
+    if row_axis is not None:
+        hist = jax.lax.psum(hist, row_axis)
+        sum_d = jax.lax.psum(sum_d, row_axis)
+        sum_dd = jax.lax.psum(sum_dd, row_axis)
+    m1 = sum_d / n
     mean = shift + m1
-    var = jnp.maximum(jnp.sum(d * d) / n - m1 * m1, 0.0)
+    var = jnp.maximum(sum_dd / n - m1 * m1, 0.0)
     std = jnp.where(count > 1, jnp.sqrt(var), 0.0)
 
     # percentile inversion (reference: autoscale.rs:120-140, vectorized)
@@ -158,22 +173,38 @@ def _quantize(db, mask, low, high, gamma, max_val):
     return jnp.where(mask, q, 0.0).astype(jnp.uint16)
 
 
-def _scale_u16_to_u8(q):
+def _scale_u16_to_u8(q, row_axis: str | None = None):
     mn = jnp.min(q).astype(jnp.float32)
     mx = jnp.max(q).astype(jnp.float32)
+    if row_axis is not None:
+        mn = jax.lax.pmin(mn, row_axis)
+        mx = jax.lax.pmax(mx, row_axis)
     scale = jnp.where(mx > mn, 255.0 / (mx - mn), 1.0)
     val = round_half_up_nonneg((q.astype(jnp.float32) - mn) * scale)
     return jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
 
 
-def _clahe(db, mask, low, high, max_val, rows: int, cols: int):
-    """CLAHE entirely in-graph (cf. clahe.py for the exact-mode split)."""
-    tile_h = -(-rows // TILES_Y)
+def _clahe(db, mask, low, high, max_val, rows: int, cols: int,
+           row_axis: str | None = None, row_shards: int = 1):
+    """CLAHE entirely in-graph (cf. clahe.py for the exact-mode split).
+
+    Row-sharded mode (`row_axis`): tile geometry is computed over the GLOBAL
+    raster (rows × row_shards); each shard builds tile histograms from its
+    local rows (Pallas one-hot kernel), one psum combines them, and the
+    bilinear apply runs locally with the shard's global row offset — the
+    tile-CDF allgather of SURVEY.md §2.5 realized as a single collective."""
+    rows_global = rows * row_shards
+    tile_h = -(-rows_global // TILES_Y)
     tile_w = -(-cols // TILES_X)
     rng = jnp.maximum(high - low, 1.0)
     norm = jnp.where(mask, (jnp.clip(db, low, high) - low) / rng, 0.0)
 
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    if row_axis is not None:
+        row_off = jax.lax.axis_index(row_axis).astype(jnp.int32) * rows
+        r = r + row_off
+    else:
+        row_off = None
     c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     ty = jnp.minimum(r // tile_h, TILES_Y - 1)
     tx = jnp.minimum(c // tile_w, TILES_X - 1)
@@ -184,10 +215,12 @@ def _clahe(db, mask, low, high, max_val, rows: int, cols: int):
     n_hist_bins = TILES_Y * TILES_X * CLAHE_BINS
     flat = jnp.where(mask, (ty * TILES_X + tx) * CLAHE_BINS + bin_, n_hist_bins)
     hists = histogram(flat, n_hist_bins)
+    if row_axis is not None:
+        hists = jax.lax.psum(hists, row_axis)
     h = hists.reshape(TILES_Y * TILES_X, CLAHE_BINS).astype(jnp.float32)
 
-    # per-tile extents (static)
-    r1 = np.minimum((np.arange(TILES_Y) + 1) * tile_h, rows)
+    # per-tile extents (static, global raster)
+    r1 = np.minimum((np.arange(TILES_Y) + 1) * tile_h, rows_global)
     r0 = np.arange(TILES_Y) * tile_h
     c1 = np.minimum((np.arange(TILES_X) + 1) * tile_w, cols)
     c0 = np.arange(TILES_X) * tile_w
@@ -208,7 +241,8 @@ def _clahe(db, mask, low, high, max_val, rows: int, cols: int):
 
     bin_flat = jnp.where(mask, bin_, CLAHE_BINS).ravel()
     eq = clahe_lookup(
-        bin_flat, cdfs, cols, TILES_X, TILES_Y, tile_h, tile_w
+        bin_flat, cdfs, cols, TILES_X, TILES_Y, tile_h, tile_w,
+        row_offset=row_off,
     ).reshape(rows, cols)
     q = jnp.trunc(jnp.clip(eq, 0.0, 1.0) * max_val)
     return jnp.where(mask, q, 0.0).astype(jnp.uint16)
@@ -232,11 +266,12 @@ def _resample_dn(x, out_rows: int, out_cols: int, filter_name: str):
 
 
 def _band_u8(dn, strategy: AutoscaleStrategy, tamed_copol: bool | None,
-             rows: int, cols: int):
+             rows: int, cols: int, row_axis: str | None = None,
+             row_shards: int = 1):
     """One band DN → final u8 (the strategy dispatch of pipeline.rs:42-67 plus
     the Tamed synRGB band path of save.rs:324-328)."""
     db, mask = _db_mask(dn)
-    s = _stats(db, mask)
+    s = _stats(db, mask, row_axis)
     if tamed_copol is not None and strategy is AutoscaleStrategy.TAMED:
         # band-specific tamed window (autoscale.rs:710-742) straight to u8
         low = jnp.where(tamed_copol, jnp.minimum(s["p02"], s["p05"]), s["p05"])
@@ -247,10 +282,11 @@ def _band_u8(dn, strategy: AutoscaleStrategy, tamed_copol: bool | None,
         return jnp.where(mask, q, 0.0).astype(jnp.uint8)
     low, high, gamma = _window(s, strategy)
     if strategy is AutoscaleStrategy.CLAHE:
-        q16 = _clahe(db, mask, low, high, jnp.float32(255.0), rows, cols)
+        q16 = _clahe(db, mask, low, high, jnp.float32(255.0), rows, cols,
+                     row_axis, row_shards)
     else:
         q16 = _quantize(db, mask, low, high, gamma, jnp.float32(255.0))
-    return _scale_u16_to_u8(q16)
+    return _scale_u16_to_u8(q16, row_axis)
 
 
 def _synrgb_default(b1, b2):
@@ -262,7 +298,8 @@ def _synrgb_default(b1, b2):
     return rgb.reshape(b1.shape + (3,))
 
 
-def _synrgb_suppressed(b1, b2):
+def _synrgb_suppressed(b1, b2, row_axis: str | None = None,
+                       row_shards: int = 1):
     """Suppressed composition with the data-dependent floor computed in-graph
     (reference: synthetic_rgb.rs:88-178)."""
     from ..ops import histogram, synrgb_lookup
@@ -270,7 +307,9 @@ def _synrgb_suppressed(b1, b2):
     i1 = b1.astype(jnp.int32)
     i2 = b2.astype(jnp.int32)
     hist = histogram(jnp.concatenate([i1.ravel(), i2.ravel()]), 256)
-    total = jnp.float32(b1.size + b2.size)
+    if row_axis is not None:
+        hist = jax.lax.psum(hist, row_axis)
+    total = jnp.float32((b1.size + b2.size) * row_shards)
     target = jnp.floor(total * 0.05 + 0.5)
     cum = jnp.cumsum(hist).astype(jnp.float32)
     reached = cum >= target
@@ -330,7 +369,7 @@ def _plan_read_dims(in_rows: int, in_cols: int, target_size: int | None,
 @functools.partial(
     jax.jit,
     static_argnames=("strategy", "target_size", "pad", "suppressed",
-                     "resample_alg"),
+                     "resample_alg", "row_axis", "row_shards"),
 )
 def synrgb_pipeline(
     vv_dn,
@@ -340,15 +379,28 @@ def synrgb_pipeline(
     pad: bool = False,
     suppressed: bool | None = None,
     resample_alg: str | None = None,
+    row_axis: str | None = None,
+    row_shards: int = 1,
 ):
     """Flagship fused program: dual-pol DN rasters → synthetic-RGB u8.
 
     Covers the full benchmark configuration (SURVEY.md §3.2 call stack):
     downsample-on-read → dB → stats → autoscale (strategy) → u8 → synRGB.
     One XLA program, zero host syncs.
+
+    With `row_axis`/`row_shards` (called inside shard_map on a row-sharded
+    raster): inputs are the LOCAL row blocks, reductions psum over the axis,
+    and the Pallas kernels run per shard (parallel/sharded.py). Resampling
+    and padding are whole-raster ops and unsupported in that mode.
     """
     in_rows, in_cols = vv_dn.shape
-    rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size, resample_alg)
+    if row_axis is not None:
+        assert target_size is None and not pad, \
+            "row-sharded mode processes full-res unpadded rasters"
+        rows, cols, filt = in_rows, in_cols, None
+    else:
+        rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size,
+                                           resample_alg)
     if filt is not None:
         vv = _resample_dn(vv_dn, rows, cols, filt)
         vh = _resample_dn(vh_dn, rows, cols, filt)
@@ -357,8 +409,10 @@ def synrgb_pipeline(
         vh = vh_dn.astype(jnp.float32)
 
     tamed = strategy is AutoscaleStrategy.TAMED
-    b1 = _band_u8(vv, strategy, True if tamed else None, rows, cols)
-    b2 = _band_u8(vh, strategy, False if tamed else None, rows, cols)
+    b1 = _band_u8(vv, strategy, True if tamed else None, rows, cols,
+                  row_axis, row_shards)
+    b2 = _band_u8(vh, strategy, False if tamed else None, rows, cols,
+                  row_axis, row_shards)
 
     if pad:
         # padding precedes composition (save.rs:332-361): the pad zeros take
@@ -368,13 +422,14 @@ def synrgb_pipeline(
 
     if suppressed is None:
         suppressed = strategy in (AutoscaleStrategy.TAMED, AutoscaleStrategy.CLAHE)
-    return _synrgb_suppressed(b1, b2) if suppressed else _synrgb_default(b1, b2)
+    return (_synrgb_suppressed(b1, b2, row_axis, row_shards) if suppressed
+            else _synrgb_default(b1, b2))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("strategy", "bit_depth", "target_size", "pad",
-                     "resample_alg"),
+                     "resample_alg", "row_axis", "row_shards"),
 )
 def grayscale_pipeline(
     dn,
@@ -383,20 +438,29 @@ def grayscale_pipeline(
     target_size: int | None = None,
     pad: bool = False,
     resample_alg: str | None = None,
+    row_axis: str | None = None,
+    row_shards: int = 1,
 ):
     """Fused single-band program: DN raster → u8/u16 grayscale."""
     in_rows, in_cols = dn.shape
-    rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size, resample_alg)
+    if row_axis is not None:
+        assert target_size is None and not pad, \
+            "row-sharded mode processes full-res unpadded rasters"
+        rows, cols, filt = in_rows, in_cols, None
+    else:
+        rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size,
+                                           resample_alg)
     x = _resample_dn(dn, rows, cols, filt) if filt is not None else dn.astype(jnp.float32)
     db, mask = _db_mask(x)
-    s = _stats(db, mask)
+    s = _stats(db, mask, row_axis)
     low, high, gamma = _window(s, strategy)
     max_val = jnp.float32(bit_depth.max_val)
     if strategy is AutoscaleStrategy.CLAHE:
-        q16 = _clahe(db, mask, low, high, max_val, rows, cols)
+        q16 = _clahe(db, mask, low, high, max_val, rows, cols,
+                     row_axis, row_shards)
     else:
         q16 = _quantize(db, mask, low, high, gamma, max_val)
-    out = _scale_u16_to_u8(q16) if bit_depth is BitDepth.U8 else q16
+    out = _scale_u16_to_u8(q16, row_axis) if bit_depth is BitDepth.U8 else q16
     if pad:
         out = _pad_square(out, rows, cols)
     return out

@@ -136,16 +136,18 @@ _CLAHE_K = 4096  # VMEM-bound: bf16 one-hot (K,256) + (K,1) lane-padded cols
 
 
 def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
-                  n_bins: int, cols: int, base_ref, bin_ref, cdhi_ref,
-                  cdlo_ref, out_ref):
+                  n_bins: int, cols: int, base_ref, off_ref, bin_ref,
+                  cdhi_ref, cdlo_ref, out_ref):
     k = _CLAHE_K
     i = pl.program_id(0)
     # recover (r, c) from the flat pixel index — saves two lane-padded
     # inputs. The global block index streams through SMEM so chunked
-    # invocations (huge rasters) share one compiled kernel.
+    # invocations (huge rasters) share one compiled kernel. `off_ref` carries
+    # a global row offset so row-sharded shards (shard_map) interpolate with
+    # their true raster coordinates.
     gb = base_ref[i % 8, 0]
     flat = gb * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-    r = flat // cols
+    r = flat // cols + off_ref[0, 0]
     c = flat % cols
     rf = r.astype(jnp.float32) / np.float32(tile_h) - 0.5  # (K,1)
     cf = c.astype(jnp.float32) / np.float32(tile_w) - 0.5
@@ -198,12 +200,15 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
     static_argnames=("cols", "tiles_x", "tiles_y", "tile_h", "tile_w",
                      "block_base"))
 def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
-                               tile_h, tile_w, block_base: int):
+                               tile_h, tile_w, block_base: int,
+                               row_offset=None):
     n = bin_idx.size
     n_tiles, n_bins = cdhi.shape
     b2, g = _pad_flat(bin_idx.astype(jnp.int32), _CLAHE_K, n_bins)
     base = (jnp.arange(-(-g // 8) * 8, dtype=jnp.int32) + block_base
             ).reshape(-1, 1)
+    off = jnp.full((1, 1), 0, jnp.int32) if row_offset is None else \
+        jnp.asarray(row_offset, jnp.int32).reshape(1, 1)
     kern = functools.partial(_clahe_kernel, tiles_x, tiles_y, tile_h, tile_w,
                              n_bins, cols)
     out = pl.pallas_call(
@@ -211,6 +216,7 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((_CLAHE_K, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, n_bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -220,11 +226,12 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
         out_specs=pl.BlockSpec((_CLAHE_K, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g * _CLAHE_K, 1), jnp.float32),
-    )(base, b2, cdhi, cdlo)
+    )(base, off, b2, cdhi, cdlo)
     return out.reshape(-1)[:n]
 
 
-def _clahe_lookup_pallas(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
+def _clahe_lookup_pallas(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h,
+                         tile_w, row_offset=None):
     # hi/lo bf16 split of the f32 CDFs; the barrier stops XLA from folding
     # convert(convert(x)) back to x, which would zero the lo plane
     cdfs = jnp.asarray(cdfs, jnp.float32)
@@ -234,13 +241,14 @@ def _clahe_lookup_pallas(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
     n = flat.size
     if n <= _MAX_LOOKUP_ELEMS:
         return _clahe_lookup_pallas_chunk(flat, cdhi, cdlo, cols, tiles_x,
-                                          tiles_y, tile_h, tile_w, 0)
+                                          tiles_y, tile_h, tile_w, 0,
+                                          row_offset)
     assert _MAX_LOOKUP_ELEMS % _CLAHE_K == 0
     parts = []
     for start in range(0, n, _MAX_LOOKUP_ELEMS):
         parts.append(_clahe_lookup_pallas_chunk(
             flat[start:start + _MAX_LOOKUP_ELEMS], cdhi, cdlo, cols, tiles_x,
-            tiles_y, tile_h, tile_w, start // _CLAHE_K,
+            tiles_y, tile_h, tile_w, start // _CLAHE_K, row_offset,
         ))
     return jnp.concatenate(parts)
 
@@ -248,9 +256,12 @@ def _clahe_lookup_pallas(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
 @functools.partial(
     jax.jit,
     static_argnames=("cols", "tiles_x", "tiles_y", "tile_h", "tile_w"))
-def _clahe_lookup_xla(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
+def _clahe_lookup_xla(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w,
+                      row_offset=None):
     flat = jnp.arange(bin_idx.size, dtype=jnp.int32)
     r = flat // cols
+    if row_offset is not None:
+        r = r + jnp.asarray(row_offset, jnp.int32)
     c = flat % cols
     rf = r.astype(jnp.float32) / np.float32(tile_h) - 0.5
     cf = c.astype(jnp.float32) / np.float32(tile_w) - 0.5
@@ -277,16 +288,19 @@ def _clahe_lookup_xla(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
     return jnp.where(valid, top * (1 - dy) + bot * dy, 0.0)
 
 
-def clahe_lookup(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w):
+def clahe_lookup(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w,
+                 row_offset=None):
     """Bilinear interpolation between the 4 neighbor-tile CDFs at each
     pixel's bin (reference: autoscale.rs:307-343). `bin_idx` is the flat
     row-major (N,) bin array for a (N/cols, cols) image; `bin_idx == n_bins`
-    marks invalid pixels -> 0. Returns (N,) f32."""
+    marks invalid pixels -> 0. `row_offset` (traced scalar) shifts pixel rows
+    to global raster coordinates for row-sharded shards. Returns (N,) f32."""
     if use_pallas():
         return _clahe_lookup_pallas(bin_idx, cdfs, cols,
-                                    tiles_x, tiles_y, tile_h, tile_w)
+                                    tiles_x, tiles_y, tile_h, tile_w,
+                                    row_offset)
     return _clahe_lookup_xla(bin_idx, cdfs, cols,
-                             tiles_x, tiles_y, tile_h, tile_w)
+                             tiles_x, tiles_y, tile_h, tile_w, row_offset)
 
 
 # ---------------------------------------------------------------------------

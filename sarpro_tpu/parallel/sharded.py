@@ -4,12 +4,19 @@ Design (SURVEY.md §2.5 "TPU-native equivalents"):
   * a batch of same-shaped scenes is laid out (scene, rows, cols) and sharded
     P('scene', 'row', None): scenes spread across the 'scene' axis, each
     scene's rows split across the 'row' axis;
-  * the fused pipeline (core/fused.py) is vmapped over the scene axis and
-    jitted with those shardings — GSPMD turns the histogram scatter-adds into
-    per-shard partials + psum over ICI, the min/max/count reductions into
-    all-reduces, and keeps every elementwise stage fully local;
-  * CLAHE's tile CDFs are computed from the (all-reduced) global tile
-    histograms, so the bilinear-apply pass needs no halo exchange at all.
+  * the primary path is `jax.shard_map`: each device runs the fused pipeline
+    (core/fused.py) on its LOCAL row block with `row_axis='row'` — the
+    histogram/CLAHE/min-max reductions become explicit `psum`/`pmin`/`pmax`
+    collectives over ICI, and the Pallas MXU kernels stay active per shard
+    (GSPMD cannot partition Pallas custom calls, so the round-1 GSPMD path
+    had to force XLA scatter fallbacks — VERDICT r1 item 3);
+  * CLAHE's tile CDFs are computed from the psum-combined global tile
+    histograms; the bilinear apply runs locally with each shard's global row
+    offset, so no halo exchange is needed at all;
+  * whole-raster transforms (in-graph resampling to a target size, square
+    padding) do not row-shard; those configs take the GSPMD fallback path
+    with XLA kernels. Multi-chip processing targets full-res scenes — the
+    downsampled ones fit a single chip.
 
 Scenes of different shapes are bucketed by the host driver (batch.py) before
 entering here — XLA requires static shapes, so one compiled program serves
@@ -30,12 +37,74 @@ from ..types import AutoscaleStrategy, BitDepth
 SCENE_SPEC = P("scene", "row", None)
 RGB_OUT_SPEC = P("scene", "row", None, None)
 
+# Empirical Mosaic/XLA limit: the full CLAHE composition with Pallas kernels
+# inside shard_map OOMs HBM at compile time somewhere between 14.4M and
+# 16.8M local pixels (works unsharded at the same size — manual-sharding
+# buffer assignment interacts badly with the chunked kernel dispatches).
+# Above this, the shard_map path trades the MXU kernels for XLA fallbacks;
+# the explicit-psum structure is unchanged.
+_SHARDMAP_PALLAS_MAX_LOCAL_PIXELS = 12 << 20
+
+
+def _local_pixels(batch_shape, mesh: Mesh) -> int:
+    scenes, rows = batch_shape[0], batch_shape[1]
+    cols = batch_shape[2]
+    return (max(scenes // mesh.shape["scene"], 1)
+            * max(rows // mesh.shape["row"], 1) * cols)
+
 
 def shard_scene_batch(batch, mesh: Mesh):
     """Place a (scenes, rows, cols) array with scene+row sharding."""
     return jax.device_put(batch, NamedSharding(mesh, SCENE_SPEC))
 
 
+# ---------------------------------------------------------------------------
+# Primary path: shard_map with explicit collectives, Pallas kernels active
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("strategy", "mesh"))
+def _synrgb_shardmap_jit(vv, vh, strategy, mesh):
+    row_shards = mesh.shape["row"]
+
+    def per_device(vv_l, vh_l):  # (scenes_local, rows_local, cols)
+        def one(a, b):
+            return fused.synrgb_pipeline(
+                a, b, strategy=strategy, target_size=None, pad=False,
+                row_axis="row", row_shards=row_shards,
+            )
+
+        return jnp.stack([one(vv_l[i], vh_l[i])
+                          for i in range(vv_l.shape[0])])
+
+    return jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(SCENE_SPEC, SCENE_SPEC), out_specs=RGB_OUT_SPEC,
+        check_vma=False,
+    )(vv, vh)
+
+
+@functools.partial(jax.jit, static_argnames=("strategy", "bit_depth", "mesh"))
+def _gray_shardmap_jit(dn, strategy, bit_depth, mesh):
+    row_shards = mesh.shape["row"]
+
+    def per_device(dn_l):
+        def one(a):
+            return fused.grayscale_pipeline(
+                a, strategy=strategy, bit_depth=bit_depth, target_size=None,
+                pad=False, row_axis="row", row_shards=row_shards,
+            )
+
+        return jnp.stack([one(dn_l[i]) for i in range(dn_l.shape[0])])
+
+    return jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(SCENE_SPEC,), out_specs=SCENE_SPEC,
+        check_vma=False,
+    )(dn)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD fallback path (resample/pad configs): XLA kernels, auto-partitioned
+# ---------------------------------------------------------------------------
 @functools.partial(
     jax.jit,
     static_argnames=("strategy", "target_size", "pad", "mesh"),
@@ -49,25 +118,6 @@ def _synrgb_batch_jit(vv, vh, strategy, target_size, pad, mesh):
     return jax.lax.with_sharding_constraint(
         out, NamedSharding(mesh, RGB_OUT_SPEC)
     )
-
-
-def synrgb_batch(
-    vv_batch,
-    vh_batch,
-    mesh: Mesh,
-    strategy: AutoscaleStrategy = AutoscaleStrategy.CLAHE,
-    target_size: Optional[int] = 2048,
-    pad: bool = False,
-):
-    """Process a batch of dual-pol scenes to synRGB across the mesh."""
-    from ..ops.kernels import force_xla_fallbacks
-
-    vv = shard_scene_batch(jnp.asarray(vv_batch), mesh)
-    vh = shard_scene_batch(jnp.asarray(vh_batch), mesh)
-    # Pallas custom calls are not GSPMD-partitionable: trace with the XLA
-    # fallbacks so histograms lower to shardable scatters + psum
-    with mesh, force_xla_fallbacks():
-        return _synrgb_batch_jit(vv, vh, strategy, target_size, pad, mesh)
 
 
 @functools.partial(
@@ -86,6 +136,31 @@ def _gray_batch_jit(dn, strategy, bit_depth, target_size, pad, mesh):
     )
 
 
+def synrgb_batch(
+    vv_batch,
+    vh_batch,
+    mesh: Mesh,
+    strategy: AutoscaleStrategy = AutoscaleStrategy.CLAHE,
+    target_size: Optional[int] = 2048,
+    pad: bool = False,
+):
+    """Process a batch of dual-pol scenes to synRGB across the mesh."""
+    from ..ops.kernels import force_xla_fallbacks
+    import contextlib
+
+    vv = shard_scene_batch(jnp.asarray(vv_batch), mesh)
+    vh = shard_scene_batch(jnp.asarray(vh_batch), mesh)
+    if target_size is None and not pad:
+        big = _local_pixels(vv.shape, mesh) > _SHARDMAP_PALLAS_MAX_LOCAL_PIXELS
+        guard = force_xla_fallbacks() if big else contextlib.nullcontext()
+        with mesh, guard:
+            return _synrgb_shardmap_jit(vv, vh, strategy, mesh)
+    # Pallas custom calls are not GSPMD-partitionable: trace with the XLA
+    # fallbacks so histograms lower to shardable scatters + psum
+    with mesh, force_xla_fallbacks():
+        return _synrgb_batch_jit(vv, vh, strategy, target_size, pad, mesh)
+
+
 def grayscale_batch(
     dn_batch,
     mesh: Mesh,
@@ -96,7 +171,13 @@ def grayscale_batch(
 ):
     """Process a batch of single-pol scenes across the mesh."""
     from ..ops.kernels import force_xla_fallbacks
+    import contextlib
 
     dn = shard_scene_batch(jnp.asarray(dn_batch), mesh)
+    if target_size is None and not pad:
+        big = _local_pixels(dn.shape, mesh) > _SHARDMAP_PALLAS_MAX_LOCAL_PIXELS
+        guard = force_xla_fallbacks() if big else contextlib.nullcontext()
+        with mesh, guard:
+            return _gray_shardmap_jit(dn, strategy, bit_depth, mesh)
     with mesh, force_xla_fallbacks():
         return _gray_batch_jit(dn, strategy, bit_depth, target_size, pad, mesh)
