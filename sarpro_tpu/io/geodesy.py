@@ -444,6 +444,21 @@ def resolve_auto_target_crs(safe_dir: str | Path) -> Optional[str]:
         logger.info("AUTO-CRS: centroid from extent: lon=%.6f, lat=%.6f", lon, lat)
     reader.close()
     if lonlat is None:
+        # GCP-less measurement TIFF: annotation geolocation grid centroid
+        try:
+            from .safe import parse_comprehensive_metadata
+
+            meta = parse_comprehensive_metadata(base)
+            grid = meta.geolocation_grid
+        except Exception as e:  # noqa: BLE001 — any parse failure → no auto CRS
+            logger.warning("AUTO-CRS: annotation parse failed: %s", e)
+            grid = None
+        if grid is not None and len(grid):
+            lonlat = (float(np.mean(grid[:, 2])), float(np.mean(grid[:, 3])))
+            logger.info(
+                "AUTO-CRS: centroid from annotation geolocation grid: "
+                "lon=%.6f, lat=%.6f", *lonlat)
+    if lonlat is None:
         logger.warning("AUTO-CRS: could not compute lon/lat from GCPs or extent")
         return None
     epsg = lonlat_to_epsg(*lonlat)

@@ -76,6 +76,9 @@ class SafeMetadata:
     crs: Optional[str] = None
     pixel_spacing_range: Optional[float] = None
     pixel_spacing_azimuth: Optional[float] = None
+    # annotation geolocationGridPointList as (N,4) [pixel, line, lon, lat];
+    # TPS control-point source when the measurement TIFF carries no GCPs
+    geolocation_grid: Optional[np.ndarray] = None
     # Acquisition details
     instrument_mode: Optional[str] = None
     pass_direction: Optional[str] = None
@@ -185,10 +188,13 @@ def parse_annotation_xml(path: Path, meta: SafeMetadata) -> SafeMetadata:
         "adsHeader": False, "productInformation": False,
         "downlinkInformation": False, "downlinkValues": False,
         "orbitStateVector": False, "imageAnnotation": False,
+        "geolocationGridPoint": False,
     }
     downlink_done = 0
     state_vectors: list[tuple[float, float, float]] = []
     current = [0.0, 0.0, 0.0]
+    gg_points: list[tuple[float, float, float, float]] = []
+    gg_current: dict[str, float] = {}
     try:
         for event, elem in ET.iterparse(str(path), events=("start", "end")):
             tag = _localname(elem.tag)
@@ -257,6 +263,11 @@ def parse_annotation_xml(path: Path, meta: SafeMetadata) -> SafeMetadata:
                         current[1] = fget() or 0.0
                     elif tag == "vz":
                         current[2] = fget() or 0.0
+                if in_["geolocationGridPoint"] and tag in (
+                        "pixel", "line", "longitude", "latitude"):
+                    v = fget()
+                    if v is not None:
+                        gg_current[tag] = v
                 # image dimensions — matched anywhere (reference: :1421-1424)
                 if tag == "lines":
                     try:
@@ -276,6 +287,14 @@ def parse_annotation_xml(path: Path, meta: SafeMetadata) -> SafeMetadata:
                 in_["orbitStateVector"] = False
                 state_vectors.append(tuple(current))
                 current = [0.0, 0.0, 0.0]
+            elif tag == "geolocationGridPoint":
+                in_["geolocationGridPoint"] = False
+                if all(k in gg_current
+                       for k in ("pixel", "line", "longitude", "latitude")):
+                    gg_points.append((gg_current["pixel"], gg_current["line"],
+                                      gg_current["longitude"],
+                                      gg_current["latitude"]))
+                gg_current = {}
             elif tag in in_:
                 in_[tag] = False
             elem.clear()
@@ -284,6 +303,8 @@ def parse_annotation_xml(path: Path, meta: SafeMetadata) -> SafeMetadata:
     if state_vectors:
         vx, vy, vz = state_vectors[len(state_vectors) // 2]
         meta.velocity = float(np.sqrt(vx * vx + vy * vy + vz * vz))
+    if gg_points and meta.geolocation_grid is None:
+        meta.geolocation_grid = np.asarray(gg_points, np.float64)
     return meta
 
 
@@ -559,6 +580,7 @@ class SafeReader:
                 reader, target_crs,
                 resample_alg=resample_alg or "bilinear",
                 target_size=target_size,
+                geolocation_grid=metadata.geolocation_grid,
             )
             reader.close()
             metadata.geotransform = list(result.geotransform)

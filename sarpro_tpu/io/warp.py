@@ -62,9 +62,12 @@ def _resample_name(alg: Optional[str]) -> str:
 
 
 class _SourceMapping:
-    """source pixel ↔ lon/lat, from either an affine+CRS or GCP TPS."""
+    """source pixel ↔ lon/lat, from an affine+CRS, GCP TPS, or — when the
+    measurement TIFF carries no GCPs — the annotation XML's geolocation grid
+    points as TPS control points (the lattice GDAL's `-tps` would otherwise
+    read from the raster; reference: sentinel1.rs:1017-1028)."""
 
-    def __init__(self, reader):
+    def __init__(self, reader, geolocation_grid: Optional[np.ndarray] = None):
         gt = reader.metadata.geotransform
         self.is_affine = (
             reader.metadata.epsg is not None
@@ -82,20 +85,30 @@ class _SourceMapping:
                 [gt[5] / det, -gt[2] / det],
                 [-gt[4] / det, gt[1] / det],
             ])
-        else:
-            gcps = reader.gcps
-            if gcps is None or len(gcps) < 3:
-                raise ProcessingError(
-                    "source raster has neither a projection nor GCPs; cannot warp"
-                )
+            return
+        gcps = reader.gcps
+        if gcps is not None and len(gcps) >= 3:
             # GCP SRS fallback to EPSG:4326 (reference: sentinel1.rs:1020-1025)
             self.src_epsg = reader.geo.gcp_epsg or 4326
             pix = gcps[:, :2]
             lonlat = np.stack(
                 geodesy.project_inverse(gcps[:, 2], gcps[:, 3], self.src_epsg), axis=-1
             )
-            self.fwd_tps = geodesy.ThinPlateSpline2D(pix, lonlat)
-            self.inv_tps = geodesy.ThinPlateSpline2D(lonlat, pix)
+        elif geolocation_grid is not None and len(geolocation_grid) >= 3:
+            # annotation geolocationGridPointList: [pixel, line, lon, lat],
+            # already geographic
+            self.src_epsg = 4326
+            pix = np.asarray(geolocation_grid[:, :2], np.float64)
+            lonlat = np.asarray(geolocation_grid[:, 2:4], np.float64)
+            logger.info("Warp: TPS from %d annotation geolocation grid points",
+                        len(pix))
+        else:
+            raise ProcessingError(
+                "source raster has neither a projection, GCPs, nor an "
+                "annotation geolocation grid; cannot warp"
+            )
+        self.fwd_tps = geodesy.ThinPlateSpline2D(pix, lonlat)
+        self.inv_tps = geodesy.ThinPlateSpline2D(lonlat, pix)
 
     def pixels_to_lonlat(self, cols, rows):
         if self.is_affine:
@@ -248,10 +261,59 @@ def _warp_sample(src, map_x, map_y, out_rows: int, out_cols: int, method: str):
     return jnp.where(wsum > 1e-6, val / jnp.maximum(wsum, 1e-20), 0.0)
 
 
-def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
-                target_size: Optional[int] = None) -> WarpResult:
-    """Reproject a raster to `target_crs` (EPSG:XXXX), the on-device
-    equivalent of the reference's gdalwarp invocation (sentinel1.rs:988-1071)."""
+@dataclasses.dataclass
+class WarpPlan:
+    """Host-side warp plan: output grid + coarse f64 inverse-mapping grid.
+
+    Exposed separately from `warp_to_crs` so the grid-interpolation error
+    (the role of GDAL's approximate-transformer tolerance, default 0.125 px)
+    can be bounded against the exact f64 mapping without re-deriving the
+    plan's construction (tests/test_warp.py)."""
+
+    out_cols: int
+    out_rows: int
+    geotransform: list[float]
+    dst_epsg: int
+    method: str
+    mapping: "_SourceMapping"
+    map_x: np.ndarray  # (gh, gw) source col (pixel-center) per grid node
+    map_y: np.ndarray  # (gh, gw) source row
+
+    def exact_source_pixels(self, out_cols_f: np.ndarray, out_rows_f: np.ndarray):
+        """f64 target pixel → source pixel (pixel-center), no interpolation."""
+        gt = self.geotransform
+        tx = gt[0] + (np.asarray(out_cols_f, np.float64) + 0.5) * gt[1]
+        ty = gt[3] + (np.asarray(out_rows_f, np.float64) + 0.5) * gt[5]
+        lon, lat = geodesy.project_inverse(tx, ty, self.dst_epsg)
+        scol, srow = self.mapping.lonlat_to_pixels(lon, lat)
+        return np.asarray(scol, np.float64) - 0.5, np.asarray(srow, np.float64) - 0.5
+
+    def interp_source_pixels(self, out_cols_f: np.ndarray, out_rows_f: np.ndarray):
+        """Bilinear interpolation of the coarse grid — exactly what the device
+        sampler computes for each output pixel (cf. _warp_sample.interp)."""
+        gh, gw = self.map_x.shape
+        gr = np.asarray(out_rows_f, np.float64) * ((gh - 1) / max(self.out_rows - 1, 1))
+        gc = np.asarray(out_cols_f, np.float64) * ((gw - 1) / max(self.out_cols - 1, 1))
+        gr0 = np.clip(np.floor(gr), 0, gh - 2).astype(np.int64)
+        gc0 = np.clip(np.floor(gc), 0, gw - 2).astype(np.int64)
+        fr = gr - gr0
+        fc = gc - gc0
+
+        def interp(grid):
+            i00 = grid[gr0, gc0]
+            i01 = grid[gr0, gc0 + 1]
+            i10 = grid[gr0 + 1, gc0]
+            i11 = grid[gr0 + 1, gc0 + 1]
+            return ((i00 * (1 - fc) + i01 * fc) * (1 - fr)
+                    + (i10 * (1 - fc) + i11 * fc) * fr)
+
+        return interp(self.map_x), interp(self.map_y)
+
+
+def plan_warp(reader, target_crs: str, resample_alg: Optional[str] = None,
+              target_size: Optional[int] = None,
+              geolocation_grid: Optional[np.ndarray] = None) -> WarpPlan:
+    """Host planning half of the warp (steps 1-3 of the module docstring)."""
     dst_epsg = geodesy.parse_epsg_code(target_crs)
     if dst_epsg is None or geodesy.epsg_kind(dst_epsg) is None:
         raise ProcessingError(
@@ -260,7 +322,7 @@ def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
         )
     method = _resample_name(resample_alg)
 
-    mapping = _SourceMapping(reader)
+    mapping = _SourceMapping(reader, geolocation_grid)
     src_cols = reader.metadata.size_x
     src_rows = reader.metadata.size_y
     out_cols, out_rows, gt = _suggest_output_grid(
@@ -283,6 +345,23 @@ def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
     # pixel-center convention for sampling
     map_x = np.asarray(scol, np.float64) - 0.5
     map_y = np.asarray(srow, np.float64) - 0.5
+    return WarpPlan(out_cols=out_cols, out_rows=out_rows, geotransform=gt,
+                    dst_epsg=dst_epsg, method=method, mapping=mapping,
+                    map_x=map_x, map_y=map_y)
+
+
+def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
+                target_size: Optional[int] = None,
+                geolocation_grid: Optional[np.ndarray] = None) -> WarpResult:
+    """Reproject a raster to `target_crs` (EPSG:XXXX), the on-device
+    equivalent of the reference's gdalwarp invocation (sentinel1.rs:988-1071)."""
+    plan = plan_warp(reader, target_crs, resample_alg, target_size,
+                     geolocation_grid)
+    out_cols, out_rows = plan.out_cols, plan.out_rows
+    gt, method = plan.geotransform, plan.method
+    map_x, map_y = plan.map_x, plan.map_y
+    src_cols = reader.metadata.size_x
+    src_rows = reader.metadata.size_y
 
     src = jnp.asarray(reader.read_band(1))
 
@@ -331,6 +410,6 @@ def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
             jnp.asarray(map_y, jnp.float32),
             out_rows, out_cols, method,
         )
-    projection = geodesy.epsg_to_wkt(dst_epsg) or f"EPSG:{dst_epsg}"
+    projection = geodesy.epsg_to_wkt(plan.dst_epsg) or f"EPSG:{plan.dst_epsg}"
     return WarpResult(data=data, geotransform=gt, projection=projection,
-                      epsg=dst_epsg)
+                      epsg=plan.dst_epsg)

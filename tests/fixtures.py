@@ -125,9 +125,42 @@ ANNOTATION_TEMPLATE = """<?xml version="1.0" encoding="UTF-8"?>
       <numberOfLines>{lines}</numberOfLines>
       <lines>{lines}</lines>
     </imageInformation>
-  </imageAnnotation>
+  </imageAnnotation>{geolocation_block}
 </product>
 """
+
+GEOLOCATION_POINT_TEMPLATE = """
+      <geolocationGridPoint>
+        <azimuthTime>2025-07-06T20:43:46.579983</azimuthTime>
+        <slantRangeTime>0.0053317048</slantRangeTime>
+        <line>{line}</line>
+        <pixel>{pixel}</pixel>
+        <latitude>{lat}</latitude>
+        <longitude>{lon}</longitude>
+        <height>0.0</height>
+        <incidenceAngle>30.0</incidenceAngle>
+      </geolocationGridPoint>"""
+
+
+def geolocation_grid_block(rows: int, cols: int, lon0=11.0, lat0=46.0,
+                           span_deg=0.25, n=5) -> str:
+    """geolocationGrid annotation section over the same lon/lat lattice as
+    the GCP tiepoints of _write_measurement_tiff."""
+    pts = []
+    for iy in range(n):
+        for ix in range(n):
+            pts.append(GEOLOCATION_POINT_TEMPLATE.format(
+                line=iy * (rows - 1) / (n - 1),
+                pixel=ix * (cols - 1) / (n - 1),
+                lon=lon0 + span_deg * ix / (n - 1),
+                lat=lat0 - span_deg * iy / (n - 1),
+            ))
+    return (
+        "\n  <geolocationGrid>\n"
+        f'    <geolocationGridPointList count="{n * n}">'
+        + "".join(pts)
+        + "\n    </geolocationGridPointList>\n  </geolocationGrid>"
+    )
 
 
 def _write_measurement_tiff(path: Path, data: np.ndarray,
@@ -161,6 +194,8 @@ def make_safe(
     pass_direction: str = "ASCENDING",
     seed: int = 7,
     with_affine_geotransform: bool = False,
+    with_geolocation_grid: bool = False,
+    tiff_gcps: bool = True,
 ) -> Path:
     """Create a synthetic SAFE tree and return its path."""
     rng = np.random.default_rng(seed)
@@ -181,11 +216,14 @@ def make_safe(
         )
     )
     rows, cols = shape
+    gg_block = (geolocation_grid_block(rows, cols)
+                if with_geolocation_grid else "")
     for pol in pols:
         (base / "annotation" / f"s1a-iw-grd-{pol}-001.xml").write_text(
             ANNOTATION_TEMPLATE.format(
                 product_type=product_type, pol=pol.upper(),
                 pass_direction=pass_direction, samples=cols, lines=rows,
+                geolocation_block=gg_block,
             )
         )
         # SAR-like lognormal DN with some zeros
@@ -198,6 +236,10 @@ def make_safe(
             w.set_geotransform([500000.0, 10.0, 0.0, 5100000.0, 0.0, -10.0])
             w.set_projection("EPSG:32632")
             w.write([dn])
+        elif not tiff_gcps:
+            # bare raster: no projection, no tiepoints (geolocation must come
+            # from the annotation grid)
+            TiffWriter(tif).write([dn])
         else:
             _write_measurement_tiff(tif, dn)
     return base
