@@ -11,12 +11,16 @@ Endpoints:
   POST /api/preset/save  — save .sarpro preset
   POST /api/preset/load  — load .sarpro preset
   GET  /api/stats        — CPU/RAM footer stats
+  GET  /api/listdir      — server-side directory listing (the file-dialog
+                           equivalent of the reference's rfd browse buttons,
+                           src/gui/processing.rs)
 """
 from __future__ import annotations
 
 import json
 import logging
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -26,6 +30,31 @@ from .state import GuiState, Worker, generate_cli_command, load_preset, save_pre
 logger = logging.getLogger("sarpro")
 
 _STATIC = Path(__file__).parent / "static"
+
+
+def list_directory(path: str | None) -> dict:
+    """Directory listing for the browse dialog. Local tool semantics (like the
+    reference's rfd native dialogs): the server runs as the user, so it lists
+    what the user can list. `.SAFE` directories are flagged selectable."""
+    p = Path(path).expanduser() if path else Path.cwd()
+    p = p.resolve()
+    if not p.is_dir():
+        raise NotADirectoryError(str(p))
+    entries = []
+    for child in sorted(p.iterdir(), key=lambda c: (not c.is_dir(), c.name.lower())):
+        if child.name.startswith("."):
+            continue
+        is_dir = child.is_dir()
+        entries.append({
+            "name": child.name,
+            "dir": is_dir,
+            "safe": is_dir and child.name.upper().endswith(".SAFE"),
+        })
+    return {
+        "path": str(p),
+        "parent": str(p.parent) if p.parent != p else None,
+        "entries": entries,
+    }
 
 
 def make_server(host: str = "127.0.0.1", port: int = 8377):
@@ -79,6 +108,13 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                     self._json({"command": generate_cli_command(gui)})
             elif self.path == "/api/stats":
                 self._json(state_mod.system_stats())
+            elif self.path.startswith("/api/listdir"):
+                q = urllib.parse.urlparse(self.path).query
+                args = urllib.parse.parse_qs(q)
+                try:
+                    self._json(list_directory(args.get("path", [None])[0]))
+                except (OSError, NotADirectoryError) as e:
+                    self._json({"error": str(e)}, 400)
             else:
                 self._json({"error": "not found"}, 404)
 
