@@ -75,16 +75,29 @@ def parse_epsg(wkt: str) -> Optional[int]:
 
 
 class RasterReader:
-    """Opens any (Geo)TIFF raster (reference: GdalSarReader::open, gdal.rs:57-104)."""
+    """Opens any (Geo)TIFF raster via the self-contained codec, and common
+    non-TIFF formats (PNG/JPEG/BMP/GIF/PPM/WebP, world-file georeferencing)
+    via the PIL backend — the format breadth of the reference's
+    GdalSarReader::open (gdal.rs:57-104)."""
 
     def __init__(self, path: str | Path):
         self.path = Path(path)
-        try:
-            self._tiff = TiffReader(self.path)
-        except RasterError:
-            raise
-        except Exception as e:  # pragma: no cover
-            raise RasterError(f"failed to open raster {self.path}: {e}") from e
+        if self.path.suffix.lower() in (".tif", ".tiff") or not self.path.suffix:
+            try:
+                self._tiff = TiffReader(self.path)
+            except RasterError:
+                raise
+            except Exception as e:  # pragma: no cover
+                raise RasterError(f"failed to open raster {self.path}: {e}") from e
+        else:
+            from .pilraster import PIL_EXTENSIONS, PilRaster
+
+            if self.path.suffix.lower() not in PIL_EXTENSIONS:
+                raise RasterError(
+                    f"unsupported raster format: {self.path.suffix} "
+                    f"(supported: .tif/.tiff natively, {PIL_EXTENSIONS} via PIL)"
+                )
+            self._tiff = PilRaster(self.path)
         gi: GeoInfo = self._tiff.geo_info()
         self.geo = gi
         # identity fallback (reference: gdal.rs:64-67)
@@ -137,7 +150,8 @@ class RasterReader:
         resample on device."""
         filt = alg or "average"
         t = self._tiff
-        if (filt in ("average", "box") and t.samples == 1 and band == 1
+        if (isinstance(t, TiffReader)
+                and filt in ("average", "box") and t.samples == 1 and band == 1
                 and t.dtype == np.dtype(np.uint16)
                 and out_rows < t.height and out_cols < t.width
                 and _native.available()):
@@ -173,7 +187,8 @@ class RasterReader:
         filt = alg or "average"
         t = self._tiff
         native_ok = (
-            filt in ("average", "box") and t.samples == 1 and band == 1
+            isinstance(t, TiffReader)
+            and filt in ("average", "box") and t.samples == 1 and band == 1
             and t.dtype == np.dtype(np.uint16)
             and out_rows < t.height and out_cols < t.width
             and _native.available()

@@ -7,7 +7,7 @@ from PIL import Image
 
 import fixtures
 import oracle
-from sarpro_tpu.errors import SafeMissingField, UnsupportedProduct
+from sarpro_tpu.errors import RasterError, SafeMissingField, UnsupportedProduct
 from sarpro_tpu.io import geodesy
 from sarpro_tpu.io.raster import RasterReader
 from sarpro_tpu.io.safe import SafeReader
@@ -534,3 +534,73 @@ def test_read_strip_range_decodes_only_covering_strips(tmp_path, rng):
     assert not t._contiguous_uncompressed()
     got = t.read_strip_range(37, 251)
     np.testing.assert_array_equal(got, arr[37:251])
+
+
+# ---------------------------------------------------------------------------
+# Non-TIFF raster formats (PIL backend; reference opens any GDAL raster,
+# gdal.rs:57-104)
+# ---------------------------------------------------------------------------
+def test_raster_reader_png_with_worldfile(tmp_path, rng):
+    from PIL import Image
+
+    from sarpro_tpu.io.raster import RasterReader
+
+    a = rng.integers(0, 255, (40, 60), dtype=np.uint8)
+    p = tmp_path / "r.png"
+    Image.fromarray(a, "L").save(p)
+    # GDAL-style sidecars: world file (pixel-center) + .prj
+    gt = [500000.0, 10.0, 0.0, 5100000.0, 0.0, -10.0]
+    write_world_file(p, gt)
+    write_prj_file(p, "EPSG:32632")
+
+    r = RasterReader(p)
+    assert (r.metadata.size_x, r.metadata.size_y, r.metadata.bands) == (60, 40, 1)
+    assert r.metadata.epsg == 32632
+    assert r.metadata.geotransform == pytest.approx(gt)
+    np.testing.assert_array_equal(r.read_band(1), a.astype(np.float32))
+    # decimated read goes through the device resampler
+    small = r.read_band_resampled(1, 30, 20, "average")
+    assert small.shape == (20, 30)
+    r.close()
+
+
+def test_raster_reader_png_u16(tmp_path, rng):
+    from PIL import Image
+
+    from sarpro_tpu.io.raster import RasterReader
+
+    a = rng.integers(0, 60000, (16, 24)).astype(np.uint16)
+    p = tmp_path / "d.png"
+    Image.fromarray(a).save(p)  # uint16 -> 16-bit PNG
+    r = RasterReader(p)
+    assert r.metadata.bands == 1
+    np.testing.assert_array_equal(r.read_band(1), a.astype(np.float32))
+    # no georeferencing sidecars: identity fallback like gdal.rs:64-67
+    assert r.metadata.geotransform == [0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    assert r.metadata.epsg is None
+    r.close()
+
+
+def test_raster_reader_rgb_jpeg_bands(tmp_path, rng):
+    from PIL import Image
+
+    from sarpro_tpu.io.raster import RasterReader
+
+    rgb = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+    p = tmp_path / "c.bmp"  # BMP: lossless, exact band readback
+    Image.fromarray(rgb, "RGB").save(p)
+    r = RasterReader(p)
+    assert r.metadata.bands == 3
+    np.testing.assert_array_equal(r.read_band(2), rgb[:, :, 1].astype(np.float32))
+    with pytest.raises(RasterError):
+        r.read_band(4)
+    r.close()
+
+
+def test_raster_reader_unsupported_extension(tmp_path):
+    from sarpro_tpu.io.raster import RasterReader
+
+    p = tmp_path / "x.xyz"
+    p.write_bytes(b"not a raster")
+    with pytest.raises(RasterError, match="unsupported raster format"):
+        RasterReader(p)
