@@ -1,10 +1,15 @@
 """One-hot MXU kernels: histograms and small-table lookups (see __init__).
 
-Layout note: element streams enter as (K, 1) columns — the lane dimension is
-padded in VMEM but HBM traffic stays 4 B/element, and the column shape lets
-one-hot construction be a lane-broadcast compare against an iota, feeding a
-plain 2D (K, M)ᵀ(K, N) MXU contraction (Mosaic supports neither multiple
-contracting dims nor batched matmuls here).
+Layout note (round 2): element streams enter as flat (1, N) ROWS and each
+grid step takes a contiguous (1, K) lane-block — elements live in the lane
+dimension, one-hots are built by sublane-broadcast compares against a
+dim-0 iota, and the MXU contraction runs over the lane dim:
+(M, K)·(N, K)ᵀ → (M, N). Round 1 used (K, 1) columns instead; those blocks
+are lane-padded 128× in VMEM/HBM-tiled layout, which dominated kernel time
+(measured 9.8×/2.4×/78× slower for CLAHE/synRGB/histogram at 4M elements)
+and capped Mosaic grids at ~2k steps. The row layout is compact end to end
+and compiles beyond 20k steps (Mosaic supports neither multiple contracting
+dims nor batched matmuls here, so the contraction stays 2D either way).
 
 Every kernel has an XLA fallback (scatter / take) used off-TPU; fallback and
 kernel agree exactly for integer tables and to f32 rounding for CDFs.
@@ -46,20 +51,22 @@ def use_pallas() -> bool:
     return not _FORCE_XLA and jax.default_backend() == "tpu"
 
 
-def _pad_flat(x, k: int, fill):
+def _pad_row(x, k: int, fill):
+    """Flat (1, N) row padded up to a multiple of k; (1, K) lane-blocks of it
+    are contiguous and unpadded in VMEM."""
     n = x.size
     g = -(-n // k)
     pad = g * k - n
     flat = x.reshape(-1)
     if pad:
         flat = jnp.concatenate([flat, jnp.full((pad,), fill, x.dtype)])
-    return flat.reshape(-1, 1), g
+    return flat.reshape(1, g * k), g
 
 
 # ---------------------------------------------------------------------------
 # Histogram
 # ---------------------------------------------------------------------------
-_HIST_K = 8192
+_HIST_K = 16384
 
 
 def _hist_kernel(h: int, idx_ref, out_ref):
@@ -69,12 +76,12 @@ def _hist_kernel(h: int, idx_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    col = idx_ref[:]  # (K, 1) i32; masked elements carry an overflow index
-    hi = (col // LANE) == jax.lax.broadcasted_iota(jnp.int32, (_HIST_K, h), 1)
-    lo = (col % LANE) == jax.lax.broadcasted_iota(jnp.int32, (_HIST_K, LANE), 1)
+    row = idx_ref[:]  # (1, K) i32; masked elements carry an overflow index
+    hi = (row // LANE) == jax.lax.broadcasted_iota(jnp.int32, (h, _HIST_K), 0)
+    lo = (row % LANE) == jax.lax.broadcasted_iota(jnp.int32, (LANE, _HIST_K), 0)
     part = jax.lax.dot_general(
         hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
     out_ref[:] += part.astype(jnp.int32)
 
@@ -83,11 +90,11 @@ def _hist_kernel(h: int, idx_ref, out_ref):
 def _histogram_pallas(idx, num_bins: int):
     # one extra hi-band absorbs masked elements (idx == num_bins.. )
     h = num_bins // LANE + 1
-    idx2, g = _pad_flat(idx.astype(jnp.int32), _HIST_K, num_bins)
+    idx2, g = _pad_row(idx.astype(jnp.int32), _HIST_K, num_bins)
     out = pl.pallas_call(
         functools.partial(_hist_kernel, h),
         grid=(g,),
-        in_specs=[pl.BlockSpec((_HIST_K, 1), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((1, _HIST_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((h, LANE), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -104,12 +111,12 @@ def _histogram_xla(idx, num_bins: int):
     return jnp.zeros((num_bins,), jnp.int32).at[safe].add(valid.astype(jnp.int32))
 
 
-# The Mosaic compiler crashes on large grids/operands (empirically: the
-# lookup kernels fail above ~2048 grid steps, the histogram somewhat later);
-# chunk kernel invocations below these and combine in XLA.
-_MAX_ELEMS = 16 << 20          # histogram (K=8192 -> 2048 steps)
-_MAX_LOOKUP_ELEMS = 4 << 20    # lookups (K=4096 -> 1024 steps; the synRGB
-                               # kernel crashes the compiler at 2048 steps)
+# Round 1's (K,1) column layout crashed Mosaic above ~2048 grid steps; the
+# row layout compiles and runs fine at 20k+ steps (probed at 160M elements).
+# Chunk boundaries are kept as a safety backstop well above every measured
+# configuration (full-res 400 MP single-band = 24k steps).
+_MAX_ELEMS = 256 << 20         # histogram (K=16384 -> 16384 steps)
+_MAX_LOOKUP_ELEMS = 128 << 20  # lookups (K=8192 -> 16384 steps)
 
 
 def histogram(idx, num_bins: int):
@@ -132,7 +139,7 @@ def histogram(idx, num_bins: int):
 # ---------------------------------------------------------------------------
 # CLAHE bilinear CDF lookup
 # ---------------------------------------------------------------------------
-_CLAHE_K = 4096  # VMEM-bound: bf16 one-hot (K,256) + (K,1) lane-padded cols
+_CLAHE_K = 8192  # VMEM-bound: bf16 one-hot (256,K) + two (n_tiles,K) f32
 
 
 def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
@@ -140,16 +147,16 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
                   cdhi_ref, cdlo_ref, out_ref):
     k = _CLAHE_K
     i = pl.program_id(0)
-    # recover (r, c) from the flat pixel index — saves two lane-padded
-    # inputs. The global block index streams through SMEM so chunked
-    # invocations (huge rasters) share one compiled kernel. `off_ref` carries
-    # a global row offset so row-sharded shards (shard_map) interpolate with
-    # their true raster coordinates.
+    # recover (r, c) from the flat pixel index — saves two stream inputs.
+    # The global block index streams through SMEM so chunked invocations
+    # (huge rasters) share one compiled kernel. `off_ref` carries a global
+    # row offset so row-sharded shards (shard_map) interpolate with their
+    # true raster coordinates.
     gb = base_ref[i % 8, 0]
-    flat = gb * k + jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    flat = gb * k + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     r = flat // cols + off_ref[0, 0]
     c = flat % cols
-    rf = r.astype(jnp.float32) / np.float32(tile_h) - 0.5  # (K,1)
+    rf = r.astype(jnp.float32) / np.float32(tile_h) - 0.5  # (1,K)
     cf = c.astype(jnp.float32) / np.float32(tile_w) - 0.5
     tyf = jnp.maximum(jnp.floor(rf), 0.0)
     txf = jnp.maximum(jnp.floor(cf), 0.0)
@@ -163,12 +170,12 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
     tx1 = jnp.clip(txi + 1, 0, tiles_x - 1)
 
     n_tiles = tiles_x * tiles_y
-    tids = jax.lax.broadcasted_iota(jnp.int32, (k, n_tiles), 1)
+    tids = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, k), 0)
     w00 = (1.0 - dx) * (1.0 - dy)
     w01 = dx * (1.0 - dy)
     w10 = (1.0 - dx) * dy
     w11 = dx * dy
-    # bilinear weights folded into a (K, n_tiles) matrix — rows have <=4
+    # bilinear weights folded into an (n_tiles, K) matrix — columns have <=4
     # nonzeros; corners falling on the same tile accumulate, matching the
     # reference's formula exactly.
     wmat = (
@@ -180,19 +187,19 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
     # select-bin-first: per-pixel CDF value of EVERY tile at own bin.
     # The CDF table arrives hi/lo-split into two bf16 planes (the one-hot is
     # exact in bf16, so selection reconstructs the f32 CDF to ~1e-5).
-    bins = bin_ref[:]  # (K,1), invalid pixels carry n_bins (all-zero onehot)
+    bins = bin_ref[:]  # (1,K), invalid pixels carry n_bins (all-zero onehot)
     onehot_bin = (
-        bins == jax.lax.broadcasted_iota(jnp.int32, (k, n_bins), 1)
+        bins == jax.lax.broadcasted_iota(jnp.int32, (n_bins, k), 0)
     ).astype(jnp.bfloat16)
-    pt = jax.lax.dot_general(  # (K, n_tiles)
-        onehot_bin, cdhi_ref[:],
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    pt = jax.lax.dot_general(  # (n_tiles, K)
+        cdhi_ref[:], onehot_bin,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     pt = pt + jax.lax.dot_general(
-        onehot_bin, cdlo_ref[:],
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        cdlo_ref[:], onehot_bin,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    out_ref[:] = jnp.sum(wmat * pt, axis=1, keepdims=True)
+    out_ref[:] = jnp.sum(wmat * pt, axis=0, keepdims=True)
 
 
 @functools.partial(
@@ -204,7 +211,7 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
                                row_offset=None):
     n = bin_idx.size
     n_tiles, n_bins = cdhi.shape
-    b2, g = _pad_flat(bin_idx.astype(jnp.int32), _CLAHE_K, n_bins)
+    b2, g = _pad_row(bin_idx.astype(jnp.int32), _CLAHE_K, n_bins)
     base = (jnp.arange(-(-g // 8) * 8, dtype=jnp.int32) + block_base
             ).reshape(-1, 1)
     off = jnp.full((1, 1), 0, jnp.int32) if row_offset is None else \
@@ -217,15 +224,15 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
         in_specs=[
             pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_CLAHE_K, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _CLAHE_K), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, n_bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, n_bins), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_CLAHE_K, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, _CLAHE_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g * _CLAHE_K, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, g * _CLAHE_K), jnp.float32),
     )(base, off, b2, cdhi, cdlo)
     return out.reshape(-1)[:n]
 
@@ -306,30 +313,37 @@ def clahe_lookup(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h, tile_w,
 # ---------------------------------------------------------------------------
 # synRGB LUT lookup (1D r/g tables + 2D blue table)
 # ---------------------------------------------------------------------------
-_SYNRGB_K = 4096
+_SYNRGB_K = 8192
 
 
-def _synrgb_kernel(packed_ref, lutr_ref, lutg_ref, lutb_ref, out_ref):
-    """r/g via masked one-hot reductions; blue = row-select of the 2D table
-    on the MXU then column-select. u8 tables are exact in bf16 (integers
-    <= 255), so the bf16 MXU pass is bit-exact. Both bands arrive packed as
-    b1*256 + b2 in one lane-padded column (halves the input VMEM)."""
+def _synrgb_kernel(packed_ref, lutr_ref, lutg_ref, lutbt_ref, out_ref):
+    """r/g via (1,256)·(256,K) MXU one-hot selects; blue = row-select of the
+    (transposed) 2D table on the MXU then a sublane-masked reduce. u8 tables
+    are exact in bf16 (integers <= 255), so the bf16 MXU pass is bit-exact.
+    Both bands arrive packed as b1*256 + b2 in one lane-row (halves input
+    traffic)."""
     k = _SYNRGB_K
-    packed = packed_ref[:]
-    oh1 = ((packed // 256) == jax.lax.broadcasted_iota(jnp.int32, (k, 256), 1))
-    oh2 = ((packed % 256) == jax.lax.broadcasted_iota(jnp.int32, (k, 256), 1))
-    oh1f = oh1.astype(jnp.float32)
-    oh2f = oh2.astype(jnp.float32)
-    r = jnp.sum(oh1f * lutr_ref[:], axis=1, keepdims=True)
-    g = jnp.sum(oh2f * lutg_ref[:], axis=1, keepdims=True)
-    rows = jax.lax.dot_general(  # (K, 256): per-pixel blue row for own b1
-        oh1.astype(jnp.bfloat16), lutb_ref[:].astype(jnp.bfloat16),
+    packed = packed_ref[:]  # (1, K)
+    oh1 = ((packed // 256) == jax.lax.broadcasted_iota(jnp.int32, (256, k), 0)
+           ).astype(jnp.bfloat16)
+    oh2 = ((packed % 256) == jax.lax.broadcasted_iota(jnp.int32, (256, k), 0)
+           ).astype(jnp.bfloat16)
+    r = jax.lax.dot_general(  # (1, K)
+        lutr_ref[:], oh1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    g = jax.lax.dot_general(
+        lutg_ref[:], oh2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rows = jax.lax.dot_general(  # (256, K): per-pixel blue row for own b1
+        lutbt_ref[:].astype(jnp.bfloat16), oh1,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    blue = jnp.sum(rows * oh2f, axis=1, keepdims=True)
-    out_ref[:, 0:1] = r
-    out_ref[:, 1:2] = g
-    out_ref[:, 2:3] = blue
+    blue = jnp.sum(rows * oh2.astype(jnp.float32), axis=0, keepdims=True)
+    out_ref[0:1, :] = r
+    out_ref[1:2, :] = g
+    out_ref[2:3, :] = blue
 
 
 @jax.jit
@@ -337,24 +351,24 @@ def _synrgb_lookup_pallas(b1, b2, lut_r, lut_g, lut_b):
     n = b1.size
     packed = (b1.astype(jnp.int32).reshape(-1) * 256
               + b2.astype(jnp.int32).reshape(-1))
-    pc, g = _pad_flat(packed, _SYNRGB_K, 0)
+    pc, g = _pad_row(packed, _SYNRGB_K, 0)
     lutr = lut_r.astype(jnp.float32).reshape(1, 256)
     lutg = lut_g.astype(jnp.float32).reshape(1, 256)
-    lutb = lut_b.astype(jnp.float32).reshape(256, 256)
+    lutbt = lut_b.astype(jnp.float32).reshape(256, 256).T  # [b2, b1]
     out = pl.pallas_call(
         _synrgb_kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((_SYNRGB_K, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SYNRGB_K), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((256, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_SYNRGB_K, 3), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((3, _SYNRGB_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g * _SYNRGB_K, 3), jnp.float32),
-    )(pc, lutr, lutg, lutb)
-    return out[:n].astype(jnp.uint8)
+        out_shape=jax.ShapeDtypeStruct((3, g * _SYNRGB_K), jnp.float32),
+    )(pc, lutr, lutg, lutbt)
+    return out[:, :n].astype(jnp.uint8).T
 
 
 @jax.jit
