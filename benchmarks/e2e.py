@@ -76,6 +76,7 @@ def ensure_fullsize_safe(side: int = SIDE, seed: int = 11) -> Path:
             fixtures.ANNOTATION_TEMPLATE.format(
                 product_type="GRD", pol=pol.upper(),
                 pass_direction="ASCENDING", samples=side, lines=side,
+                geolocation_block="",
             )
         )
         fixtures._write_measurement_tiff(

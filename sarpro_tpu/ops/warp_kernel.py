@@ -9,15 +9,18 @@ source window. Per tile:
      scalar-prefetched, computed host-side from the coarse mapping grid);
   2. interpolate the mapping grid to per-pixel source coords (in-kernel,
      from the VMEM-resident grid — same math as the XLA path);
-  3. sample separably via one-hot weight matrices:
-         R   = W_y (TPIX, 32) @ window (32, 256)        [MXU]
-         out = Σ_c (W_x ⊙ R)(TPIX, 256)                 [VPU]
+  3. sample separably via one-hot weight matrices (pixels along LANES — the
+     row-stream layout of ops/kernels.py; (TPIX, 1) column outputs are
+     lane-padded 128x in the tiled layout and were measured to dominate):
+         Rᵀ  = window (WIN_R, WIN_C)ᵀ-contracted W_y (WIN_R, TPIX)   [MXU]
+         out = Σ_r (W_x ⊙ Rᵀ)(WIN_C, TPIX)                           [VPU]
      with border renormalization via the separable weight sums — matching
      the XLA fallback's wsum semantics exactly.
 
-Output leaves the kernel tile-major, (n_tiles·TPIX, 1); the caller
-rearranges to row-major. Preconditions (local scale ≤ ~1.7, window fits) are
-validated host-side; violations fall back to the XLA sampler.
+Output leaves the kernel tile-major as (1, TPIX) lane-rows of a flat
+(1, n_tiles·TPIX) array; the caller rearranges to row-major. Preconditions
+(local scale ≤ ~1.7, window fits) are validated host-side; violations fall
+back to the XLA sampler.
 """
 from __future__ import annotations
 
@@ -79,10 +82,10 @@ def _warp_tile_kernel(method: str, src_h: int, src_w: int, ntx: int,
     )
     dma.start()
 
-    # per-pixel output coords for this tile
+    # per-pixel output coords for this tile (pixels along lanes)
     ty = t // ntx
     tx = t % ntx
-    flat = jax.lax.broadcasted_iota(jnp.int32, (TPIX, 1), 0)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, TPIX), 1)
     rf = (ty * TR + flat // TC).astype(jnp.float32)
     cf = (tx * TC + flat % TC).astype(jnp.float32)
 
@@ -107,16 +110,16 @@ def _warp_tile_kernel(method: str, src_h: int, src_w: int, ntx: int,
         wys, base = _tap_weights(sy - y0f, method, n_taps)
         wxs, _ = _tap_weights(sx - x0f, method, n_taps)
 
-    win_rows = jax.lax.broadcasted_iota(jnp.int32, (TPIX, WIN_R), 1)
-    win_cols = jax.lax.broadcasted_iota(jnp.int32, (TPIX, WIN_C), 1)
+    win_rows = jax.lax.broadcasted_iota(jnp.int32, (WIN_R, TPIX), 0)
+    win_cols = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, TPIX), 0)
 
-    w_y = jnp.zeros((TPIX, WIN_R), jnp.float32)
+    w_y = jnp.zeros((WIN_R, TPIX), jnp.float32)
     for i, wy in enumerate(wys):
         gy = y0 + (base + i)                      # global source row
         valid = (gy >= 0) & (gy < src_h)
         w = jnp.where(valid, wy, 0.0)
         w_y = w_y + (win_rows == (gy - oy)).astype(jnp.float32) * w
-    w_x = jnp.zeros((TPIX, WIN_C), jnp.float32)
+    w_x = jnp.zeros((WIN_C, TPIX), jnp.float32)
     for i, wx in enumerate(wxs):
         gx = x0 + (base + i)
         valid = (gx >= 0) & (gx < src_w)
@@ -124,14 +127,14 @@ def _warp_tile_kernel(method: str, src_h: int, src_w: int, ntx: int,
         w_x = w_x + (win_cols == (gx - ox)).astype(jnp.float32) * w
 
     dma.wait()
-    rows = jax.lax.dot_general(
-        w_y, win_ref[:], (((1,), (0,)), ((), ())),
+    rows = jax.lax.dot_general(  # (WIN_C, TPIX)
+        win_ref[:], w_y, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (TPIX, WIN_C)
-    val = jnp.sum(w_x * rows, axis=1, keepdims=True)
-    wsum = (jnp.sum(w_y, axis=1, keepdims=True)
-            * jnp.sum(w_x, axis=1, keepdims=True))
+    )
+    val = jnp.sum(w_x * rows, axis=0, keepdims=True)
+    wsum = (jnp.sum(w_y, axis=0, keepdims=True)
+            * jnp.sum(w_x, axis=0, keepdims=True))
     out_ref[:] = jnp.where(wsum > 1e-6, val / jnp.maximum(wsum, 1e-20), 0.0)
 
 
@@ -157,13 +160,13 @@ def _warp_tiled_call(src, oy, ox, cx, cy,
             pl.BlockSpec((8, 4), lambda t: (t // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),    # src stays in HBM
         ],
-        out_specs=pl.BlockSpec((TPIX, 1), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((1, TPIX), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((WIN_R, WIN_C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TPIX, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n_tiles * TPIX), jnp.float32),
     )(oy, ox, cx, cy, src)
     tiles = out_flat.reshape(nty, ntx, TR, TC)
     full = tiles.transpose(0, 2, 1, 3).reshape(nty * TR, ntx * TC)
