@@ -30,7 +30,7 @@ from ..types import AutoscaleStrategy, BitDepth
 from .clahe import CLAHE_BINS, CLIP_LIMIT, TILES_X, TILES_Y
 from .numerics import round_half_up_nonneg
 from .pipeline import DB_FLOOR, DB_VALID_THRESHOLD, NUM_BINS
-from .resize import _build_coeffs, _resample_axis0
+from .resize import _build_coeffs  # noqa: F401 — shared coefficient cache
 from .synthetic_rgb import (
     BLUE_SCALE_SUPP,
     EPS_SUPP,
@@ -251,17 +251,16 @@ def _clahe(db, mask, low, high, max_val, rows: int, cols: int,
 def _resample_dn(x, out_rows: int, out_cols: int, filter_name: str):
     """Downsample-on-read equivalent, in-graph (static shapes).
 
-    The first (row) pass gathers in the input's native dtype — u16 DN rasters
-    stream from HBM at half the f32 traffic; _resample_axis0 casts per tap."""
-    from .resize import _apply_axis0
+    The first (row) pass consumes the input's native dtype — u16 DN rasters
+    stream from HBM at half the f32 traffic (the banded kernel casts
+    in-VMEM; the tap-loop fallback casts per tap)."""
+    from .resize import _apply_axis0_banded
 
     in_rows, in_cols = x.shape
     if in_rows != out_rows:
-        s, w = _build_coeffs(in_rows, out_rows, filter_name)
-        x = _apply_axis0(x, s, w, out_rows)
+        x = _apply_axis0_banded(x, filter_name, in_rows, out_rows)
     if in_cols != out_cols:
-        s, w = _build_coeffs(in_cols, out_cols, filter_name)
-        x = _apply_axis0(x.T, s, w, out_cols).T
+        x = _apply_axis0_banded(x.T, filter_name, in_cols, out_cols).T
     return x.astype(jnp.float32)
 
 

@@ -156,11 +156,25 @@ def _nearest_axis0(x, idx):
 
 
 def _apply_axis0(x, s_np, w_np, out_n: int):
-    """Axis-0 resample. The tap-loop of whole-row gathers wins on TPU: a
-    banded per-block-DMA Pallas kernel was measured SLOWER (135 vs 125 ms on
-    the 400MP headline) — per-block overhead over ~10k tiny blocks exceeds
-    the gather cost it saves."""
+    """Axis-0 resample via the tap-loop of whole-row gathers. Used by the
+    quantized (Pillow-bit-exact) resize, whose per-tap f32 sum order is part
+    of the exactness contract; the DN/plane paths use `_apply_axis0_banded`
+    below (round 1's banded kernel was slower, but that one dispatched ~10k
+    lane-padded (TPIX,1) blocks — the round-2 kernel DMAs 8-row bands and is
+    ~3x the tap-loop on the 400 MP row pass)."""
     return _resample_axis0(x, jnp.asarray(s_np), jnp.asarray(w_np))
+
+
+def _apply_axis0_banded(x, filter_name: str, in_n: int, out_n: int):
+    """Axis-0 resample preferring the banded-DMA Pallas kernel (TPU);
+    falls back to the tap-loop off-TPU or outside kernel preconditions."""
+    from ..ops.resample_kernel import band_resample_axis0
+
+    out = band_resample_axis0(x, in_n, out_n, filter_name)
+    if out is not None:
+        return out
+    s, w = _build_coeffs(in_n, out_n, filter_name)
+    return _resample_axis0(x, jnp.asarray(s), jnp.asarray(w))
 
 
 def resample_plane(
@@ -175,11 +189,9 @@ def resample_plane(
         y = _nearest_axis0(x, jnp.asarray(ri, jnp.int32))
         return _nearest_axis0(y.T, jnp.asarray(ci, jnp.int32)).T
     if in_rows != out_rows:
-        s, w = _build_coeffs(in_rows, out_rows, filter_name)
-        x = _apply_axis0(x, s, w, out_rows)
+        x = _apply_axis0_banded(x, filter_name, in_rows, out_rows)
     if in_cols != out_cols:
-        s, w = _build_coeffs(in_cols, out_cols, filter_name)
-        x = _apply_axis0(x.T, s, w, out_cols).T
+        x = _apply_axis0_banded(x.T, filter_name, in_cols, out_cols).T
     return x
 
 

@@ -1,0 +1,158 @@
+"""Banded-DMA separable resampler (axis 0) — one pass over the source.
+
+The XLA tap-loop (core/resize._resample_axis0) sweeps the source once per
+filter tap, materializing a full-width f32 intermediate per tap (measured
+~5.5 ms for the 400 MP u16 row pass at 11 taps on v5e). This kernel makes a
+single pass: per 8-output-row block it DMAs the covering source row band
+HBM→VMEM (double-buffered) and applies an (8, B)·(B, cols) MXU matmul whose
+weight block carries the filter coefficients in band-local coordinates —
+the same coefficients `_build_coeffs` produces, so any separable filter
+(box/lanczos/cubic/bilinear) fits.
+
+Constraints mapped to the TPU tiling: band starts align down to 16 sublanes
+(`pl.multiple_of`), the band height B is a 16-multiple, and the DMA'd column
+extent is the largest 128-multiple ≤ cols — the ragged column tail (cols %
+128) is resampled by the XLA tap-loop and written into the kernel output's
+tail slice (cheap: ≤127 columns).
+
+Used by the DN downsample and plane-resample paths (core/resize). The
+quantized u8/u16 Pillow-exact resize keeps the tap-loop: its per-tap f32
+sum order is part of the bit-exactness contract with the reference.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .kernels import use_pallas
+
+_MAX_SCRATCH_BYTES = 12 << 20  # 2 double-buffered bands must fit VMEM
+
+
+@functools.lru_cache(maxsize=64)
+def _band_plan(in_size: int, out_size: int, filter_name: str):
+    """(r0s, W, B, G) band geometry + band-local weight blocks (numpy)."""
+    from ..core.resize import _build_coeffs
+
+    starts, weights = _build_coeffs(in_size, out_size, filter_name)
+    out_n, ksize = weights.shape
+    G = -(-out_n // 8)
+    spans = []
+    for i in range(G):
+        o0 = i * 8
+        o1 = min(o0 + 8, out_n) - 1
+        spans.append(int(starts[o1]) + ksize - int(starts[o0]))
+    # +16 slack: starts round DOWN to the 16-sublane tiling for the DMA
+    B = int(np.ceil((max(spans) + 16) / 16.0) * 16)
+    if B > in_size // 16 * 16:
+        return None  # band would exceed the (aligned) source extent
+    r0s = np.zeros(G, np.int32)
+    W = np.zeros((G, 8, B), np.float32)
+    for i in range(G):
+        o0 = i * 8
+        r0 = min(int(starts[o0]) // 16 * 16, max((in_size - B) // 16 * 16, 0))
+        r0s[i] = r0
+        for j in range(8):
+            o = o0 + j
+            if o >= out_n:
+                break
+            off = int(starts[o]) - r0
+            w = weights[o]
+            for t in range(ksize):
+                if w[t] != 0.0 and 0 <= off + t < B:
+                    W[i, j, off + t] = w[t]
+    return r0s, W, B, G
+
+
+def _kernel(B: int, G: int, needs_cast: bool, r0s_ref, w_ref, x_ref, out_ref,
+            scratch, sems):
+    i = pl.program_id(0)
+
+    def dma(slot, block):
+        r0 = pl.multiple_of(r0s_ref[block, 0], 16)
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(r0, B), pl.ds(0, scratch.shape[2])],
+            scratch.at[slot], sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < G)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    band = scratch[i % 2]
+    if needs_cast:
+        # u16 -> f32 is unsupported in Mosaic; route through i32
+        band = band.astype(jnp.int32)
+    band = band.astype(jnp.float32)
+    out_ref[:] = jax.lax.dot_general(
+        w_ref[0], band, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # true-f32 passes: the default bf16 matmul costs ~5e-3 relative
+        # error on u16-range data; the band matmul is tiny (3.6 GMACs for
+        # a 400 MP pass), so the 6-pass f32 mode is free
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_n", "ca", "B", "G"))
+def _banded_call(x, r0s, W, out_n: int, ca: int, B: int, G: int):
+    out = pl.pallas_call(
+        functools.partial(_kernel, B, G, x.dtype != jnp.float32),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((G, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # source stays in HBM
+        ],
+        out_specs=pl.BlockSpec((8, ca), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G * 8, ca), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, ca), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(r0s.reshape(G, 1), W, x)
+    return out[:out_n]
+
+
+def band_resample_axis0(x, in_size: int, out_size: int, filter_name: str):
+    """Axis-0 resample of a 2D u16/f32 array to out_size rows, or None when
+    the kernel's preconditions don't hold (caller falls back to the
+    tap-loop). Numerics: same coefficients; per-output-element sums run on
+    the MXU instead of tap order (f32-level differences only)."""
+    if not use_pallas():
+        return None
+    if x.ndim != 2 or x.dtype not in (jnp.uint16, jnp.float32):
+        return None
+    rows, cols = x.shape
+    if rows != in_size or out_size < 8 or in_size <= out_size:
+        return None
+    ca = cols // 128 * 128
+    if ca == 0:
+        return None
+    plan = _band_plan(in_size, out_size, filter_name)
+    if plan is None:
+        return None
+    r0s, W, B, G = plan
+    if 2 * B * ca * x.dtype.itemsize > _MAX_SCRATCH_BYTES:
+        return None
+    # full x stays in HBM; the kernel DMAs (B, ca) sub-windows of it
+    main = _banded_call(x, jnp.asarray(r0s), jnp.asarray(W), out_size, ca,
+                        B, G)
+    if ca == cols:
+        return main
+    from ..core.resize import _build_coeffs, _resample_axis0
+
+    s, w = _build_coeffs(in_size, out_size, filter_name)
+    tail = _resample_axis0(x[:, ca:], jnp.asarray(s), jnp.asarray(w))
+    return jnp.concatenate([main, tail], axis=1)
