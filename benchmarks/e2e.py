@@ -121,7 +121,16 @@ def run_e2e(runs: int = 5, strategy: str = "clahe") -> dict:
 
 
 def run_breakdown() -> dict:
-    """Per-stage timing of the same flow (read/transfer/compute/fetch/write)."""
+    """Per-stage timing of the same flow (read/transfer/compute/fetch/write).
+
+    Host stages report the MIN of several repetitions: the single shared CPU
+    core also runs the JAX runtime's tunnel threads, so individual reps can
+    be inflated 2-3x by scheduling noise; the min is what a dedicated host
+    core does. Device compute uses rep-differencing inside one dispatch
+    ((t(6 reps) - t(1))/5 with per-rep perturbed inputs so XLA cannot CSE
+    them) — a single dispatch+fetch measurement would embed two ~27 ms RPC
+    round-trips a co-located host does not pay."""
+    import jax
     import jax.numpy as jnp
 
     from sarpro_tpu.core import fused
@@ -137,9 +146,17 @@ def run_breakdown() -> dict:
         r = fn()
         return (time.perf_counter() - t0) * 1000.0, r
 
+    def t_min(fn, reps=3):
+        best, res = None, None
+        for _ in range(reps):
+            ms, r = t(fn)
+            if best is None or ms < best:
+                best, res = ms, r
+        return best, res
+
     read_ms, planes = 0.0, []
     for p in paths:
-        ms, arr = t(lambda p=p: RasterReader(p).read_band_resampled(
+        ms, arr = t_min(lambda p=p: RasterReader(p).read_band_resampled(
             1, 2048, 2048, "average"))
         read_ms += ms
         planes.append(arr)
@@ -151,31 +168,43 @@ def run_breakdown() -> dict:
         return devs
 
     xfer_ms, dev = t(xfer)
-    # warmup compile
+
+    def reps_runner(r):
+        @jax.jit
+        def run(a, b):
+            acc = jnp.int32(0)
+            for i in range(r):
+                out = fused.synrgb_pipeline(
+                    a + i, b + i, strategy=AutoscaleStrategy.CLAHE,
+                    target_size=2048, pad=True)
+                acc = acc + out[0, 0, 0].astype(jnp.int32)
+            return acc
+        run(dev[0], dev[1])  # compile
+        return lambda: int(np.asarray(run(dev[0], dev[1])))
+
+    one, many = reps_runner(1), reps_runner(6)
+    t1 = min(t(one)[0] for _ in range(3))
+    t6 = min(t(many)[0] for _ in range(3))
+    comp_ms = max((t6 - t1) / 5.0, 0.0)
+
     out = fused.synrgb_pipeline(dev[0], dev[1],
                                 strategy=AutoscaleStrategy.CLAHE,
                                 target_size=2048, pad=True)
     _ = int(np.asarray(out[0, 0, 0]))
-    comp = []
-    for _ in range(5):
-        ms, out = t(lambda: fused.synrgb_pipeline(
-            dev[0], dev[1], strategy=AutoscaleStrategy.CLAHE,
-            target_size=2048, pad=True))
-        # force completion with a scalar fetch (block_until_ready is a no-op
-        # under the axon remote platform)
-        ms2, _ = t(lambda: int(np.asarray(out[0, 0, 0])))
-        comp.append(ms + ms2)
     fetch_ms, host_rgb = t(lambda: np.asarray(out))
-    write_ms, _ = t(lambda: write_rgb_jpeg(DATA / "bd.jpg", 2048, 2048,
-                                           host_rgb))
+    write_ms, _ = t_min(lambda: write_rgb_jpeg(DATA / "bd.jpg", 2048, 2048,
+                                               host_rgb), reps=5)
     return {
         "read_reduce_ms": round(read_ms, 1),
         "h2d_transfer_ms": round(xfer_ms, 1),
-        "device_compute_ms": round(float(np.percentile(comp, 50)), 1),
+        "device_compute_ms": round(comp_ms, 1),
         "d2h_fetch_ms": round(fetch_ms, 1),
         "jpeg_write_ms": round(write_ms, 1),
-        "note": "read is dual-band single-pass native box reduce from disk; "
-                "transfer/fetch ride the axon RPC tunnel (~27ms/dispatch)",
+        "note": "read is dual-band single-pass native box reduce from disk "
+                "(min of 3 reps/band); device compute is rep-differenced "
+                "inside one dispatch; transfer/fetch ride the axon RPC "
+                "tunnel (~27ms/dispatch) and are replaced by the PCIe "
+                "allowance in the component sum",
     }
 
 

@@ -136,12 +136,15 @@ def utm_inverse(easting, northing, zone: int, south: bool):
 
 
 def ups_forward(lon_deg, lat_deg, north: bool):
-    """Polar stereographic (UPS variant B) forward."""
+    """Polar stereographic (UPS, EPSG method 9810 variant A) forward.
+
+    The easting term is FE + ρ·sin(λ−λ0) for BOTH aspects; only the
+    northing's cos term flips sign for south. (Round 1 negated λ for the
+    south aspect, mirroring eastings — invisible to round-trip tests,
+    caught against the EPSG worked example.)"""
     lon = np.radians(np.asarray(lon_deg, np.float64))
-    lat = np.radians(np.asarray(lat_deg, np.float64))
     sign = 1.0 if north else -1.0
-    lat = sign * lat
-    lon = sign * lon
+    lat = sign * np.radians(np.asarray(lat_deg, np.float64))
     s = np.sin(lat)
     t = np.tan(np.pi / 4 - lat / 2) * ((1 + _E * s) / (1 - _E * s)) ** (_E / 2)
     rho = 2 * _A * UPS_K0 * t / np.sqrt((1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E))
@@ -182,6 +185,137 @@ def mercator_inverse(x, y):
     return np.degrees(np.asarray(x, np.float64) / _A), np.degrees(lat)
 
 
+def polar_stereo_forward(lon_deg, lat_deg, lat_ts: float, lon0: float,
+                         fe: float, fn: float, north: bool):
+    """Polar Stereographic variant B (EPSG method 9829): scale defined by a
+    standard parallel `lat_ts` instead of k0. Covers the polar-science grids
+    (EPSG:3413/3976 NSIDC, EPSG:3031 Antarctic)."""
+    sign = 1.0 if north else -1.0
+    # easting uses λ−λ0 unmirrored for both aspects (EPSG method 9829; cf.
+    # the ups_forward note on the round-1 south-aspect mirror bug)
+    lon = np.radians(np.asarray(lon_deg, np.float64) - lon0)
+    lat = sign * np.radians(np.asarray(lat_deg, np.float64))
+    lat_c = abs(np.radians(lat_ts))
+    s = np.sin(lat)
+    t = np.tan(np.pi / 4 - lat / 2) * ((1 + _E * s) / (1 - _E * s)) ** (_E / 2)
+    sc = np.sin(lat_c)
+    t_c = np.tan(np.pi / 4 - lat_c / 2) * (
+        (1 + _E * sc) / (1 - _E * sc)) ** (_E / 2)
+    m_c = np.cos(lat_c) / np.sqrt(1 - _E2 * sc * sc)
+    rho = _A * m_c * t / t_c
+    x = fe + rho * np.sin(lon)
+    y = fn - sign * rho * np.cos(lon)
+    return x, y
+
+
+def polar_stereo_inverse(x, y, lat_ts: float, lon0: float, fe: float,
+                         fn: float, north: bool):
+    sign = 1.0 if north else -1.0
+    dx = np.asarray(x, np.float64) - fe
+    dy = sign * (fn - np.asarray(y, np.float64))
+    rho = np.hypot(dx, dy)
+    lat_c = abs(np.radians(lat_ts))
+    sc = np.sin(lat_c)
+    t_c = np.tan(np.pi / 4 - lat_c / 2) * (
+        (1 + _E * sc) / (1 - _E * sc)) ** (_E / 2)
+    m_c = np.cos(lat_c) / np.sqrt(1 - _E2 * sc * sc)
+    t = rho * t_c / (_A * m_c)
+    lat = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2)
+        )
+    lon = np.degrees(np.arctan2(dx, dy)) + lon0
+    lon = (lon + 180.0) % 360.0 - 180.0  # wrap for nonzero lon0
+    return lon, sign * np.degrees(lat)
+
+
+# GRS80 (ETRS89 / EPSG:3035); datum shift vs WGS84 is sub-decimeter and far
+# below a GRD ground sample — treated as zero like gdalwarp's default path
+_A80 = 6378137.0
+_F80 = 1.0 / 298.257222101
+_E2_80 = _F80 * (2.0 - _F80)
+_E80 = np.sqrt(_E2_80)
+
+
+def _authalic_q(lat, e, e2):
+    s = np.sin(lat)
+    return (1 - e2) * (s / (1 - e2 * s * s)
+                       - (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+
+def laea_forward(lon_deg, lat_deg, lat0: float, lon0: float, fe: float,
+                 fn: float, a: float = _A80, e: float = _E80,
+                 e2: float = _E2_80):
+    """Lambert Azimuthal Equal Area, ellipsoidal (EPSG method 9820) — the
+    EPSG:3035 ETRS89-LAEA Europe grid."""
+    lon = np.radians(np.asarray(lon_deg, np.float64) - lon0)
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    phi0 = np.radians(lat0)
+    q = _authalic_q(lat, e, e2)
+    q0 = _authalic_q(phi0, e, e2)
+    qp = _authalic_q(np.pi / 2, e, e2)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    beta0 = np.arcsin(np.clip(q0 / qp, -1.0, 1.0))
+    rq = a * np.sqrt(qp / 2.0)
+    s0 = np.sin(phi0)
+    m0 = np.cos(phi0) / np.sqrt(1 - e2 * s0 * s0)
+    d = a * m0 / (rq * np.cos(beta0))
+    b = rq * np.sqrt(np.maximum(
+        2.0 / (1 + np.sin(beta0) * np.sin(beta)
+               + np.cos(beta0) * np.cos(beta) * np.cos(lon)), 0.0))
+    x = fe + b * d * np.cos(beta) * np.sin(lon)
+    y = fn + (b / d) * (np.cos(beta0) * np.sin(beta)
+                        - np.sin(beta0) * np.cos(beta) * np.cos(lon))
+    return x, y
+
+
+def laea_inverse(x, y, lat0: float, lon0: float, fe: float, fn: float,
+                 a: float = _A80, e: float = _E80, e2: float = _E2_80):
+    phi0 = np.radians(lat0)
+    q0 = _authalic_q(phi0, e, e2)
+    qp = _authalic_q(np.pi / 2, e, e2)
+    beta0 = np.arcsin(np.clip(q0 / qp, -1.0, 1.0))
+    rq = a * np.sqrt(qp / 2.0)
+    s0 = np.sin(phi0)
+    m0 = np.cos(phi0) / np.sqrt(1 - e2 * s0 * s0)
+    d = a * m0 / (rq * np.cos(beta0))
+    dx = (np.asarray(x, np.float64) - fe) / d
+    dy = (np.asarray(y, np.float64) - fn) * d
+    rho = np.hypot(dx, dy)
+    with np.errstate(invalid="ignore"):
+        ce = 2 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+        beta = np.where(
+            rho == 0, beta0,
+            np.arcsin(np.clip(
+                np.cos(ce) * np.sin(beta0)
+                + np.where(rho == 0, 0.0, dy * np.sin(ce) * np.cos(beta0)
+                           / np.maximum(rho, 1e-300)), -1.0, 1.0)),
+        )
+        lon = np.arctan2(dx * np.sin(ce),
+                         rho * np.cos(beta0) * np.cos(ce)
+                         - dy * np.sin(beta0) * np.sin(ce))
+    # authalic -> geodetic latitude (series in e2; EPSG guidance 7-2)
+    lat = (beta
+           + (e2 / 3 + 31 * e2**2 / 180 + 517 * e2**3 / 5040)
+           * np.sin(2 * beta)
+           + (23 * e2**2 / 360 + 251 * e2**3 / 3780) * np.sin(4 * beta)
+           + (761 * e2**3 / 45360) * np.sin(6 * beta))
+    return np.degrees(lon) + lon0, np.degrees(lat)
+
+
+# EPSG polar-science / equal-area grids: parameter tables
+_POLAR_STEREO = {
+    3413: dict(lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0, north=True),
+    3976: dict(lat_ts=-70.0, lon0=0.0, fe=0.0, fn=0.0, north=False),
+    3031: dict(lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0, north=False),
+}
+_LAEA = {
+    3035: dict(lat0=52.0, lon0=10.0, fe=4321000.0, fn=3210000.0),
+}
+
+
 def ups_inverse(easting, northing, north: bool):
     sign = 1.0 if north else -1.0
     dx = np.asarray(easting, np.float64) - UPS_FE
@@ -196,7 +330,7 @@ def ups_inverse(easting, northing, north: bool):
             t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2)
         )
     lon = np.arctan2(dx, dy)
-    return sign * np.degrees(lon), sign * np.degrees(lat)
+    return np.degrees(lon), sign * np.degrees(lat)
 
 
 # ---------------------------------------------------------------------------
@@ -237,13 +371,18 @@ def epsg_kind(code: int) -> Optional[dict]:
         return {"kind": "webmercator"}
     if code == 3395:
         return {"kind": "mercator"}
+    if code in _POLAR_STEREO:
+        return {"kind": "polar_stereo", **_POLAR_STEREO[code]}
+    if code in _LAEA:
+        return {"kind": "laea", **_LAEA[code]}
     return None
 
 
 SUPPORTED_CRS_FAMILIES = (
     "EPSG:4326 (geographic), EPSG:326xx/327xx (UTM WGS84 N/S), "
     "EPSG:32661/32761 (UPS), EPSG:3857 (Web Mercator), "
-    "EPSG:3395 (World Mercator)"
+    "EPSG:3395 (World Mercator), EPSG:3413/3976/3031 (polar "
+    "stereographic science grids), EPSG:3035 (ETRS89-LAEA Europe)"
 )
 
 
@@ -308,6 +447,37 @@ def epsg_to_wkt(code: int) -> Optional[str]:
             f'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
             f'AUTHORITY["EPSG","3395"]]'
         )
+    if info["kind"] == "polar_stereo":
+        names = {3413: "WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+                 3976: "WGS 84 / NSIDC Sea Ice Polar Stereographic South",
+                 3031: "WGS 84 / Antarctic Polar Stereographic"}
+        return (
+            f'PROJCS["{names[code]}",{_WKT_GEOGCS},'
+            f'PROJECTION["Polar_Stereographic"],'
+            f'PARAMETER["latitude_of_origin",{info["lat_ts"]:g}],'
+            f'PARAMETER["central_meridian",{info["lon0"]:g}],'
+            f'PARAMETER["false_easting",{info["fe"]:g}],'
+            f'PARAMETER["false_northing",{info["fn"]:g}],'
+            f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+            f'AUTHORITY["EPSG","{code}"]]'
+        )
+    if info["kind"] == "laea":
+        return (
+            f'PROJCS["ETRS89-extended / LAEA Europe",'
+            f'GEOGCS["ETRS89",DATUM["European_Terrestrial_Reference_'
+            f'System_1989",SPHEROID["GRS 1980",6378137,298.257222101,'
+            f'AUTHORITY["EPSG","7019"]],AUTHORITY["EPSG","6258"]],'
+            f'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+            f'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
+            f'AUTHORITY["EPSG","4258"]],'
+            f'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+            f'PARAMETER["latitude_of_center",{info["lat0"]:g}],'
+            f'PARAMETER["longitude_of_center",{info["lon0"]:g}],'
+            f'PARAMETER["false_easting",{info["fe"]:g}],'
+            f'PARAMETER["false_northing",{info["fn"]:g}],'
+            f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+            f'AUTHORITY["EPSG","{code}"]]'
+        )
     north = info["north"]
     name = "WGS 84 / UPS North (N,E)" if north else "WGS 84 / UPS South (N,E)"
     lat0 = 90 if north else -90
@@ -339,6 +509,12 @@ def project_forward(lon, lat, code: int):
         return webmercator_forward(lon, lat)
     if info["kind"] == "mercator":
         return mercator_forward(lon, lat)
+    if info["kind"] == "polar_stereo":
+        return polar_stereo_forward(lon, lat, info["lat_ts"], info["lon0"],
+                                    info["fe"], info["fn"], info["north"])
+    if info["kind"] == "laea":
+        return laea_forward(lon, lat, info["lat0"], info["lon0"],
+                            info["fe"], info["fn"])
     return ups_forward(lon, lat, info["north"])
 
 
@@ -357,6 +533,12 @@ def project_inverse(x, y, code: int):
         return webmercator_inverse(x, y)
     if info["kind"] == "mercator":
         return mercator_inverse(x, y)
+    if info["kind"] == "polar_stereo":
+        return polar_stereo_inverse(x, y, info["lat_ts"], info["lon0"],
+                                    info["fe"], info["fn"], info["north"])
+    if info["kind"] == "laea":
+        return laea_inverse(x, y, info["lat0"], info["lon0"],
+                            info["fe"], info["fn"])
     return ups_inverse(x, y, info["north"])
 
 

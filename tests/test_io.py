@@ -604,3 +604,62 @@ def test_raster_reader_unsupported_extension(tmp_path):
     p.write_bytes(b"not a raster")
     with pytest.raises(RasterError, match="unsupported raster format"):
         RasterReader(p)
+
+
+# ---------------------------------------------------------------------------
+# Polar-science + equal-area CRS family (round 2)
+# ---------------------------------------------------------------------------
+def test_ups_north_epsg_worked_example():
+    """EPSG guidance 7-2, Polar Stereographic variant A worked example:
+    UPS North at (44E, 73N) -> E 3320416.75, N 632668.43."""
+    x, y = geodesy.ups_forward(44.0, 73.0, True)
+    assert float(x) == pytest.approx(3320416.75, abs=0.01)
+    assert float(y) == pytest.approx(632668.43, abs=0.01)
+
+
+def test_polar_stereo_variant_b_epsg_worked_example():
+    """EPSG guidance 7-2, variant B worked example (Australian Antarctic
+    parameters): (120E, 75S) -> E 7255380.79, N 7053389.56."""
+    x, y = geodesy.polar_stereo_forward(120.0, -75.0, -71.0, 70.0,
+                                        6000000.0, 6000000.0, False)
+    assert float(x) == pytest.approx(7255380.79, abs=0.01)
+    assert float(y) == pytest.approx(7053389.56, abs=0.01)
+
+
+def test_laea_epsg_worked_example():
+    """EPSG guidance 7-2, LAEA (method 9820) worked example for
+    ETRS89-LAEA Europe: (5E, 50N) -> E 3962799.45, N 2999718.85."""
+    x, y = geodesy.project_forward(5.0, 50.0, 3035)
+    assert float(x) == pytest.approx(3962799.45, abs=0.01)
+    assert float(y) == pytest.approx(2999718.85, abs=0.01)
+    # grid origin maps to the false offsets exactly
+    x0, y0 = geodesy.project_forward(10.0, 52.0, 3035)
+    assert float(x0) == pytest.approx(4321000.0, abs=1e-6)
+    assert float(y0) == pytest.approx(3210000.0, abs=1e-6)
+
+
+def test_south_polar_easting_orientation():
+    """Regression for the round-1 south-aspect mirror: east longitudes must
+    map to eastings RIGHT of the pole for south aspects too (EPSG 9810/9829:
+    E = FE + rho*sin(lam-lam0) for both aspects)."""
+    for code in (32761, 3031, 3976):
+        x, _ = geodesy.project_forward(90.0, -75.0, code)  # due east of lam0=0
+        info = geodesy.epsg_kind(code)
+        fe = 2000000.0 if info["kind"] == "ups" else info["fe"]
+        assert float(x) > fe, f"EPSG:{code} easting mirrored"
+
+
+@pytest.mark.parametrize("code,lat_range", [
+    (3413, (60, 89)), (3976, (-89, -55)), (3031, (-89, -60)),
+    (3035, (35, 70)),
+])
+def test_new_crs_roundtrip(code, lat_range):
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(-170, 170, 60)
+    lats = rng.uniform(*lat_range, 60)
+    x, y = geodesy.project_forward(lons, lats, code)
+    lo2, la2 = geodesy.project_inverse(x, y, code)
+    np.testing.assert_allclose(lo2, lons, atol=1e-7)
+    np.testing.assert_allclose(la2, lats, atol=1e-7)
+    wkt = geodesy.epsg_to_wkt(code)
+    assert wkt and f'AUTHORITY["EPSG","{code}"]' in wkt

@@ -146,7 +146,8 @@ def test_suggested_resolution_gcp_lattice(tmp_path):
 # ---------------------------------------------------------------------------
 # Inverse-mapping grid interpolation error bound
 # ---------------------------------------------------------------------------
-@pytest.mark.parametrize("target", ["EPSG:4326", "EPSG:32632", "EPSG:3857"])
+@pytest.mark.parametrize("target", ["EPSG:4326", "EPSG:32632", "EPSG:3857",
+                                    "EPSG:3413", "EPSG:3035"])
 def test_mapping_grid_displacement_bound(tmp_path, target):
     """The device sampler bilinearly upsamples a coarse inverse-mapping grid;
     its worst-case displacement vs the exact f64 mapping must stay below
