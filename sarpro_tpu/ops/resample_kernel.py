@@ -69,14 +69,14 @@ def _band_plan(in_size: int, out_size: int, filter_name: str):
     return r0s, W, B, G
 
 
-def _kernel(B: int, G: int, needs_cast: bool, r0s_ref, w_ref, x_ref, out_ref,
-            scratch, sems):
+def _kernel(B: int, G: int, col0: int, needs_cast: bool, r0s_ref, w_ref,
+            x_ref, out_ref, scratch, sems):
     i = pl.program_id(0)
 
     def dma(slot, block):
         r0 = pl.multiple_of(r0s_ref[block, 0], 16)
         return pltpu.make_async_copy(
-            x_ref.at[pl.ds(r0, B), pl.ds(0, scratch.shape[2])],
+            x_ref.at[pl.ds(r0, B), pl.ds(col0, scratch.shape[2])],
             scratch.at[slot], sems.at[slot])
 
     @pl.when(i == 0)
@@ -103,10 +103,12 @@ def _kernel(B: int, G: int, needs_cast: bool, r0s_ref, w_ref, x_ref, out_ref,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("out_n", "ca", "B", "G"))
-def _banded_call(x, r0s, W, out_n: int, ca: int, B: int, G: int):
+@functools.partial(jax.jit,
+                   static_argnames=("out_n", "ca", "B", "G", "col0"))
+def _banded_call(x, r0s, W, out_n: int, ca: int, B: int, G: int,
+                 col0: int = 0):
     out = pl.pallas_call(
-        functools.partial(_kernel, B, G, x.dtype != jnp.float32),
+        functools.partial(_kernel, B, G, col0, x.dtype != jnp.float32),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((G, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -144,11 +146,22 @@ def band_resample_axis0(x, in_size: int, out_size: int, filter_name: str):
     if plan is None:
         return None
     r0s, W, B, G = plan
-    if 2 * B * ca * x.dtype.itemsize > _MAX_SCRATCH_BYTES:
-        return None
-    # full x stays in HBM; the kernel DMAs (B, ca) sub-windows of it
-    main = _banded_call(x, jnp.asarray(r0s), jnp.asarray(W), out_size, ca,
-                        B, G)
+    # heavy reductions (large B) exceed the double-buffered VMEM budget at
+    # full width: split the column range into 128-aligned chunks, each its
+    # own pallas_call DMA-ing (B, chunk) sub-windows of the same HBM source
+    n_split = -(-2 * B * ca * x.dtype.itemsize // _MAX_SCRATCH_BYTES)
+    if n_split > 8:
+        return None  # absurd band; let the tap-loop handle it
+    r0s_j, W_j = jnp.asarray(r0s), jnp.asarray(W)
+    chunk = max(-(-ca // n_split) // 128 * 128, 128)
+    parts = []
+    col0 = 0
+    while col0 < ca:
+        c = min(chunk, ca - col0)
+        parts.append(_banded_call(x, r0s_j, W_j, out_size, c, B, G,
+                                  col0=col0))
+        col0 += c
+    main = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     if ca == cols:
         return main
     from ..core.resize import _build_coeffs, _resample_axis0
