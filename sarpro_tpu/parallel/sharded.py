@@ -37,13 +37,13 @@ from ..types import AutoscaleStrategy, BitDepth
 SCENE_SPEC = P("scene", "row", None)
 RGB_OUT_SPEC = P("scene", "row", None, None)
 
-# Empirical Mosaic/XLA limit: the full CLAHE composition with Pallas kernels
-# inside shard_map OOMs HBM at compile time somewhere between 14.4M and
-# 16.8M local pixels (works unsharded at the same size — manual-sharding
-# buffer assignment interacts badly with the chunked kernel dispatches).
-# Above this, the shard_map path trades the MXU kernels for XLA fallbacks;
-# the explicit-psum structure is unchanged.
-_SHARDMAP_PALLAS_MAX_LOCAL_PIXELS = 12 << 20
+# Round 1's (K,1)-column kernels OOM'd HBM at compile time above ~14M local
+# pixels under shard_map; the round-2 row-stream layout compiles and runs
+# the full CLAHE composition with Pallas kernels at 144M local pixels
+# (probed on v5e, identical wall time to the XLA fallbacks at that size —
+# lookups are no longer the bottleneck there). The guard stays only as a
+# generous compile-safety backstop.
+_SHARDMAP_PALLAS_MAX_LOCAL_PIXELS = 256 << 20
 
 
 def _local_pixels(batch_shape, mesh: Mesh) -> int:
