@@ -1,0 +1,103 @@
+"""Batch throughput benchmark: serial vs pipelined drivers over N scenes.
+
+The reference's batch loop is strictly serial (api/mod.rs:502-533: read,
+process, write per product). The pipelined driver
+(parallel/batch.py:process_directory_pipelined) prefetches scene reads on a
+host thread so device compute overlaps the next scene's I/O — the
+inter-scene parallelism SURVEY.md §2.5 calls for. This benchmark builds N
+synthetic dual-pol SAFEs on disk and measures scenes/second through the
+REAL directory APIs (everything included: SAFE parse, read+reduce, device,
+JPEG write, sidecars).
+
+Usage: python benchmarks/batch_bench.py [n_scenes] [side]
+Writes benchmarks/batch_results.json.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+DATA = REPO / ".bench" / "batch"
+
+
+def ensure_scenes(n: int, side: int) -> pathlib.Path:
+    sys.path.insert(0, str(REPO / "tests"))
+    import fixtures
+
+    root = DATA / f"in_{n}x{side}"
+    marker = root / ".complete"
+    if marker.exists():
+        return root
+    if root.exists():
+        shutil.rmtree(root)
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for i in range(n):
+        base = root / f"S1A_IW_GRDH_1SDV_2025071{i}T000000.SAFE"
+        fixtures.make_safe(
+            root, name=base.name, pols=("vv", "vh"), shape=(side, side),
+            seed=int(rng.integers(0, 1 << 31)),
+        )
+    marker.write_text("ok")
+    return root
+
+
+def run(n_scenes: int = 6, side: int = 5000) -> dict:
+    from sarpro_tpu import api
+    from sarpro_tpu.params import ProcessingParams
+    from sarpro_tpu.parallel.batch import process_directory_pipelined
+    from sarpro_tpu.types import AutoscaleStrategy, OutputFormat, Polarization
+
+    indir = ensure_scenes(n_scenes, side)
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.CLAHE, size=1024,
+    )
+
+    results = {}
+    for name, fn in (
+        ("serial", lambda out: api.process_directory_to_path(
+            indir, out, params, fast=True)),
+        ("pipelined_prefetch2", lambda out: process_directory_pipelined(
+            indir, out, params, prefetch=2)),
+    ):
+        out = DATA / f"out_{name}"
+        if out.exists():
+            shutil.rmtree(out)
+        out.mkdir(parents=True)
+        fn(out)  # warmup (jit compile) on a fresh dir
+        shutil.rmtree(out)
+        out.mkdir()
+        t0 = time.perf_counter()
+        report = fn(out)
+        dt = time.perf_counter() - t0
+        results[name] = {
+            "wall_s": round(dt, 2),
+            "scenes_per_s": round(n_scenes / dt, 3),
+            "processed": report.processed,
+            "skipped": report.skipped,
+            "errors": report.errors,
+        }
+    results["config"] = (f"{n_scenes} scenes, {side}x{side} dual-pol u16 -> "
+                        f"1024 CLAHE synRGB JPEG (--fast)")
+    results["speedup"] = round(
+        results["pipelined_prefetch2"]["scenes_per_s"]
+        / results["serial"]["scenes_per_s"], 2)
+    return results
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    side = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    res = run(n, side)
+    print(json.dumps(res, indent=2))
+    (REPO / "benchmarks" / "batch_results.json").write_text(
+        json.dumps(res, indent=2))

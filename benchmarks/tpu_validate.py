@@ -1,0 +1,124 @@
+"""On-TPU kernel validation: every Pallas kernel against its XLA oracle.
+
+The pytest suite pins JAX to the virtual CPU mesh (tests/conftest.py), so
+the Pallas kernels' TPU lowerings are exercised here instead — run this on
+the real chip (no JAX_PLATFORMS override) after kernel changes:
+
+    python benchmarks/tpu_validate.py
+
+Checks (PASS/FAIL per line, nonzero exit on any FAIL):
+  histogram    — bit-exact counts vs bincount, incl. masked overflow bins
+  clahe        — bilinear CDF lookup vs XLA within the hi/lo bf16 split
+                 bound (~2e-5), incl. the row_offset shard path
+  synrgb       — bit-exact LUT composition vs XLA takes
+  resample     — banded-DMA kernel vs the tap-loop (box + lanczos, incl.
+                 column-split heavy reductions) within f32 matmul bounds
+  warp         — tiled sampler vs the XLA gather sampler (near/bilinear/
+                 cubic; near/bilinear allow half-pixel tie flips)
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+FAILURES: list[str] = []
+
+
+def check(name: str, ok: bool, detail: str = ""):
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+    if not ok:
+        FAILURES.append(name)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sarpro_tpu.ops import kernels as K
+
+    if not K.use_pallas():
+        print(f"not on TPU (backend={jax.default_backend()}); nothing to do")
+        return 0
+    rng = np.random.default_rng(7)
+
+    for n in (12288, 4 << 20):
+        idx_np = rng.integers(0, 4300, n).astype(np.int32)
+        got = np.asarray(K.histogram(jnp.asarray(idx_np), 4096))
+        want = np.bincount(idx_np[idx_np < 4096], minlength=4096)
+        check(f"histogram n={n}", np.array_equal(got, want))
+
+        cdfs = jnp.asarray(rng.random((64, 256), np.float32))
+        bins = jnp.asarray(rng.integers(0, 257, n).astype(np.int32))
+        for off in (None, 512):
+            got = np.asarray(K.clahe_lookup(bins, cdfs, 2048, 8, 8, 256,
+                                            256, row_offset=off))
+            want = np.asarray(K._clahe_lookup_xla(bins, cdfs, 2048, 8, 8,
+                                                  256, 256, row_offset=off))
+            err = float(np.abs(got - want).max())
+            check(f"clahe n={n} off={off}", err < 2e-5, f"maxerr={err:.2e}")
+
+        b1 = jnp.asarray(rng.integers(0, 256, n).astype(np.uint8))
+        b2 = jnp.asarray(rng.integers(0, 256, n).astype(np.uint8))
+        lr, lg = (jnp.asarray(rng.integers(0, 256, 256).astype(np.uint8))
+                  for _ in range(2))
+        lb = jnp.asarray(
+            rng.integers(0, 256, 65536).astype(np.uint8).reshape(256, 256))
+        got = np.asarray(K.synrgb_lookup(b1, b2, lr, lg, lb))
+        want = np.asarray(K._synrgb_lookup_xla(b1, b2, lr, lg, lb))
+        check(f"synrgb n={n}", np.array_equal(got, want))
+
+    # resample: banded kernel vs tap loop
+    from sarpro_tpu.core.resize import _build_coeffs, _resample_axis0
+    from sarpro_tpu.ops.resample_kernel import band_resample_axis0
+
+    side = 6000
+    x = jnp.asarray(rng.integers(0, 60000, (side, side)).astype(np.uint16))
+    for out_n, filt in ((2048, "average"), (512, "average"),
+                        (1024, "lanczos")):
+        got = band_resample_axis0(x, side, out_n, filt)
+        if got is None:
+            check(f"resample {filt} {side}->{out_n}", False, "kernel refused")
+            continue
+        s, w = _build_coeffs(side, out_n, filt)
+        want = np.asarray(_resample_axis0(x, jnp.asarray(s), jnp.asarray(w)))
+        rel = float((np.abs(np.asarray(got) - want)
+                     / np.maximum(np.abs(want), 1.0)).max())
+        check(f"resample {filt} {side}->{out_n}", rel < 1e-5,
+              f"maxrel={rel:.2e}")
+
+    # warp sampler vs XLA gather sampler
+    from sarpro_tpu.io.warp import _warp_sample
+    from sarpro_tpu.ops.warp_kernel import warp_sample_tiled
+
+    src = jnp.asarray(rng.random((2560, 2560)).astype(np.float32) * 1000)
+    out_r = out_c = 2048
+    gh = gw = 65
+    gy, gx = np.meshgrid(np.linspace(0, out_r - 1, gh),
+                         np.linspace(0, out_c - 1, gw), indexing="ij")
+    map_x = 0.021 * gy + 1.217 * gx + 5.3
+    map_y = 1.191 * gy - 0.013 * gx + 8.7
+    for method, tol_frac in (("near", 2e-3), ("bilinear", 2e-3),
+                             ("cubic", 1e-6)):
+        got = warp_sample_tiled(src, map_x, map_y, out_r, out_c, method)
+        if got is None:
+            check(f"warp {method}", False, "kernel refused")
+            continue
+        want = np.asarray(_warp_sample(
+            src, jnp.asarray(map_x, jnp.float32),
+            jnp.asarray(map_y, jnp.float32), out_r, out_c, method))
+        diff = np.abs(np.asarray(got) - want)
+        # near/bilinear: half-pixel coordinate ties may flip to a different
+        # source pixel in a tiny fraction of pixels; cubic must agree
+        frac_off = float((diff > 1.0).mean())
+        check(f"warp {method}", frac_off < tol_frac,
+              f"frac>|1.0|={frac_off:.2e}")
+
+    print(f"\n{len(FAILURES)} failure(s)")
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
