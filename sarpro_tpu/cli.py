@@ -109,6 +109,9 @@ def _params_from_args(args) -> ProcessingParams:
 
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from .utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.log:
         logging.basicConfig(
             level=logging.DEBUG,

@@ -14,6 +14,7 @@ result as the reference's single-pass `-ts` warp.
 """
 from __future__ import annotations
 
+import functools
 import logging
 from pathlib import Path
 
@@ -51,6 +52,14 @@ def _final_dims(in_rows: int, in_cols: int, target_size, pad: bool,
     return rows, cols, cols, rows, 0, 0
 
 
+def _is_big_scene(in_rows: int, in_cols: int, target_size) -> bool:
+    """Full-resolution outputs past the single-program HBM budget go through
+    the streamed multi-pass path (core/streamed.py)."""
+    from .streamed import BIG_SCENE_PIXELS
+
+    return target_size is None and in_rows * in_cols > BIG_SCENE_PIXELS
+
+
 def save_single_band_fast(
     dn, output, format: OutputFormat, bit_depth: BitDepth, target_size,
     metadata=None, pad: bool = False, strategy=None,
@@ -61,10 +70,16 @@ def save_single_band_fast(
     output = Path(output)
     in_rows, in_cols = dn.shape
     depth = bit_depth if format is OutputFormat.TIFF else BitDepth.U8
-    out = fused.grayscale_pipeline(
-        dn, strategy=strategy, bit_depth=depth,
-        target_size=target_size, pad=pad, resample_alg=resample_alg,
-    )
+    if _is_big_scene(in_rows, in_cols, target_size):
+        from .streamed import grayscale_streamed
+
+        out = grayscale_streamed(dn, strategy=strategy, bit_depth=depth,
+                                 pad=pad)
+    else:
+        out = fused.grayscale_pipeline(
+            dn, strategy=strategy, bit_depth=depth,
+            target_size=target_size, pad=pad, resample_alg=resample_alg,
+        )
     arr = np.asarray(out)
     rows, cols, final_cols, final_rows, pad_left, pad_top = _final_dims(
         in_rows, in_cols, target_size, pad, resample_alg
@@ -109,13 +124,20 @@ def save_multiband_fast(
         metadata, cols, rows, final_cols, final_rows, pad_left, pad_top, 1.0, 1.0
     )
     label = operation.metadata_label
+    big = _is_big_scene(in_rows, in_cols, target_size)
     if format is OutputFormat.TIFF:
-        b1 = np.asarray(fused.grayscale_pipeline(
-            dn1, strategy=strategy, bit_depth=bit_depth,
-            target_size=target_size, pad=pad, resample_alg=resample_alg))
-        b2 = np.asarray(fused.grayscale_pipeline(
-            dn2, strategy=strategy, bit_depth=bit_depth,
-            target_size=target_size, pad=pad, resample_alg=resample_alg))
+        if big:
+            from .streamed import grayscale_streamed
+
+            gray = functools.partial(grayscale_streamed, strategy=strategy,
+                                     bit_depth=bit_depth, pad=pad)
+        else:
+            gray = functools.partial(
+                fused.grayscale_pipeline, strategy=strategy,
+                bit_depth=bit_depth, target_size=target_size, pad=pad,
+                resample_alg=resample_alg)
+        b1 = np.asarray(gray(dn1))
+        b2 = np.asarray(gray(dn2))
         writer = (write_tiff_multiband_u8 if bit_depth is BitDepth.U8
                   else write_tiff_multiband_u16)
         ds = writer(output, final_cols, final_rows, b1, b2)
@@ -123,9 +145,15 @@ def save_multiband_fast(
             embed_tiff_metadata(ds, metadata, label, gt_override, proj_override)
         ds.flush()
     else:
-        rgb = np.asarray(fused.synrgb_pipeline(
-            dn1, dn2, strategy=strategy, target_size=target_size, pad=pad,
-            resample_alg=resample_alg))
+        if big:
+            from .streamed import synrgb_streamed
+
+            rgb = np.asarray(synrgb_streamed(
+                dn1, dn2, strategy=strategy, pad=pad))
+        else:
+            rgb = np.asarray(fused.synrgb_pipeline(
+                dn1, dn2, strategy=strategy, target_size=target_size,
+                pad=pad, resample_alg=resample_alg))
         write_rgb_jpeg(output, final_cols, final_rows, rgb)
         if metadata is not None:
             if gt_override is not None:

@@ -78,15 +78,23 @@ def _stats(db, mask, row_axis: str | None = None):
     hist = _hist_kernel(jnp.where(mask, idx, NUM_BINS), NUM_BINS)
     shift = (mn + mx) * 0.5
     d = jnp.where(mask, db - shift, 0.0)
-    n = jnp.maximum(count.astype(jnp.float32), 1.0)
     sum_d = jnp.sum(d)
     sum_dd = jnp.sum(d * d)
     if row_axis is not None:
         hist = jax.lax.psum(hist, row_axis)
         sum_d = jax.lax.psum(sum_d, row_axis)
         sum_dd = jax.lax.psum(sum_dd, row_axis)
+    return _stats_finalize(hist, count, mn, mx, sum_d, sum_dd)
+
+
+def _stats_finalize(hist, count, mn, mx, sum_d, sum_dd):
+    """Moments + histogram → the stats dict (shared by the fused single
+    program and the streamed big-scene path, which accumulates the moments
+    chunk-wise first)."""
+    span = mx - mn
+    n = jnp.maximum(count.astype(jnp.float32), 1.0)
     m1 = sum_d / n
-    mean = shift + m1
+    mean = (mn + mx) * 0.5 + m1
     var = jnp.maximum(sum_dd / n - m1 * m1, 0.0)
     std = jnp.where(count > 1, jnp.sqrt(var), 0.0)
 
@@ -184,41 +192,31 @@ def _scale_u16_to_u8(q, row_axis: str | None = None):
     return jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
 
 
-def _clahe(db, mask, low, high, max_val, rows: int, cols: int,
-           row_axis: str | None = None, row_shards: int = 1):
-    """CLAHE entirely in-graph (cf. clahe.py for the exact-mode split).
-
-    Row-sharded mode (`row_axis`): tile geometry is computed over the GLOBAL
-    raster (rows × row_shards); each shard builds tile histograms from its
-    local rows (Pallas one-hot kernel), one psum combines them, and the
-    bilinear apply runs locally with the shard's global row offset — the
-    tile-CDF allgather of SURVEY.md §2.5 realized as a single collective."""
-    rows_global = rows * row_shards
-    tile_h = -(-rows_global // TILES_Y)
-    tile_w = -(-cols // TILES_X)
-    rng = jnp.maximum(high - low, 1.0)
-    norm = jnp.where(mask, (jnp.clip(db, low, high) - low) / rng, 0.0)
-
+def _clahe_bins(norm, mask, rows: int, cols: int, tile_h: int, tile_w: int,
+                row_axis: str | None = None, row_offset=None):
+    """Per-pixel CLAHE bin + flat tile-hist index (bin_, flat). `row_offset`
+    (static int or traced scalar) shifts pixel rows to global raster
+    coordinates for row chunks/shards."""
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     if row_axis is not None:
-        row_off = jax.lax.axis_index(row_axis).astype(jnp.int32) * rows
-        r = r + row_off
-    else:
-        row_off = None
+        r = r + jax.lax.axis_index(row_axis).astype(jnp.int32) * rows
+    elif row_offset is not None:
+        r = r + jnp.asarray(row_offset, jnp.int32)
     c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     ty = jnp.minimum(r // tile_h, TILES_Y - 1)
     tx = jnp.minimum(c // tile_w, TILES_X - 1)
-    from ..ops import clahe_lookup, histogram
-
     bin_ = round_half_up_nonneg(jnp.clip(norm, 0, 1) * np.float32(CLAHE_BINS - 1))
     bin_ = jnp.clip(bin_, 0, CLAHE_BINS - 1).astype(jnp.int32)
     n_hist_bins = TILES_Y * TILES_X * CLAHE_BINS
     flat = jnp.where(mask, (ty * TILES_X + tx) * CLAHE_BINS + bin_, n_hist_bins)
-    hists = histogram(flat, n_hist_bins)
-    if row_axis is not None:
-        hists = jax.lax.psum(hists, row_axis)
-    h = hists.reshape(TILES_Y * TILES_X, CLAHE_BINS).astype(jnp.float32)
+    return bin_, flat
 
+
+def _clahe_cdfs(hists, rows_global: int, cols: int, tile_h: int, tile_w: int):
+    """Tile histograms (flat int counts) → clipped/redistributed CDFs
+    (reference: autoscale.rs:268-305), shared by the fused program and the
+    streamed big-scene path."""
+    h = hists.reshape(TILES_Y * TILES_X, CLAHE_BINS).astype(jnp.float32)
     # per-tile extents (static, global raster)
     r1 = np.minimum((np.arange(TILES_Y) + 1) * tile_h, rows_global)
     r0 = np.arange(TILES_Y) * tile_h
@@ -237,7 +235,37 @@ def _clahe(db, mask, low, high, max_val, rows: int, cols: int,
     bin_idx = jnp.arange(CLAHE_BINS, dtype=jnp.float32)[None, :]
     h = h + (bin_idx < rem).astype(jnp.float32)
     total = jnp.maximum(jnp.sum(h, axis=-1, keepdims=True), 1.0)
-    cdfs = jnp.clip(jnp.cumsum(h, axis=-1) / total, 0.0, 1.0)
+    return jnp.clip(jnp.cumsum(h, axis=-1) / total, 0.0, 1.0)
+
+
+def _clahe(db, mask, low, high, max_val, rows: int, cols: int,
+           row_axis: str | None = None, row_shards: int = 1):
+    """CLAHE entirely in-graph (cf. clahe.py for the exact-mode split).
+
+    Row-sharded mode (`row_axis`): tile geometry is computed over the GLOBAL
+    raster (rows × row_shards); each shard builds tile histograms from its
+    local rows (Pallas one-hot kernel), one psum combines them, and the
+    bilinear apply runs locally with the shard's global row offset — the
+    tile-CDF allgather of SURVEY.md §2.5 realized as a single collective."""
+    rows_global = rows * row_shards
+    tile_h = -(-rows_global // TILES_Y)
+    tile_w = -(-cols // TILES_X)
+    rng = jnp.maximum(high - low, 1.0)
+    norm = jnp.where(mask, (jnp.clip(db, low, high) - low) / rng, 0.0)
+
+    bin_, flat = _clahe_bins(norm, mask, rows, cols, tile_h, tile_w,
+                             row_axis=row_axis)
+    from ..ops import clahe_lookup, histogram
+
+    if row_axis is not None:
+        row_off = jax.lax.axis_index(row_axis).astype(jnp.int32) * rows
+    else:
+        row_off = None
+    n_hist_bins = TILES_Y * TILES_X * CLAHE_BINS
+    hists = histogram(flat, n_hist_bins)
+    if row_axis is not None:
+        hists = jax.lax.psum(hists, row_axis)
+    cdfs = _clahe_cdfs(hists, rows_global, cols, tile_h, tile_w)
 
     bin_flat = jnp.where(mask, bin_, CLAHE_BINS).ravel()
     eq = clahe_lookup(
@@ -297,24 +325,18 @@ def _synrgb_default(b1, b2):
     return rgb.reshape(b1.shape + (3,))
 
 
-def _synrgb_suppressed(b1, b2, row_axis: str | None = None,
-                       row_shards: int = 1):
-    """Suppressed composition with the data-dependent floor computed in-graph
-    (reference: synthetic_rgb.rs:88-178)."""
-    from ..ops import histogram, synrgb_lookup
-
-    i1 = b1.astype(jnp.int32)
-    i2 = b2.astype(jnp.int32)
-    hist = histogram(jnp.concatenate([i1.ravel(), i2.ravel()]), 256)
-    if row_axis is not None:
-        hist = jax.lax.psum(hist, row_axis)
-    total = jnp.float32((b1.size + b2.size) * row_shards)
-    target = jnp.floor(total * 0.05 + 0.5)
+def _suppressed_floor(hist, total_pixels):
+    """Combined-histogram water floor (reference: synthetic_rgb.rs:96-110)."""
+    target = jnp.floor(jnp.float32(total_pixels) * 0.05 + 0.5)
     cum = jnp.cumsum(hist).astype(jnp.float32)
     reached = cum >= target
     floor_value = jnp.where(jnp.any(reached), jnp.argmax(reached), 0)
-    floor_c = jnp.minimum(floor_value + 3, 40).astype(jnp.float32)
+    return jnp.minimum(floor_value + 3, 40).astype(jnp.float32)
 
+
+def _suppressed_luts(floor_c):
+    """Suppressed-mode r/g gamma LUTs + 2D blue LUT from the water floor
+    (reference: synthetic_rgb.rs:112-158)."""
     v = jnp.arange(256, dtype=jnp.float32)
     denom = jnp.maximum(255.0 - floor_c, 1.0)
     shifted = jnp.maximum(v - floor_c, 0.0) / denom
@@ -332,6 +354,23 @@ def _synrgb_suppressed(b1, b2, row_axis: str | None = None,
     lut_b = round_half_up_nonneg(
         jnp.clip(jnp.power(ratio, GAMMA_B) * 255.0 * BLUE_SCALE_SUPP, 0.0, 255.0)
     ).reshape(-1)
+    return lut_r, lut_g, lut_b
+
+
+def _synrgb_suppressed(b1, b2, row_axis: str | None = None,
+                       row_shards: int = 1):
+    """Suppressed composition with the data-dependent floor computed in-graph
+    (reference: synthetic_rgb.rs:88-178)."""
+    from ..ops import histogram, synrgb_lookup
+
+    i1 = b1.astype(jnp.int32)
+    i2 = b2.astype(jnp.int32)
+    hist = histogram(jnp.concatenate([i1.ravel(), i2.ravel()]), 256)
+    if row_axis is not None:
+        hist = jax.lax.psum(hist, row_axis)
+    floor_c = _suppressed_floor(hist, (b1.size + b2.size) * row_shards)
+
+    lut_r, lut_g, lut_b = _suppressed_luts(floor_c)
 
     rgb = synrgb_lookup(i1.ravel(), i2.ravel(), lut_r, lut_g, lut_b)
     rgb = rgb.reshape(b1.shape + (3,))

@@ -1,0 +1,326 @@
+"""Streamed big-scene pipelines: full-resolution rasters beyond HBM's
+single-program budget (the SURVEY §5 "long-context analogue").
+
+The fused single-program path (fused.py) materializes several f32
+intermediates of the whole raster; past ~200M pixels per band that exceeds
+a v5e's 16 GB HBM (the reference hits the same wall differently — its
+full-res path takes 40-70 s on CPU, README.md:63,262). This module keeps
+the SAME semantic definition but runs it as chunked multi-pass streaming:
+
+  pass A  per row-chunk: count / min / max            (accumulated exactly)
+  pass B  per row-chunk: 4096-bin histogram + moments (global bins from A)
+  [CLAHE] per row-chunk: tile histograms with global row offsets; then one
+          tiny CDF program (fused._clahe_cdfs — identical math)
+  pass C  per row-chunk: window/CLAHE apply → q16, written into a DONATED
+          device buffer via dynamic_update_slice (no reallocation)
+  pass D  per row-chunk: u16 → u8 double normalization with the GLOBAL
+          q16 min/max
+  synRGB  combined-histogram floor accumulated per chunk; suppressed LUTs
+          built once (fused._suppressed_luts); per-chunk LUT composition
+
+Integer accumulations (histograms, counts) are exact, min/max combine
+exactly, and every per-pixel op runs the same kernels with a global
+`row_offset` — so CLAHE/Robust/Standard/Equalized/Tamed/Default outputs are
+BIT-IDENTICAL to the fused program (tested); Adaptive differs only through
+the f32 moment-summation order (mean/std enter its window thresholds).
+
+Peak HBM: inputs + one q16 staging buffer + output — ~9 GB for the
+26544² (~704 MP/band) dual-pol scene that OOMs the single program.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import AutoscaleStrategy, BitDepth
+from .clahe import CLAHE_BINS, TILES_X, TILES_Y
+from .numerics import round_half_up_nonneg
+from .pipeline import NUM_BINS
+from . import fused
+
+CHUNK_ROWS = 4096
+# above this many pixels per band the fast path routes through this module
+BIG_SCENE_PIXELS = 192 << 20
+
+
+def _chunk_starts(rows: int, chunk: int):
+    return [(r0, min(chunk, rows - r0)) for r0 in range(0, rows, chunk)]
+
+
+@functools.partial(jax.jit, static_argnames=("r0", "n"))
+def _pass_minmax(dn, r0: int, n: int):
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    count = jnp.sum(mask, dtype=jnp.int32)  # chunk <= ~108M px; host i64 sum
+    big = jnp.float32(np.inf)
+    mn = jnp.min(jnp.where(mask, db, big))
+    mx = jnp.max(jnp.where(mask, db, -big))
+    return count, mn, mx
+
+
+@functools.partial(jax.jit, static_argnames=("r0", "n"))
+def _pass_hist(dn, mn, mx, r0: int, n: int):
+    from ..ops import histogram
+
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    span = mx - mn
+    inv = jnp.where(span > 0, 1.0 / span, 0.0)
+    t = jnp.clip((db - mn) * inv, 0.0, 1.0)
+    idx = jnp.minimum((t * NUM_BINS).astype(jnp.int32), NUM_BINS - 1)
+    hist = histogram(jnp.where(mask, idx, NUM_BINS), NUM_BINS)
+    shift = (mn + mx) * 0.5
+    d = jnp.where(mask, db - shift, 0.0)
+    return hist, jnp.sum(d), jnp.sum(d * d)
+
+
+@functools.partial(jax.jit, static_argnames=("r0", "n", "tile_h", "tile_w",
+                                             "cols"))
+def _pass_tile_hist(dn, low, high, r0: int, n: int, cols: int,
+                    tile_h: int, tile_w: int):
+    from ..ops import histogram
+
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    rng = jnp.maximum(high - low, 1.0)
+    norm = jnp.where(mask, (jnp.clip(db, low, high) - low) / rng, 0.0)
+    _, flat = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
+                                row_offset=r0)
+    return histogram(flat, TILES_Y * TILES_X * CLAHE_BINS)
+
+
+@functools.partial(jax.jit, static_argnames=("rows_global", "cols", "tile_h",
+                                             "tile_w"))
+def _cdfs_from_hists(hists, rows_global: int, cols: int, tile_h: int,
+                     tile_w: int):
+    return fused._clahe_cdfs(hists, rows_global, cols, tile_h, tile_w)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("r0", "n", "cols", "tile_h", "tile_w"))
+def _pass_apply_clahe(q16_buf, dn, low, high, max_val, cdfs, r0: int, n: int,
+                      cols: int, tile_h: int, tile_w: int):
+    from ..ops import clahe_lookup
+
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    rng = jnp.maximum(high - low, 1.0)
+    norm = jnp.where(mask, (jnp.clip(db, low, high) - low) / rng, 0.0)
+    bin_, _ = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
+                                row_offset=r0)
+    bin_flat = jnp.where(mask, bin_, CLAHE_BINS).ravel()
+    eq = clahe_lookup(bin_flat, cdfs, cols, TILES_X, TILES_Y, tile_h,
+                      tile_w, row_offset=r0).reshape(n, cols)
+    q = jnp.trunc(jnp.clip(eq, 0.0, 1.0) * max_val)
+    q16 = jnp.where(mask, q, 0.0).astype(jnp.uint16)
+    return jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("r0", "n"))
+def _pass_apply_window(q16_buf, dn, low, high, gamma, max_val, r0: int,
+                       n: int):
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    q16 = fused._quantize(db, mask, low, high, gamma, max_val)
+    return jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("r0", "n"))
+def _pass_apply_tamed(q16_buf, dn, low, high, r0: int, n: int):
+    """Band-specific tamed window straight to u8 range (autoscale.rs:710-742),
+    staged in the u16 buffer."""
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    rng = jnp.maximum(high - low, 1.0)
+    q = jnp.clip(jnp.trunc(jnp.clip(
+        (jnp.clip(db, low, high) - low) / rng * 255.0, 0, 255)), 0, 255)
+    q16 = jnp.where(mask, q, 0.0).astype(jnp.uint16)
+    return jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("r0", "n"))
+def _pass_q16_minmax(q16_buf, r0: int, n: int):
+    q = jax.lax.dynamic_slice_in_dim(q16_buf, r0, n, 0)
+    return jnp.min(q), jnp.max(q)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("r0", "n"))
+def _pass_scale_u8(u8_buf, q16_buf, mn, mx, r0: int, n: int):
+    q = jax.lax.dynamic_slice_in_dim(q16_buf, r0, n, 0)
+    mn = mn.astype(jnp.float32)
+    mx = mx.astype(jnp.float32)
+    scale = jnp.where(mx > mn, 255.0 / (mx - mn), 1.0)
+    val = round_half_up_nonneg((q.astype(jnp.float32) - mn) * scale)
+    u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
+    return jax.lax.dynamic_update_slice_in_dim(u8_buf, u8, r0, 0)
+
+
+def _band_stats(dn, chunks):
+    count = np.int64(0)
+    mn = np.float32(np.inf)
+    mx = np.float32(-np.inf)
+    for r0, n in chunks:
+        c, a, b = _pass_minmax(dn, r0, n)
+        count += np.int64(np.asarray(c))
+        mn = np.minimum(mn, np.asarray(a))
+        mx = np.maximum(mx, np.asarray(b))
+    if count == 0:
+        mn = np.float32(0.0)
+        mx = np.float32(0.0)
+    mn_j = jnp.asarray(mn)
+    mx_j = jnp.asarray(mx)
+    hist = np.zeros(NUM_BINS, np.int64)
+    sum_d = np.float32(0.0)
+    sum_dd = np.float32(0.0)
+    for r0, n in chunks:
+        h, sd, sdd = _pass_hist(dn, mn_j, mx_j, r0, n)
+        hist += np.asarray(h, np.int64)
+        sum_d = np.float32(sum_d + np.asarray(sd))
+        sum_dd = np.float32(sum_dd + np.asarray(sdd))
+    return fused._stats_finalize(
+        jnp.asarray(hist, jnp.int32),
+        jnp.asarray(np.int32(min(count, np.iinfo(np.int32).max))),
+        mn_j, mx_j, jnp.asarray(sum_d), jnp.asarray(sum_dd))
+
+
+def band_u8_streamed(dn, strategy: AutoscaleStrategy,
+                     tamed_copol: bool | None = None,
+                     bit_depth: BitDepth = BitDepth.U8,
+                     chunk_rows: int = CHUNK_ROWS):
+    """One full-res band DN → u8 (or u16 for grayscale U16), chunked.
+    Semantics mirror fused._band_u8 / fused.grayscale_pipeline."""
+    rows, cols = dn.shape
+    chunks = _chunk_starts(rows, chunk_rows)
+    s = _band_stats(dn, chunks)
+
+    q16 = jnp.zeros((rows, cols), jnp.uint16)
+    if tamed_copol is not None and strategy is AutoscaleStrategy.TAMED:
+        # band-specific tamed window goes straight to u8 with NO global
+        # rescale (fused._band_u8 / autoscale.rs:710-742)
+        low = jnp.where(tamed_copol, jnp.minimum(s["p02"], s["p05"]), s["p05"])
+        high = s["p99"]
+        for r0, n in chunks:
+            q16 = _pass_apply_tamed(q16, dn, low, high, r0, n)
+        return q16.astype(jnp.uint8)
+    else:
+        low, high, gamma = fused._window(s, strategy)
+        max_val = jnp.float32(bit_depth.max_val)
+        if strategy is AutoscaleStrategy.CLAHE:
+            tile_h = -(-rows // TILES_Y)
+            tile_w = -(-cols // TILES_X)
+            hists = np.zeros(TILES_Y * TILES_X * CLAHE_BINS, np.int64)
+            for r0, n in chunks:
+                hists += np.asarray(
+                    _pass_tile_hist(dn, low, high, r0, n, cols, tile_h,
+                                    tile_w), np.int64)
+            cdfs = _cdfs_from_hists(jnp.asarray(hists, jnp.int32), rows,
+                                    cols, tile_h, tile_w)
+            for r0, n in chunks:
+                q16 = _pass_apply_clahe(q16, dn, low, high, max_val, cdfs,
+                                        r0, n, cols, tile_h, tile_w)
+        else:
+            for r0, n in chunks:
+                q16 = _pass_apply_window(q16, dn, low, high, gamma, max_val,
+                                         r0, n)
+
+    if bit_depth is BitDepth.U16 and tamed_copol is None:
+        return q16
+    # global u16 -> u8 double normalization (fused._scale_u16_to_u8)
+    mn = None
+    mx = None
+    for r0, n in chunks:
+        a, b = _pass_q16_minmax(q16, r0, n)
+        a, b = np.asarray(a), np.asarray(b)
+        mn = a if mn is None else np.minimum(mn, a)
+        mx = b if mx is None else np.maximum(mx, b)
+    u8 = jnp.zeros((rows, cols), jnp.uint8)
+    mn_j, mx_j = jnp.asarray(mn), jnp.asarray(mx)
+    for r0, n in chunks:
+        u8 = _pass_scale_u8(u8, q16, mn_j, mx_j, r0, n)
+    return u8
+
+
+@functools.partial(jax.jit, static_argnames=("r0", "n"))
+def _pass_u8_hist(b1, b2, r0: int, n: int):
+    from ..ops import histogram
+
+    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0).astype(jnp.int32)
+    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0).astype(jnp.int32)
+    return histogram(jnp.concatenate([c1.ravel(), c2.ravel()]), 256)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("r0", "n"))
+def _pass_compose_suppressed(rgb_buf, b1, b2, floor_c, lut_r, lut_g, lut_b,
+                             r0: int, n: int):
+    from ..ops import synrgb_lookup
+
+    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
+    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
+    i1 = c1.astype(jnp.int32)
+    i2 = c2.astype(jnp.int32)
+    rgb = synrgb_lookup(i1.ravel(), i2.ravel(), lut_r, lut_g,
+                        lut_b).reshape(c1.shape + (3,))
+    water = ((i1.astype(jnp.float32) <= floor_c)
+             & (i2.astype(jnp.float32) <= floor_c))[..., None]
+    rgb = jnp.where(water, jnp.uint8(0), rgb)
+    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("r0", "n"))
+def _pass_compose_default(rgb_buf, b1, b2, r0: int, n: int):
+    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
+    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
+    rgb = fused._synrgb_default(c1, c2)
+    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+
+
+def synrgb_streamed(vv_dn, vh_dn,
+                    strategy: AutoscaleStrategy = AutoscaleStrategy.CLAHE,
+                    suppressed: bool | None = None, pad: bool = False,
+                    chunk_rows: int = CHUNK_ROWS):
+    """Full-res dual-pol DN → synthetic-RGB u8, chunked multi-pass.
+    Matches fused.synrgb_pipeline(target_size=None) semantics."""
+    rows, cols = vv_dn.shape
+    tamed = strategy is AutoscaleStrategy.TAMED
+    b1 = band_u8_streamed(vv_dn, strategy, True if tamed else None,
+                          chunk_rows=chunk_rows)
+    b2 = band_u8_streamed(vh_dn, strategy, False if tamed else None,
+                          chunk_rows=chunk_rows)
+    if pad:
+        b1 = fused._pad_square(b1, rows, cols)
+        b2 = fused._pad_square(b2, rows, cols)
+        rows = cols = max(rows, cols)
+    if suppressed is None:
+        suppressed = strategy in (AutoscaleStrategy.TAMED,
+                                  AutoscaleStrategy.CLAHE)
+    chunks = _chunk_starts(rows, chunk_rows)
+    rgb = jnp.zeros((rows, cols, 3), jnp.uint8)
+    if not suppressed:
+        for r0, n in chunks:
+            rgb = _pass_compose_default(rgb, b1, b2, r0, n)
+        return rgb
+    hist = np.zeros(256, np.int64)
+    for r0, n in chunks:
+        hist += np.asarray(_pass_u8_hist(b1, b2, r0, n), np.int64)
+    floor_c = fused._suppressed_floor(jnp.asarray(hist, jnp.int32),
+                                      2 * rows * cols)
+    lut_r, lut_g, lut_b = fused._suppressed_luts(floor_c)
+    for r0, n in chunks:
+        rgb = _pass_compose_suppressed(rgb, b1, b2, floor_c, lut_r, lut_g,
+                                       lut_b, r0, n)
+    return rgb
+
+
+def grayscale_streamed(dn, strategy: AutoscaleStrategy = AutoscaleStrategy.STANDARD,
+                       bit_depth: BitDepth = BitDepth.U8, pad: bool = False,
+                       chunk_rows: int = CHUNK_ROWS):
+    """Full-res single-band DN → u8/u16 grayscale, chunked multi-pass.
+    Matches fused.grayscale_pipeline(target_size=None) semantics."""
+    rows, cols = dn.shape
+    out = band_u8_streamed(dn, strategy, None, bit_depth, chunk_rows)
+    if pad:
+        out = fused._pad_square(out, rows, cols)
+    return out

@@ -170,6 +170,9 @@ def main():
     ap.add_argument("--port", type=int, default=8377)
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
+    from ..utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     srv = make_server(args.host, args.port)
     print(f"sarproUI listening on http://{args.host}:{args.port}")
     try:

@@ -92,3 +92,16 @@ def test_invalid_enum_rejected():
         ProcessingParams.from_dict({"autoscale": "bogus"})
     with pytest.raises(ValueError):
         Polarization.from_cli("xx")
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    from sarpro_tpu.utils.compilation_cache import enable_compilation_cache
+
+    target = tmp_path / "jaxcache"
+    got = enable_compilation_cache(str(target))
+    assert got == str(target) and target.is_dir()
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == str(target)
+    monkeypatch.setenv("SARPRO_JAX_CACHE", "off")
+    assert enable_compilation_cache() is None

@@ -1,0 +1,79 @@
+"""Streamed big-scene pipelines vs the fused single program.
+
+The streamed path (core/streamed.py) accumulates integer histograms and
+exact min/max across row chunks and applies per-pixel ops with global row
+offsets, so its output must be BIT-IDENTICAL to fused for every strategy
+whose window derives from percentiles/min/max (CLAHE, Robust, Standard,
+Equalized, Tamed, Default). Adaptive's window thresholds read mean/std,
+whose f32 summation order differs across chunks — tolerance there.
+
+Chunk sizes are chosen so chunks cut CLAHE tiles mid-row and leave a ragged
+tail chunk.
+"""
+import numpy as np
+import pytest
+
+from sarpro_tpu.core import fused, streamed
+from sarpro_tpu.types import AutoscaleStrategy, BitDepth
+from test_stats import sar_like
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    [AutoscaleStrategy.CLAHE, AutoscaleStrategy.ROBUST,
+     AutoscaleStrategy.STANDARD, AutoscaleStrategy.EQUALIZED,
+     AutoscaleStrategy.TAMED, AutoscaleStrategy.DEFAULT],
+)
+def test_streamed_synrgb_bit_identical(rng, strategy):
+    vv = sar_like(rng, (200, 176))
+    vh = sar_like(rng, (200, 176))
+    want = np.asarray(fused.synrgb_pipeline(
+        vv, vh, strategy=strategy, target_size=None, pad=False))
+    got = np.asarray(streamed.synrgb_streamed(
+        vv, vh, strategy=strategy, chunk_rows=48))  # ragged tail: 200 = 4*48+8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_synrgb_adaptive_close(rng):
+    vv = sar_like(rng, (160, 128))
+    vh = sar_like(rng, (160, 128))
+    want = np.asarray(fused.synrgb_pipeline(
+        vv, vh, strategy=AutoscaleStrategy.ADAPTIVE, target_size=None))
+    got = np.asarray(streamed.synrgb_streamed(
+        vv, vh, strategy=AutoscaleStrategy.ADAPTIVE, chunk_rows=64))
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff <= 2).mean() >= 0.99
+
+
+@pytest.mark.parametrize("bit_depth", [BitDepth.U8, BitDepth.U16])
+def test_streamed_grayscale_bit_identical(rng, bit_depth):
+    x = sar_like(rng, (176, 144))
+    want = np.asarray(fused.grayscale_pipeline(
+        x, strategy=AutoscaleStrategy.CLAHE, bit_depth=bit_depth,
+        target_size=None))
+    got = np.asarray(streamed.grayscale_streamed(
+        x, strategy=AutoscaleStrategy.CLAHE, bit_depth=bit_depth,
+        chunk_rows=40))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_pad_and_default_mode(rng):
+    vv = sar_like(rng, (96, 64))
+    vh = sar_like(rng, (96, 64))
+    want = np.asarray(fused.synrgb_pipeline(
+        vv, vh, strategy=AutoscaleStrategy.ROBUST, target_size=None,
+        pad=True))
+    got = np.asarray(streamed.synrgb_streamed(
+        vv, vh, strategy=AutoscaleStrategy.ROBUST, pad=True, chunk_rows=32))
+    assert got.shape == (96, 96, 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_single_chunk_degenerates_to_fused(rng):
+    vv = sar_like(rng, (64, 96))
+    vh = sar_like(rng, (64, 96))
+    want = np.asarray(fused.synrgb_pipeline(
+        vv, vh, strategy=AutoscaleStrategy.CLAHE, target_size=None))
+    got = np.asarray(streamed.synrgb_streamed(
+        vv, vh, strategy=AutoscaleStrategy.CLAHE, chunk_rows=4096))
+    np.testing.assert_array_equal(got, want)
