@@ -30,6 +30,9 @@ def main():
     from sarpro_tpu.core import fused, ops
     from sarpro_tpu.types import AutoscaleStrategy, BitDepth
 
+    from sarpro_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     dev = jax.devices()[0]
     print(f"device: {dev}")
 
@@ -39,6 +42,16 @@ def main():
         zeros = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.01,
                                      (SIDE, SIDE))
         return jnp.where(zeros, 0, jnp.clip(x, 0, 65535)).astype(jnp.uint16)
+
+    @functools.partial(jax.jit, static_argnames=("side",))
+    def _gen_sized(k, mean, side):
+        x = jnp.exp(mean + 1.1 * jax.random.normal(k, (side, side)))
+        zeros = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.01,
+                                     (side, side))
+        return jnp.where(zeros, 0, jnp.clip(x, 0, 65535)).astype(jnp.uint16)
+
+    def gen_sized(k, mean, side):
+        return _gen_sized(k, mean, side=side)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(42))
     vv = gen(k1, 5.0)
@@ -132,6 +145,40 @@ def main():
 
     results.append(timeit(
         "cfg5: two-stage warp(cubic, Pallas) 400MP -> 2048 + u16 1024", cfg5))
+
+    # 6. full-resolution dual-band synRGB at 144 MP/band (reference native-
+    #    res path: ~40 s CPU at 704 MP total; this is its single-program
+    #    regime)
+    side6 = 8486
+    vv6 = vv[:side6, :side6]
+    vh6 = vh[:side6, :side6]
+    _ = force(vv6)
+    results.append(timeit(
+        "cfg6: full-res 144MP/band dual synRGB, CLAHE (single program)",
+        functools.partial(fused.synrgb_pipeline, vv6, vh6,
+                          strategy=AutoscaleStrategy.CLAHE,
+                          target_size=None, pad=False),
+        iters=5,
+    ))
+
+    # 7. streamed big-scene path at 704 MP/band (26544², the reference's
+    #    Mt. Fuji full-res scene: ~50 s CPU). Generated at full size on
+    #    device; chunked multi-pass (core/streamed.py).
+    from sarpro_tpu.core import streamed as streamed_mod
+
+    side7 = 26544
+    vv7 = gen_sized(jax.random.PRNGKey(7), 5.0, side7)
+    vh7 = gen_sized(jax.random.PRNGKey(8), 4.2, side7)
+    _ = force(vv7)
+
+    def cfg7():
+        return streamed_mod.synrgb_streamed(
+            vv7, vh7, strategy=AutoscaleStrategy.CLAHE)
+
+    results.append(timeit(
+        "cfg7: streamed full-res 704MP/band dual synRGB, CLAHE", cfg7,
+        iters=3,
+    ))
 
     out = {
         "device": str(dev),

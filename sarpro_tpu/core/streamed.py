@@ -113,7 +113,8 @@ def _pass_apply_clahe(q16_buf, dn, low, high, max_val, cdfs, r0: int, n: int,
                       tile_w, row_offset=r0).reshape(n, cols)
     q = jnp.trunc(jnp.clip(eq, 0.0, 1.0) * max_val)
     q16 = jnp.where(mask, q, 0.0).astype(jnp.uint16)
-    return jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0)
+    return (jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0),
+            jnp.min(q16), jnp.max(q16))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -122,7 +123,8 @@ def _pass_apply_window(q16_buf, dn, low, high, gamma, max_val, r0: int,
                        n: int):
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
     q16 = fused._quantize(db, mask, low, high, gamma, max_val)
-    return jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0)
+    return (jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0),
+            jnp.min(q16), jnp.max(q16))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -138,22 +140,22 @@ def _pass_apply_tamed(q16_buf, dn, low, high, r0: int, n: int):
     return jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("r0", "n"))
-def _pass_q16_minmax(q16_buf, r0: int, n: int):
-    q = jax.lax.dynamic_slice_in_dim(q16_buf, r0, n, 0)
-    return jnp.min(q), jnp.max(q)
-
-
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("r0", "n"))
 def _pass_scale_u8(u8_buf, q16_buf, mn, mx, r0: int, n: int):
+    """u16 → u8 double normalization of one chunk, plus the chunk's u8
+    histogram (accumulated by the suppressed-synRGB floor; one fused pass
+    saves a dispatch per chunk through the RPC tunnel)."""
+    from ..ops import histogram
+
     q = jax.lax.dynamic_slice_in_dim(q16_buf, r0, n, 0)
     mn = mn.astype(jnp.float32)
     mx = mx.astype(jnp.float32)
     scale = jnp.where(mx > mn, 255.0 / (mx - mn), 1.0)
     val = round_half_up_nonneg((q.astype(jnp.float32) - mn) * scale)
     u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
-    return jax.lax.dynamic_update_slice_in_dim(u8_buf, u8, r0, 0)
+    hist = histogram(u8.astype(jnp.int32).ravel(), 256)
+    return jax.lax.dynamic_update_slice_in_dim(u8_buf, u8, r0, 0), hist
 
 
 def _band_stats(dn, chunks):
@@ -187,9 +189,12 @@ def _band_stats(dn, chunks):
 def band_u8_streamed(dn, strategy: AutoscaleStrategy,
                      tamed_copol: bool | None = None,
                      bit_depth: BitDepth = BitDepth.U8,
-                     chunk_rows: int = CHUNK_ROWS):
+                     chunk_rows: int = CHUNK_ROWS,
+                     collect_hist: bool = False):
     """One full-res band DN → u8 (or u16 for grayscale U16), chunked.
-    Semantics mirror fused._band_u8 / fused.grayscale_pipeline."""
+    Semantics mirror fused._band_u8 / fused.grayscale_pipeline. With
+    `collect_hist`, also returns the u8 output's 256-bin histogram
+    (accumulated inside the scale pass — no extra dispatches)."""
     rows, cols = dn.shape
     chunks = _chunk_starts(rows, chunk_rows)
     s = _band_stats(dn, chunks)
@@ -202,52 +207,61 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
         high = s["p99"]
         for r0, n in chunks:
             q16 = _pass_apply_tamed(q16, dn, low, high, r0, n)
-        return q16.astype(jnp.uint8)
+        u8 = q16.astype(jnp.uint8)
+        if not collect_hist:
+            return u8
+        hist = np.zeros(256, np.int64)
+        for r0, n in chunks:
+            hist += np.asarray(_pass_u8_hist(u8, r0, n), np.int64)
+        return u8, hist
+    # per-chunk q16 min/max ride on the apply pass (saves a dispatch/chunk)
+    mm = []
+    low, high, gamma = fused._window(s, strategy)
+    max_val = jnp.float32(bit_depth.max_val)
+    if strategy is AutoscaleStrategy.CLAHE:
+        tile_h = -(-rows // TILES_Y)
+        tile_w = -(-cols // TILES_X)
+        hists = np.zeros(TILES_Y * TILES_X * CLAHE_BINS, np.int64)
+        for r0, n in chunks:
+            hists += np.asarray(
+                _pass_tile_hist(dn, low, high, r0, n, cols, tile_h,
+                                tile_w), np.int64)
+        cdfs = _cdfs_from_hists(jnp.asarray(hists, jnp.int32), rows,
+                                cols, tile_h, tile_w)
+        for r0, n in chunks:
+            q16, a, b = _pass_apply_clahe(q16, dn, low, high, max_val, cdfs,
+                                          r0, n, cols, tile_h, tile_w)
+            mm.append((a, b))
     else:
-        low, high, gamma = fused._window(s, strategy)
-        max_val = jnp.float32(bit_depth.max_val)
-        if strategy is AutoscaleStrategy.CLAHE:
-            tile_h = -(-rows // TILES_Y)
-            tile_w = -(-cols // TILES_X)
-            hists = np.zeros(TILES_Y * TILES_X * CLAHE_BINS, np.int64)
-            for r0, n in chunks:
-                hists += np.asarray(
-                    _pass_tile_hist(dn, low, high, r0, n, cols, tile_h,
-                                    tile_w), np.int64)
-            cdfs = _cdfs_from_hists(jnp.asarray(hists, jnp.int32), rows,
-                                    cols, tile_h, tile_w)
-            for r0, n in chunks:
-                q16 = _pass_apply_clahe(q16, dn, low, high, max_val, cdfs,
-                                        r0, n, cols, tile_h, tile_w)
-        else:
-            for r0, n in chunks:
-                q16 = _pass_apply_window(q16, dn, low, high, gamma, max_val,
-                                         r0, n)
+        for r0, n in chunks:
+            q16, a, b = _pass_apply_window(q16, dn, low, high, gamma,
+                                           max_val, r0, n)
+            mm.append((a, b))
 
-    if bit_depth is BitDepth.U16 and tamed_copol is None:
-        return q16
+    if bit_depth is BitDepth.U16:
+        if not collect_hist:
+            return q16
+        hist = np.zeros(256, np.int64)  # u16 grayscale never needs this
+        return q16, hist
     # global u16 -> u8 double normalization (fused._scale_u16_to_u8)
-    mn = None
-    mx = None
-    for r0, n in chunks:
-        a, b = _pass_q16_minmax(q16, r0, n)
-        a, b = np.asarray(a), np.asarray(b)
-        mn = a if mn is None else np.minimum(mn, a)
-        mx = b if mx is None else np.maximum(mx, b)
+    mn = np.min([np.asarray(a) for a, _ in mm])
+    mx = np.max([np.asarray(b) for _, b in mm])
     u8 = jnp.zeros((rows, cols), jnp.uint8)
     mn_j, mx_j = jnp.asarray(mn), jnp.asarray(mx)
+    hist = np.zeros(256, np.int64)
     for r0, n in chunks:
-        u8 = _pass_scale_u8(u8, q16, mn_j, mx_j, r0, n)
-    return u8
+        u8, h = _pass_scale_u8(u8, q16, mn_j, mx_j, r0, n)
+        if collect_hist:
+            hist += np.asarray(h, np.int64)
+    return (u8, hist) if collect_hist else u8
 
 
 @functools.partial(jax.jit, static_argnames=("r0", "n"))
-def _pass_u8_hist(b1, b2, r0: int, n: int):
+def _pass_u8_hist(b, r0: int, n: int):
     from ..ops import histogram
 
-    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0).astype(jnp.int32)
-    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0).astype(jnp.int32)
-    return histogram(jnp.concatenate([c1.ravel(), c2.ravel()]), 256)
+    c = jax.lax.dynamic_slice_in_dim(b, r0, n, 0).astype(jnp.int32)
+    return histogram(c.ravel(), 256)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -285,26 +299,28 @@ def synrgb_streamed(vv_dn, vh_dn,
     Matches fused.synrgb_pipeline(target_size=None) semantics."""
     rows, cols = vv_dn.shape
     tamed = strategy is AutoscaleStrategy.TAMED
-    b1 = band_u8_streamed(vv_dn, strategy, True if tamed else None,
-                          chunk_rows=chunk_rows)
-    b2 = band_u8_streamed(vh_dn, strategy, False if tamed else None,
-                          chunk_rows=chunk_rows)
-    if pad:
-        b1 = fused._pad_square(b1, rows, cols)
-        b2 = fused._pad_square(b2, rows, cols)
-        rows = cols = max(rows, cols)
     if suppressed is None:
         suppressed = strategy in (AutoscaleStrategy.TAMED,
                                   AutoscaleStrategy.CLAHE)
+    b1, h1 = band_u8_streamed(vv_dn, strategy, True if tamed else None,
+                              chunk_rows=chunk_rows, collect_hist=True)
+    b2, h2 = band_u8_streamed(vh_dn, strategy, False if tamed else None,
+                              chunk_rows=chunk_rows, collect_hist=True)
+    hist = h1 + h2
+    if pad:
+        # pad precedes composition (save.rs:332-361): the pad zeros take
+        # part in the suppressed mode's combined histogram
+        m = max(rows, cols)
+        hist[0] += 2 * (m * m - rows * cols)
+        b1 = fused._pad_square(b1, rows, cols)
+        b2 = fused._pad_square(b2, rows, cols)
+        rows = cols = m
     chunks = _chunk_starts(rows, chunk_rows)
     rgb = jnp.zeros((rows, cols, 3), jnp.uint8)
     if not suppressed:
         for r0, n in chunks:
             rgb = _pass_compose_default(rgb, b1, b2, r0, n)
         return rgb
-    hist = np.zeros(256, np.int64)
-    for r0, n in chunks:
-        hist += np.asarray(_pass_u8_hist(b1, b2, r0, n), np.int64)
     floor_c = fused._suppressed_floor(jnp.asarray(hist, jnp.int32),
                                       2 * rows * cols)
     lut_r, lut_g, lut_b = fused._suppressed_luts(floor_c)
