@@ -332,6 +332,25 @@ def process_safe_to_path(input, output, params: ProcessingParams,
     within ≤1 histogram bin of the exact mode's window placement."""
     if fast:
         return _process_safe_to_path_fast(input, output, params)
+    if params.size is None:
+        # full-resolution exact mode materializes whole-raster intermediates
+        # on device; past the single-program HBM budget route through the
+        # streamed fast-mode path instead of OOMing (semantics within ≤1
+        # histogram bin; reference CPU handles these scenes in 40-70 s)
+        from .core.streamed import BIG_SCENE_PIXELS
+        from .io.safe import parse_comprehensive_metadata
+
+        try:
+            meta = parse_comprehensive_metadata(Path(input))
+            big = 0 < meta.lines * meta.samples > BIG_SCENE_PIXELS
+        except Exception:  # noqa: BLE001 — fall through to the normal path
+            big = False
+        if big:
+            logger.warning(
+                "scene %dx%d exceeds the exact-mode device budget; using the "
+                "streamed fast-mode pipeline (≤1 histogram bin difference)",
+                meta.samples, meta.lines)
+            return _process_safe_to_path_fast(input, output, params)
     bit_depth = params.bit_depth.to_bit_depth()
     target_arg, resample = _resolve_target_args(params)
     reader = SafeReader.open_with_options(

@@ -230,3 +230,21 @@ def test_warp_unsupported_crs_actionable_error(tmp_path):
     )
     with pytest.raises(Exception, match="supported:"):
         api.process_safe_to_path(base, tmp_path / "x.tiff", params)
+
+
+def test_exact_mode_big_scene_routes_to_streamed(tmp_path, monkeypatch, caplog):
+    """Full-res exact mode past the HBM budget must not OOM: it reroutes to
+    the streamed fast path with a warning (VERDICT big-scene coverage)."""
+    import logging
+
+    import sarpro_tpu.core.streamed as streamed_mod
+
+    monkeypatch.setattr(streamed_mod, "BIG_SCENE_PIXELS", 1000)
+    base = fixtures.make_safe(tmp_path, name="big.SAFE", pols=("vv",))
+    out = tmp_path / "big.tiff"
+    params = ProcessingParams(polarization=Polarization.VV,
+                              autoscale=AutoscaleStrategy.ROBUST, size=None)
+    with caplog.at_level(logging.WARNING, logger="sarpro"):
+        api.process_safe_to_path(base, out, params)
+    assert out.exists()
+    assert any("streamed fast-mode" in r.message for r in caplog.records)
