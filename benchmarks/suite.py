@@ -59,7 +59,12 @@ def main():
     _ = int(np.asarray(jnp.sum(vv.astype(jnp.float32))))
 
     def force(x):
-        return int(np.asarray(jnp.max(jnp.asarray(x).astype(jnp.int32).ravel()[:64])))
+        # probe a tiny corner slice: both casting AND ravel of an (H, W, 3)
+        # array materialize a lane-padded (42x) copy in the tiled layout —
+        # 90 GB at 26544^2 — so the probe must slice the leading dims first
+        x = jnp.asarray(x)
+        probe = x[tuple(slice(0, 8) for _ in range(min(x.ndim, 2)))]
+        return int(np.asarray(jnp.max(probe.astype(jnp.int32))))
 
     def timeit(name, fn, iters=7):
         t0 = time.perf_counter()
