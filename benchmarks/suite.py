@@ -36,13 +36,6 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}")
 
-    @jax.jit
-    def gen(k, mean):
-        x = jnp.exp(mean + 1.1 * jax.random.normal(k, (SIDE, SIDE)))
-        zeros = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.01,
-                                     (SIDE, SIDE))
-        return jnp.where(zeros, 0, jnp.clip(x, 0, 65535)).astype(jnp.uint16)
-
     @functools.partial(jax.jit, static_argnames=("side",))
     def _gen_sized(k, mean, side):
         x = jnp.exp(mean + 1.1 * jax.random.normal(k, (side, side)))
@@ -54,8 +47,8 @@ def main():
         return _gen_sized(k, mean, side=side)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(42))
-    vv = gen(k1, 5.0)
-    vh = gen(k2, 4.2)
+    vv = gen_sized(k1, 5.0, SIDE)
+    vh = gen_sized(k2, 4.2, SIDE)
     _ = int(np.asarray(jnp.sum(vv.astype(jnp.float32))))
 
     def force(x):

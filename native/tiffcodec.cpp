@@ -226,14 +226,15 @@ void box_reduce_u16_f32(const uint16_t* src, int64_t src_row0,
                         const int32_t* ys, const int32_t* yc,
                         const int32_t* xs, const int32_t* xc) {
     std::vector<uint32_t> acc(static_cast<size_t>(src_cols));
-    // f32 reduction of the window sums: box sums are <= ~6.5M (100 taps of
-    // u16), exactly representable in f32 (< 2^24), and the two-multiply
-    // scale is within 1 ulp of the f64 divide chain — far under the device
-    // comparison tolerance. The f64 convert+divide per output element cost
-    // ~25 ms per 400 MP band.
-    std::vector<float> inv_m(static_cast<size_t>(out_cols));
+    // Window sums accumulate in uint64 (a 2-D box can exceed 65537 pixels —
+    // e.g. a 26544² band thumbnailed to 64 has ~415x415 windows, whose sums
+    // overflow uint32). The scale is a precomputed double product: no
+    // per-element divide (a divide chain cost ~25 ms per 400 MP band);
+    // f64 a*inv_n*inv_m is within 1 ulp of the a*inv_n/m chain, far under
+    // the device comparison tolerance after the f32 cast.
+    std::vector<double> inv_m(static_cast<size_t>(out_cols));
     for (int64_t ox = 0; ox < out_cols; ++ox)
-        inv_m[ox] = static_cast<float>(1.0 / static_cast<double>(xc[ox]));
+        inv_m[ox] = 1.0 / static_cast<double>(xc[ox]);
     for (int64_t oy = oy0; oy < oy1; ++oy) {
         std::memset(acc.data(), 0, static_cast<size_t>(src_cols) * 4);
         const int64_t r0 = ys[oy];
@@ -244,13 +245,14 @@ void box_reduce_u16_f32(const uint16_t* src, int64_t src_row0,
             for (int64_t x = 0; x < src_cols; ++x) a[x] += row[x];
         }
         float* orow = out + (oy - oy0) * out_cols;
-        const float inv_n = static_cast<float>(1.0 / static_cast<double>(n));
+        const double inv_n = 1.0 / static_cast<double>(n);
         for (int64_t ox = 0; ox < out_cols; ++ox) {
             const int64_t x0 = xs[ox];
             const int64_t m = xc[ox];
-            uint32_t s = 0;
+            uint64_t s = 0;
             for (int64_t j = 0; j < m; ++j) s += acc[x0 + j];
-            orow[ox] = static_cast<float>(s) * inv_n * inv_m[ox];
+            orow[ox] = static_cast<float>(
+                static_cast<double>(s) * (inv_n * inv_m[ox]));
         }
     }
 }

@@ -25,7 +25,10 @@ PIL_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".gif", ".ppm", ".pgm",
 
 
 def world_file_candidates(path: Path) -> list[Path]:
-    """Sidecar names GDAL probes for a world file, in priority order."""
+    """Sidecar names probed for a world file, in priority order: the
+    GDAL convention (first+last letter + 'w': bpw/gfw/pmw), the named
+    shorthands (jgw/pgw/tfw), <ext>w, the reference writer's first-letter
+    + 'w' spelling (worldfile.rs:17-30), and .wld."""
     ext = path.suffix.lstrip(".").lower()
     cands = []
     if ext in ("jpg", "jpeg"):
@@ -34,10 +37,11 @@ def world_file_candidates(path: Path) -> list[Path]:
         cands.append(path.with_suffix(".pgw"))
     elif ext in ("tif", "tiff"):
         cands.append(path.with_suffix(".tfw"))
-    elif ext:
-        cands.append(path.with_suffix("." + ext[0] + "w"))
+    elif len(ext) >= 2:
+        cands.append(path.with_suffix("." + ext[0] + ext[-1] + "w"))
     if ext:
         cands.append(path.with_suffix("." + ext + "w"))
+        cands.append(path.with_suffix("." + ext[0] + "w"))
     cands.append(path.with_suffix(".wld"))
     return cands
 

@@ -82,7 +82,14 @@ class RasterReader:
 
     def __init__(self, path: str | Path):
         self.path = Path(path)
-        if self.path.suffix.lower() in (".tif", ".tiff") or not self.path.suffix:
+        # content-probe first, like GDAL: a TIFF named scene.img must still
+        # open through the native codec regardless of extension
+        try:
+            with open(self.path, "rb") as fh:
+                magic = fh.read(4)
+        except OSError as e:
+            raise RasterError(f"failed to open raster {self.path}: {e}") from e
+        if magic[:2] in (b"II", b"MM"):
             try:
                 self._tiff = TiffReader(self.path)
             except RasterError:
@@ -92,12 +99,13 @@ class RasterReader:
         else:
             from .pilraster import PIL_EXTENSIONS, PilRaster
 
-            if self.path.suffix.lower() not in PIL_EXTENSIONS:
+            try:
+                self._tiff = PilRaster(self.path)
+            except RasterError as e:
                 raise RasterError(
-                    f"unsupported raster format: {self.path.suffix} "
-                    f"(supported: .tif/.tiff natively, {PIL_EXTENSIONS} via PIL)"
-                )
-            self._tiff = PilRaster(self.path)
+                    f"unsupported raster format: {self.path} is neither a "
+                    f"TIFF nor PIL-decodable ({PIL_EXTENSIONS}): {e}"
+                ) from e
         gi: GeoInfo = self._tiff.geo_info()
         self.geo = gi
         # identity fallback (reference: gdal.rs:64-67)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import datetime
+import functools
 import logging
 import xml.etree.ElementTree as ET
 from enum import Enum
@@ -308,8 +309,7 @@ def parse_annotation_xml(path: Path, meta: SafeMetadata) -> SafeMetadata:
     return meta
 
 
-def parse_comprehensive_metadata(base: Path) -> SafeMetadata:
-    """manifest.safe + annotation files (reference: sentinel1.rs:1114-1174)."""
+def _parse_comprehensive(base: Path) -> SafeMetadata:
     meta = SafeMetadata(
         conversion_timestamp=datetime.datetime.now(datetime.timezone.utc).isoformat()
     )
@@ -322,6 +322,30 @@ def parse_comprehensive_metadata(base: Path) -> SafeMetadata:
             if p.suffix == ".xml":
                 meta = parse_annotation_xml(p, meta)
     return meta
+
+
+@functools.lru_cache(maxsize=32)
+def _parse_comprehensive_cached(base_str: str, _stamp) -> SafeMetadata:
+    return _parse_comprehensive(Path(base_str))
+
+
+def parse_comprehensive_metadata(base: Path) -> SafeMetadata:
+    """manifest.safe + annotation files (reference: sentinel1.rs:1114-1174).
+
+    Memoized on (path, manifest/annotation mtimes): the batch paths run the
+    metadata-only viability check (api.scene_skip_reason) and then open the
+    product, which would otherwise parse every annotation XML twice per
+    scene. Callers get a defensive copy — downstream loaders mutate the
+    geotransform/dims fields."""
+    base = Path(base)
+    try:
+        stamp = (
+            (base / "manifest.safe").stat().st_mtime_ns,
+            (base / "annotation").stat().st_mtime_ns,
+        )
+    except OSError:
+        return _parse_comprehensive(base)
+    return _parse_comprehensive_cached(str(base), stamp).copy()
 
 
 def identify_polarization_files(measurement: Path, available: list[str]):

@@ -47,15 +47,24 @@ def _band_plan(in_size: int, out_size: int, filter_name: str):
         o0 = i * 8
         o1 = min(o0 + 8, out_n) - 1
         spans.append(int(starts[o1]) + ksize - int(starts[o0]))
-    # +16 slack: starts round DOWN to the 16-sublane tiling for the DMA
+    # +16 slack: the band start rounds DOWN to the 16-sublane tiling (≤15
+    # rows). There is deliberately NO end clamp — an aligned fixed-length
+    # band cannot end exactly at an unaligned in_size, and clamping the
+    # start down silently dropped tail-row taps (weight loss on the bottom
+    # edge; caught by code review). Blocks whose band would poke past the
+    # source are EXCLUDED via `kernel_blocks`; the caller computes those
+    # output rows with the tap-loop instead.
     B = int(np.ceil((max(spans) + 16) / 16.0) * 16)
-    if B > in_size // 16 * 16:
-        return None  # band would exceed the (aligned) source extent
+    if B > in_size:
+        return None  # band would exceed the source extent everywhere
     r0s = np.zeros(G, np.int32)
     W = np.zeros((G, 8, B), np.float32)
+    kernel_blocks = G
     for i in range(G):
         o0 = i * 8
-        r0 = min(int(starts[o0]) // 16 * 16, max((in_size - B) // 16 * 16, 0))
+        r0 = int(starts[o0]) // 16 * 16
+        if r0 + B > in_size:
+            kernel_blocks = min(kernel_blocks, i)
         r0s[i] = r0
         for j in range(8):
             o = o0 + j
@@ -64,9 +73,15 @@ def _band_plan(in_size: int, out_size: int, filter_name: str):
             off = int(starts[o]) - r0
             w = weights[o]
             for t in range(ksize):
-                if w[t] != 0.0 and 0 <= off + t < B:
+                if w[t] != 0.0:
+                    if not 0 <= off + t < B:
+                        # a tap escapes the band: refuse the kernel rather
+                        # than drop filter weight (tap-loop handles it)
+                        return None
                     W[i, j, off + t] = w[t]
-    return r0s, W, B, G
+    if kernel_blocks == 0:
+        return None
+    return r0s, W, B, G, kernel_blocks
 
 
 def _kernel(B: int, G: int, col0: int, needs_cast: bool, r0s_ref, w_ref,
@@ -145,27 +160,35 @@ def band_resample_axis0(x, in_size: int, out_size: int, filter_name: str):
     plan = _band_plan(in_size, out_size, filter_name)
     if plan is None:
         return None
-    r0s, W, B, G = plan
+    r0s, W, B, G, kb = plan
+    kb_rows = min(kb * 8, out_size)
     # heavy reductions (large B) exceed the double-buffered VMEM budget at
     # full width: split the column range into 128-aligned chunks, each its
     # own pallas_call DMA-ing (B, chunk) sub-windows of the same HBM source
     n_split = -(-2 * B * ca * x.dtype.itemsize // _MAX_SCRATCH_BYTES)
     if n_split > 8:
         return None  # absurd band; let the tap-loop handle it
-    r0s_j, W_j = jnp.asarray(r0s), jnp.asarray(W)
+    r0s_j, W_j = jnp.asarray(r0s[:kb]), jnp.asarray(W[:kb])
     chunk = max(-(-ca // n_split) // 128 * 128, 128)
     parts = []
     col0 = 0
     while col0 < ca:
         c = min(chunk, ca - col0)
-        parts.append(_banded_call(x, r0s_j, W_j, out_size, c, B, G,
+        parts.append(_banded_call(x, r0s_j, W_j, kb_rows, c, B, kb,
                                   col0=col0))
         col0 += c
     main = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-    if ca == cols:
-        return main
     from ..core.resize import _build_coeffs, _resample_axis0
 
     s, w = _build_coeffs(in_size, out_size, filter_name)
-    tail = _resample_axis0(x[:, ca:], jnp.asarray(s), jnp.asarray(w))
-    return jnp.concatenate([main, tail], axis=1)
+    if ca != cols:
+        tail = _resample_axis0(x[:, ca:], jnp.asarray(s),
+                               jnp.asarray(w))[:kb_rows]
+        main = jnp.concatenate([main, tail], axis=1)
+    if kb_rows < out_size:
+        # blocks whose DMA band would poke past the (unaligned) source end:
+        # their few output rows come from the tap-loop (gathers clamp fine)
+        rows_tail = _resample_axis0(x, jnp.asarray(s[kb_rows:]),
+                                    jnp.asarray(w[kb_rows:]))
+        main = jnp.concatenate([main, rows_tail], axis=0)
+    return main

@@ -663,3 +663,41 @@ def test_new_crs_roundtrip(code, lat_range):
     np.testing.assert_allclose(la2, lats, atol=1e-7)
     wkt = geodesy.epsg_to_wkt(code)
     assert wkt and f'AUTHORITY["EPSG","{code}"]' in wkt
+
+
+def test_world_file_gdal_extension_convention(tmp_path, rng):
+    """Code-review regression: GDAL's world-file convention is first+last
+    letter + 'w' (bmp->bpw); the reader must find those sidecars."""
+    from PIL import Image as _Image
+
+    from sarpro_tpu.io.pilraster import world_file_candidates
+    from sarpro_tpu.io.raster import RasterReader
+
+    from pathlib import Path as _P
+    names = [c.suffix for c in world_file_candidates(_P("r.bmp"))]
+    assert ".bpw" in names and ".wld" in names and ".bmpw" in names
+    a = rng.integers(0, 255, (10, 12), dtype=np.uint8)
+    p = tmp_path / "r.bmp"
+    _Image.fromarray(a, "L").save(p)
+    gt = [100.0, 2.0, 0.0, 50.0, 0.0, -2.0]
+    # GDAL-style .bpw sidecar (pixel-center)
+    (tmp_path / "r.bpw").write_text(
+        "2.0\n0.0\n0.0\n-2.0\n101.0\n49.0\n")
+    r = RasterReader(p)
+    assert r.metadata.geotransform == pytest.approx(gt)
+
+
+def test_raster_reader_content_probe_odd_extension(tmp_path, rng):
+    """Code-review regression: a TIFF named scene.img must open through the
+    native codec by magic, like GDAL's open-by-content (gdal.rs:57-104)."""
+    from sarpro_tpu.io.raster import RasterReader
+
+    a = rng.integers(0, 60000, (20, 30)).astype(np.uint16)
+    p = tmp_path / "scene.img"
+    w = TiffWriter(p)
+    w.set_geotransform([0.0, 5.0, 0.0, 100.0, 0.0, -5.0])
+    w.set_projection("EPSG:32632")
+    w.write([a])
+    r = RasterReader(p)
+    assert r.metadata.epsg == 32632
+    np.testing.assert_array_equal(r.read_band(1), a.astype(np.float32))

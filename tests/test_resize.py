@@ -99,3 +99,46 @@ def test_resample_filters_smoke(rng):
         # means should be preserved approximately by averaging filters
         if f in ("average", "bilinear"):
             assert abs(y.mean() - x.mean()) / x.mean() < 0.05
+
+
+def test_band_plan_covers_all_taps_unaligned_input():
+    """Code-review regression: with in_size % 16 != 0, the banded resampler's
+    end-clamp could shift the DMA band start below the +16 slack and taps
+    fell off the band silently (weight loss on the bottom/right edges). The
+    plan must either place EVERY nonzero tap inside the band or refuse."""
+    from sarpro_tpu.core.resize import _build_coeffs
+    from sarpro_tpu.ops.resample_kernel import _band_plan
+
+    for in_size, out_n, filt in ((16705, 2048, "average"), (1000, 100, "average"),
+                                 (16695, 2048, "lanczos"), (977, 97, "average")):
+        plan = _band_plan(in_size, out_n, filt)
+        if plan is None:
+            continue  # refusing is always safe
+        r0s, W, B, G, kb = plan
+        # kernel-covered blocks must carry every nonzero tap; blocks past
+        # kb are computed by the tap-loop instead
+        assert kb >= 1
+        starts, weights = _build_coeffs(in_size, out_n, filt)
+        for o in range(min(kb * 8, out_n)):
+            placed = W[o // 8, o % 8].sum()
+            expect = weights[o].sum()
+            assert placed == pytest.approx(expect, abs=1e-6), \
+                f"row {o} of {in_size}->{out_n} {filt}: {placed} != {expect}"
+        for i in range(kb):
+            assert r0s[i] + B <= in_size  # DMA stays inside the source
+
+
+def test_band_plan_weight_totals_aligned():
+    from sarpro_tpu.core.resize import _build_coeffs
+    from sarpro_tpu.ops.resample_kernel import _band_plan
+
+    plan = _band_plan(20000, 2048, "average")
+    assert plan is not None
+    r0s, W, B, G, kb = plan
+    # the final block's band (start slack) may poke past the source end and
+    # fall to the tap-loop; everything else must ride the kernel
+    assert kb >= G - 1
+    starts, weights = _build_coeffs(20000, 2048, "average")
+    np.testing.assert_allclose(
+        W.reshape(G * 8, B)[:kb * 8].sum(axis=1),
+        weights.sum(axis=1)[:kb * 8], atol=1e-6)
