@@ -69,13 +69,9 @@ def _stats(db, mask, row_axis: str | None = None):
         mx = jax.lax.pmax(mx, row_axis)
     mn = jnp.where(count > 0, mn, 0.0)
     mx = jnp.where(count > 0, mx, 0.0)
-    span = mx - mn
-    inv = jnp.where(span > 0, 1.0 / span, 0.0)
-    t = jnp.clip((db - mn) * inv, 0.0, 1.0)
-    idx = jnp.minimum((t * NUM_BINS).astype(jnp.int32), NUM_BINS - 1)
     from ..ops import histogram as _hist_kernel
 
-    hist = _hist_kernel(jnp.where(mask, idx, NUM_BINS), NUM_BINS)
+    hist = _hist_kernel(_db_bin_index(db, mask, mn, mx), NUM_BINS)
     shift = (mn + mx) * 0.5
     d = jnp.where(mask, db - shift, 0.0)
     sum_d = jnp.sum(d)
@@ -85,6 +81,32 @@ def _stats(db, mask, row_axis: str | None = None):
         sum_d = jax.lax.psum(sum_d, row_axis)
         sum_dd = jax.lax.psum(sum_dd, row_axis)
     return _stats_finalize(hist, count, mn, mx, sum_d, sum_dd)
+
+
+def _db_bin_index(db, mask, mn, mx):
+    """dB value → 4096-bin index (masked pixels carry the overflow index);
+    shared by the fused single program and the streamed per-chunk passes so
+    bin assignment stays a single source of truth."""
+    span = mx - mn
+    inv = jnp.where(span > 0, 1.0 / span, 0.0)
+    t = jnp.clip((db - mn) * inv, 0.0, 1.0)
+    idx = jnp.minimum((t * NUM_BINS).astype(jnp.int32), NUM_BINS - 1)
+    return jnp.where(mask, idx, NUM_BINS)
+
+
+def _clahe_norm(db, mask, low, high):
+    """Masked [0,1] normalization ahead of CLAHE binning (one definition for
+    fused and streamed)."""
+    rng = jnp.maximum(high - low, 1.0)
+    return jnp.where(mask, (jnp.clip(db, low, high) - low) / rng, 0.0)
+
+
+def _tamed_quantize_u8(db, mask, low, high):
+    """Band-specific tamed window straight to u8 (autoscale.rs:710-742)."""
+    rng = jnp.maximum(high - low, 1.0)
+    q = jnp.clip(jnp.trunc(jnp.clip(
+        (jnp.clip(db, low, high) - low) / rng * 255.0, 0, 255)), 0, 255)
+    return jnp.where(mask, q, 0.0)
 
 
 def _stats_finalize(hist, count, mn, mx, sum_d, sum_dd):
@@ -250,8 +272,7 @@ def _clahe(db, mask, low, high, max_val, rows: int, cols: int,
     rows_global = rows * row_shards
     tile_h = -(-rows_global // TILES_Y)
     tile_w = -(-cols // TILES_X)
-    rng = jnp.maximum(high - low, 1.0)
-    norm = jnp.where(mask, (jnp.clip(db, low, high) - low) / rng, 0.0)
+    norm = _clahe_norm(db, mask, low, high)
 
     bin_, flat = _clahe_bins(norm, mask, rows, cols, tile_h, tile_w,
                              row_axis=row_axis)
@@ -303,10 +324,7 @@ def _band_u8(dn, strategy: AutoscaleStrategy, tamed_copol: bool | None,
         # band-specific tamed window (autoscale.rs:710-742) straight to u8
         low = jnp.where(tamed_copol, jnp.minimum(s["p02"], s["p05"]), s["p05"])
         high = s["p99"]
-        rng = jnp.maximum(high - low, 1.0)
-        q = jnp.clip(jnp.trunc(jnp.clip(
-            (jnp.clip(db, low, high) - low) / rng * 255.0, 0, 255)), 0, 255)
-        return jnp.where(mask, q, 0.0).astype(jnp.uint8)
+        return _tamed_quantize_u8(db, mask, low, high).astype(jnp.uint8)
     low, high, gamma = _window(s, strategy)
     if strategy is AutoscaleStrategy.CLAHE:
         q16 = _clahe(db, mask, low, high, jnp.float32(255.0), rows, cols,

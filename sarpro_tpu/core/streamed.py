@@ -50,40 +50,38 @@ def _chunk_starts(rows: int, chunk: int):
     return [(r0, min(chunk, rows - r0)) for r0 in range(0, rows, chunk)]
 
 
-@functools.partial(jax.jit, static_argnames=("r0", "n"))
-def _pass_minmax(dn, r0: int, n: int):
+# r0 is a TRACED argument in every pass: the kernels take row offsets as
+# runtime scalars precisely so chunked invocations share one compiled
+# program per chunk SHAPE (full chunk + ragged tail = two compiles/pass)
+@functools.partial(jax.jit, static_argnames=("n",))
+def _pass_minmax(dn, r0, n: int):
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    count = jnp.sum(mask, dtype=jnp.int32)  # chunk <= ~108M px; host i64 sum
+    count = jnp.sum(mask, dtype=jnp.int32)  # chunk < 2^31 px (validated)
     big = jnp.float32(np.inf)
     mn = jnp.min(jnp.where(mask, db, big))
     mx = jnp.max(jnp.where(mask, db, -big))
     return count, mn, mx
 
 
-@functools.partial(jax.jit, static_argnames=("r0", "n"))
-def _pass_hist(dn, mn, mx, r0: int, n: int):
+@functools.partial(jax.jit, static_argnames=("n",))
+def _pass_hist(dn, mn, mx, r0, n: int):
     from ..ops import histogram
 
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    span = mx - mn
-    inv = jnp.where(span > 0, 1.0 / span, 0.0)
-    t = jnp.clip((db - mn) * inv, 0.0, 1.0)
-    idx = jnp.minimum((t * NUM_BINS).astype(jnp.int32), NUM_BINS - 1)
-    hist = histogram(jnp.where(mask, idx, NUM_BINS), NUM_BINS)
+    hist = histogram(fused._db_bin_index(db, mask, mn, mx), NUM_BINS)
     shift = (mn + mx) * 0.5
     d = jnp.where(mask, db - shift, 0.0)
     return hist, jnp.sum(d), jnp.sum(d * d)
 
 
-@functools.partial(jax.jit, static_argnames=("r0", "n", "tile_h", "tile_w",
+@functools.partial(jax.jit, static_argnames=("n", "tile_h", "tile_w",
                                              "cols"))
-def _pass_tile_hist(dn, low, high, r0: int, n: int, cols: int,
+def _pass_tile_hist(dn, low, high, r0, n: int, cols: int,
                     tile_h: int, tile_w: int):
     from ..ops import histogram
 
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    rng = jnp.maximum(high - low, 1.0)
-    norm = jnp.where(mask, (jnp.clip(db, low, high) - low) / rng, 0.0)
+    norm = fused._clahe_norm(db, mask, low, high)
     _, flat = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
                                 row_offset=r0)
     return histogram(flat, TILES_Y * TILES_X * CLAHE_BINS)
@@ -98,14 +96,13 @@ def _cdfs_from_hists(hists, rows_global: int, cols: int, tile_h: int,
 
 @functools.partial(
     jax.jit, donate_argnums=(0,),
-    static_argnames=("r0", "n", "cols", "tile_h", "tile_w"))
-def _pass_apply_clahe(q16_buf, dn, low, high, max_val, cdfs, r0: int, n: int,
+    static_argnames=("n", "cols", "tile_h", "tile_w"))
+def _pass_apply_clahe(q16_buf, dn, low, high, max_val, cdfs, r0, n: int,
                       cols: int, tile_h: int, tile_w: int):
     from ..ops import clahe_lookup
 
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    rng = jnp.maximum(high - low, 1.0)
-    norm = jnp.where(mask, (jnp.clip(db, low, high) - low) / rng, 0.0)
+    norm = fused._clahe_norm(db, mask, low, high)
     bin_, _ = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
                                 row_offset=r0)
     bin_flat = jnp.where(mask, bin_, CLAHE_BINS).ravel()
@@ -118,8 +115,8 @@ def _pass_apply_clahe(q16_buf, dn, low, high, max_val, cdfs, r0: int, n: int,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("r0", "n"))
-def _pass_apply_window(q16_buf, dn, low, high, gamma, max_val, r0: int,
+                   static_argnames=("n",))
+def _pass_apply_window(q16_buf, dn, low, high, gamma, max_val, r0,
                        n: int):
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
     q16 = fused._quantize(db, mask, low, high, gamma, max_val)
@@ -128,24 +125,21 @@ def _pass_apply_window(q16_buf, dn, low, high, gamma, max_val, r0: int,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("r0", "n"))
-def _pass_apply_tamed(q16_buf, dn, low, high, r0: int, n: int):
+                   static_argnames=("n",))
+def _pass_apply_tamed(q16_buf, dn, low, high, r0, n: int):
     """Band-specific tamed window straight to u8 range (autoscale.rs:710-742),
     staged in the u16 buffer."""
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    rng = jnp.maximum(high - low, 1.0)
-    q = jnp.clip(jnp.trunc(jnp.clip(
-        (jnp.clip(db, low, high) - low) / rng * 255.0, 0, 255)), 0, 255)
-    q16 = jnp.where(mask, q, 0.0).astype(jnp.uint16)
+    q16 = fused._tamed_quantize_u8(db, mask, low, high).astype(jnp.uint16)
     return jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("r0", "n"))
-def _pass_scale_u8(u8_buf, q16_buf, mn, mx, r0: int, n: int):
-    """u16 → u8 double normalization of one chunk, plus the chunk's u8
-    histogram (accumulated by the suppressed-synRGB floor; one fused pass
-    saves a dispatch per chunk through the RPC tunnel)."""
+                   static_argnames=("n", "with_hist"))
+def _pass_scale_u8(u8_buf, q16_buf, mn, mx, r0, n: int, with_hist: bool):
+    """u16 → u8 double normalization of one chunk; with `with_hist`, also
+    the chunk's u8 histogram (accumulated by the suppressed-synRGB floor —
+    riding this pass saves a dispatch per chunk through the RPC tunnel)."""
     from ..ops import histogram
 
     q = jax.lax.dynamic_slice_in_dim(q16_buf, r0, n, 0)
@@ -154,7 +148,8 @@ def _pass_scale_u8(u8_buf, q16_buf, mn, mx, r0: int, n: int):
     scale = jnp.where(mx > mn, 255.0 / (mx - mn), 1.0)
     val = round_half_up_nonneg((q.astype(jnp.float32) - mn) * scale)
     u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
-    hist = histogram(u8.astype(jnp.int32).ravel(), 256)
+    hist = (histogram(u8.astype(jnp.int32).ravel(), 256) if with_hist
+            else jnp.zeros((256,), jnp.int32))
     return jax.lax.dynamic_update_slice_in_dim(u8_buf, u8, r0, 0), hist
 
 
@@ -195,7 +190,10 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
     Semantics mirror fused._band_u8 / fused.grayscale_pipeline. With
     `collect_hist`, also returns the u8 output's 256-bin histogram
     (accumulated inside the scale pass — no extra dispatches)."""
+    dn = jnp.asarray(dn)  # numpy input would re-upload per chunk pass
     rows, cols = dn.shape
+    # per-chunk int32 reductions require chunk pixels < 2^31
+    chunk_rows = max(min(chunk_rows, (2**31 - 1) // max(cols, 1)), 1)
     chunks = _chunk_starts(rows, chunk_rows)
     s = _band_stats(dn, chunks)
 
@@ -250,14 +248,15 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
     mn_j, mx_j = jnp.asarray(mn), jnp.asarray(mx)
     hist = np.zeros(256, np.int64)
     for r0, n in chunks:
-        u8, h = _pass_scale_u8(u8, q16, mn_j, mx_j, r0, n)
+        u8, h = _pass_scale_u8(u8, q16, mn_j, mx_j, r0, n,
+                               with_hist=collect_hist)
         if collect_hist:
             hist += np.asarray(h, np.int64)
     return (u8, hist) if collect_hist else u8
 
 
-@functools.partial(jax.jit, static_argnames=("r0", "n"))
-def _pass_u8_hist(b, r0: int, n: int):
+@functools.partial(jax.jit, static_argnames=("n",))
+def _pass_u8_hist(b, r0, n: int):
     from ..ops import histogram
 
     c = jax.lax.dynamic_slice_in_dim(b, r0, n, 0).astype(jnp.int32)
@@ -265,9 +264,9 @@ def _pass_u8_hist(b, r0: int, n: int):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("r0", "n"))
+                   static_argnames=("n",))
 def _pass_compose_suppressed(rgb_buf, b1, b2, floor_c, lut_r, lut_g, lut_b,
-                             r0: int, n: int):
+                             r0, n: int):
     from ..ops import synrgb_lookup
 
     c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
@@ -283,12 +282,22 @@ def _pass_compose_suppressed(rgb_buf, b1, b2, floor_c, lut_r, lut_g, lut_b,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("r0", "n"))
-def _pass_compose_default(rgb_buf, b1, b2, r0: int, n: int):
+                   static_argnames=("n",))
+def _pass_compose_default(rgb_buf, b1, b2, r0, n: int):
     c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
     c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
     rgb = fused._synrgb_default(c1, c2)
     return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+
+
+def _suppressed_floor_host(hist: np.ndarray, total_pixels: int):
+    """Combined-histogram water floor, int64-exact on the host (the in-graph
+    version cumsum's in int32; streamed totals can exceed that)."""
+    target = np.floor(np.float64(total_pixels) * 0.05 + 0.5)
+    cum = np.cumsum(hist.astype(np.int64))
+    reached = cum >= target
+    floor_value = int(np.argmax(reached)) if reached.any() else 0
+    return jnp.asarray(np.float32(min(floor_value + 3, 40)))
 
 
 def synrgb_streamed(vv_dn, vh_dn,
@@ -297,21 +306,26 @@ def synrgb_streamed(vv_dn, vh_dn,
                     chunk_rows: int = CHUNK_ROWS):
     """Full-res dual-pol DN → synthetic-RGB u8, chunked multi-pass.
     Matches fused.synrgb_pipeline(target_size=None) semantics."""
+    vv_dn = jnp.asarray(vv_dn)
+    vh_dn = jnp.asarray(vh_dn)
     rows, cols = vv_dn.shape
     tamed = strategy is AutoscaleStrategy.TAMED
     if suppressed is None:
         suppressed = strategy in (AutoscaleStrategy.TAMED,
                                   AutoscaleStrategy.CLAHE)
-    b1, h1 = band_u8_streamed(vv_dn, strategy, True if tamed else None,
-                              chunk_rows=chunk_rows, collect_hist=True)
-    b2, h2 = band_u8_streamed(vh_dn, strategy, False if tamed else None,
-                              chunk_rows=chunk_rows, collect_hist=True)
-    hist = h1 + h2
+    r1 = band_u8_streamed(vv_dn, strategy, True if tamed else None,
+                          chunk_rows=chunk_rows, collect_hist=suppressed)
+    r2 = band_u8_streamed(vh_dn, strategy, False if tamed else None,
+                          chunk_rows=chunk_rows, collect_hist=suppressed)
+    b1, h1 = r1 if suppressed else (r1, None)
+    b2, h2 = r2 if suppressed else (r2, None)
+    hist = (h1 + h2) if suppressed else None
     if pad:
-        # pad precedes composition (save.rs:332-361): the pad zeros take
-        # part in the suppressed mode's combined histogram
         m = max(rows, cols)
-        hist[0] += 2 * (m * m - rows * cols)
+        if suppressed:
+            # pad precedes composition (save.rs:332-361): the pad zeros take
+            # part in the suppressed mode's combined histogram
+            hist[0] += 2 * (m * m - rows * cols)
         b1 = fused._pad_square(b1, rows, cols)
         b2 = fused._pad_square(b2, rows, cols)
         rows = cols = m
@@ -321,8 +335,10 @@ def synrgb_streamed(vv_dn, vh_dn,
         for r0, n in chunks:
             rgb = _pass_compose_default(rgb, b1, b2, r0, n)
         return rgb
-    floor_c = fused._suppressed_floor(jnp.asarray(hist, jnp.int32),
-                                      2 * rows * cols)
+    # floor computed HOST-side in int64: totals can exceed int32 (e.g.
+    # padded 40000^2 dual-band = 3.2e9); semantics match the reference's
+    # integer counting (synthetic_rgb.rs:96-110)
+    floor_c = _suppressed_floor_host(hist, 2 * rows * cols)
     lut_r, lut_g, lut_b = fused._suppressed_luts(floor_c)
     for r0, n in chunks:
         rgb = _pass_compose_suppressed(rgb, b1, b2, floor_c, lut_r, lut_g,
@@ -335,6 +351,7 @@ def grayscale_streamed(dn, strategy: AutoscaleStrategy = AutoscaleStrategy.STAND
                        chunk_rows: int = CHUNK_ROWS):
     """Full-res single-band DN → u8/u16 grayscale, chunked multi-pass.
     Matches fused.grayscale_pipeline(target_size=None) semantics."""
+    dn = jnp.asarray(dn)
     rows, cols = dn.shape
     out = band_u8_streamed(dn, strategy, None, bit_depth, chunk_rows)
     if pad:

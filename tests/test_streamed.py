@@ -77,3 +77,39 @@ def test_streamed_single_chunk_degenerates_to_fused(rng):
     got = np.asarray(streamed.synrgb_streamed(
         vv, vh, strategy=AutoscaleStrategy.CLAHE, chunk_rows=4096))
     np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_pad_suppressed_bit_identical(rng):
+    """Code-review gap: the pad-zeros histogram adjustment (hist[0] +=
+    2*(m²−rows·cols)) is the one place streamed reconstructs fused's
+    behavior arithmetically instead of running the same kernel — it must be
+    exercised with a SUPPRESSED composition (CLAHE), not just ROBUST."""
+    vv = sar_like(rng, (80, 128))  # rectangular: pad adds 48*128*2 zeros
+    vh = sar_like(rng, (80, 128))
+    want = np.asarray(fused.synrgb_pipeline(
+        vv, vh, strategy=AutoscaleStrategy.CLAHE, target_size=None,
+        pad=True))
+    got = np.asarray(streamed.synrgb_streamed(
+        vv, vh, strategy=AutoscaleStrategy.CLAHE, pad=True, chunk_rows=48))
+    assert got.shape == (128, 128, 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_floor_host_matches_reference_semantics():
+    """Host-side int64 floor (big totals overflow the in-graph int32
+    cumsum): same counting semantics as fused._suppressed_floor."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    hist = rng.integers(0, 10000, 256).astype(np.int64)
+    total = int(hist.sum())
+    got = float(np.asarray(streamed._suppressed_floor_host(hist, total)))
+    want = float(np.asarray(fused._suppressed_floor(
+        jnp.asarray(hist, jnp.int32), total)))
+    assert got == want
+    # >int32 totals: no wrap (the in-graph version would overflow here)
+    big = np.zeros(256, np.int64)
+    big[0] = 3_000_000_000
+    big[50] = 3_000_000_000
+    v = float(np.asarray(streamed._suppressed_floor_host(big, int(big.sum()))))
+    assert v == 3.0  # floor at bin 0 (+3 cushion)
