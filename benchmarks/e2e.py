@@ -146,7 +146,7 @@ def run_breakdown() -> dict:
         r = fn()
         return (time.perf_counter() - t0) * 1000.0, r
 
-    def t_min(fn, reps=3):
+    def t_min(fn, reps=5):
         best, res = None, None
         for _ in range(reps):
             ms, r = t(fn)

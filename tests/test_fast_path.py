@@ -99,3 +99,28 @@ def test_batch_resume(tmp_path, capsys):
     assert cli.run(args + ["--resume", "--prefetch", "2"]) == 0
     out = capsys.readouterr().out
     assert "Processed: 0" in out and "Skipped: 2" in out
+
+
+def test_fast_path_big_scene_gate_routes_to_streamed(tmp_path, monkeypatch, rng):
+    """The --fast full-res route must flip to the streamed pipelines past
+    the HBM budget (gate unit-covered; streamed equality tested elsewhere)."""
+    import sarpro_tpu.core.streamed as streamed_mod
+    from sarpro_tpu.core import fast_path
+    from sarpro_tpu.types import BitDepth, OutputFormat
+
+    monkeypatch.setattr(streamed_mod, "BIG_SCENE_PIXELS", 100)
+    calls = {}
+    real = streamed_mod.synrgb_streamed
+
+    def spy(*a, **k):
+        calls["hit"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(streamed_mod, "synrgb_streamed", spy)
+    dn1 = rng.integers(1, 60000, (48, 64)).astype(np.uint16)
+    dn2 = rng.integers(1, 60000, (48, 64)).astype(np.uint16)
+    out = tmp_path / "big.jpg"
+    fast_path.save_multiband_fast(
+        dn1, dn2, out, OutputFormat.JPEG, BitDepth.U8, None,
+        strategy=AutoscaleStrategy.CLAHE)
+    assert out.exists() and calls.get("hit")
