@@ -51,6 +51,9 @@ def ensure_scenes(n: int, side: int) -> pathlib.Path:
 
 
 def run(n_scenes: int = 6, side: int = 5000) -> dict:
+    from sarpro_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from sarpro_tpu import api
     from sarpro_tpu.params import ProcessingParams
     from sarpro_tpu.parallel.batch import process_directory_pipelined
