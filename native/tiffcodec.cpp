@@ -19,6 +19,10 @@
 #include <vector>
 #include <atomic>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -220,39 +224,139 @@ int64_t decode_strips(const uint8_t* srcs,
 // `src` points at global source row `src_row0` (chunked callers pass the
 // chunk's first row); output rows [oy0, oy1) are produced into `out`, which
 // holds (oy1-oy0) x out_cols floats.
+namespace {
+
+#if defined(__AVX512F__)
+// Widen one 512-bit vector of 32 u16 into two u32 vectors.
+static inline void widen_u16x32(__m512i v, __m512i& lo, __m512i& hi) {
+    lo = _mm512_cvtepu16_epi32(_mm512_castsi512_si256(v));
+    hi = _mm512_cvtepu16_epi32(_mm512_extracti64x4_epi64(v, 1));
+}
+
+// acc[0..cols) = sum of the n source rows starting at `rows0`, each
+// `src_cols` apart. First row stores (no memset); remaining rows are
+// processed in pairs — two read streams plus the L2-resident accumulator
+// RMW stream keep the single core near its DRAM bandwidth (measured
+// ~13 GB/s with this shape vs ~10 GB/s for a single stream).
+static void vertical_acc_avx512(const uint16_t* rows0, int64_t src_cols,
+                                int64_t n, uint32_t* acc) {
+    const uint16_t* row = rows0;
+    int64_t x = 0;
+    for (; x + 32 <= src_cols; x += 32) {
+        _mm_prefetch(reinterpret_cast<const char*>(row + x + 1024),
+                     _MM_HINT_T0);
+        __m512i lo, hi;
+        widen_u16x32(_mm512_loadu_si512(row + x), lo, hi);
+        _mm512_storeu_si512(acc + x, lo);
+        _mm512_storeu_si512(acc + x + 16, hi);
+    }
+    for (; x < src_cols; ++x) acc[x] = row[x];
+    int64_t r = 1;
+    for (; r + 2 <= n; r += 2) {
+        const uint16_t* ra = rows0 + r * src_cols;
+        const uint16_t* rb = ra + src_cols;
+        for (x = 0; x + 32 <= src_cols; x += 32) {
+            _mm_prefetch(reinterpret_cast<const char*>(ra + x + 1024),
+                         _MM_HINT_T0);
+            _mm_prefetch(reinterpret_cast<const char*>(rb + x + 1024),
+                         _MM_HINT_T0);
+            __m512i la, ha, lb, hb;
+            widen_u16x32(_mm512_loadu_si512(ra + x), la, ha);
+            widen_u16x32(_mm512_loadu_si512(rb + x), lb, hb);
+            _mm512_storeu_si512(
+                acc + x, _mm512_add_epi32(_mm512_loadu_si512(acc + x),
+                                          _mm512_add_epi32(la, lb)));
+            _mm512_storeu_si512(
+                acc + x + 16,
+                _mm512_add_epi32(_mm512_loadu_si512(acc + x + 16),
+                                 _mm512_add_epi32(ha, hb)));
+        }
+        for (; x < src_cols; ++x)
+            acc[x] += static_cast<uint32_t>(ra[x]) + rb[x];
+    }
+    for (; r < n; ++r) {
+        const uint16_t* ra = rows0 + r * src_cols;
+        for (x = 0; x + 32 <= src_cols; x += 32) {
+            _mm_prefetch(reinterpret_cast<const char*>(ra + x + 1024),
+                         _MM_HINT_T0);
+            __m512i la, ha;
+            widen_u16x32(_mm512_loadu_si512(ra + x), la, ha);
+            _mm512_storeu_si512(
+                acc + x, _mm512_add_epi32(_mm512_loadu_si512(acc + x), la));
+            _mm512_storeu_si512(
+                acc + x + 16,
+                _mm512_add_epi32(_mm512_loadu_si512(acc + x + 16), ha));
+        }
+        for (; x < src_cols; ++x) acc[x] += ra[x];
+    }
+}
+#endif  // __AVX512F__
+
+static void vertical_acc_scalar(const uint16_t* rows0, int64_t src_cols,
+                                int64_t n, uint32_t* acc) {
+    const uint16_t* row = rows0;
+    for (int64_t x = 0; x < src_cols; ++x) acc[x] = row[x];
+    for (int64_t r = 1; r < n; ++r) {
+        row = rows0 + r * src_cols;
+        for (int64_t x = 0; x < src_cols; ++x) acc[x] += row[x];
+    }
+}
+
+}  // namespace
+
 void box_reduce_u16_f32(const uint16_t* src, int64_t src_row0,
                         int64_t src_cols,
                         float* out, int64_t oy0, int64_t oy1, int64_t out_cols,
                         const int32_t* ys, const int32_t* yc,
                         const int32_t* xs, const int32_t* xc) {
     std::vector<uint32_t> acc(static_cast<size_t>(src_cols));
-    // Window sums accumulate in uint64 (a 2-D box can exceed 65537 pixels —
-    // e.g. a 26544² band thumbnailed to 64 has ~415x415 windows, whose sums
-    // overflow uint32). The scale is a precomputed double product: no
-    // per-element divide (a divide chain cost ~25 ms per 400 MP band);
-    // f64 a*inv_n*inv_m is within 1 ulp of the a*inv_n/m chain, far under
-    // the device comparison tolerance after the f32 cast.
+    // The scale is a precomputed double product: no per-element divide (a
+    // divide chain cost ~25 ms per 400 MP band); f64 a*inv_n*inv_m is within
+    // 1 ulp of the a*inv_n/m chain, far under the device comparison
+    // tolerance after the f32 cast.
     std::vector<double> inv_m(static_cast<size_t>(out_cols));
-    for (int64_t ox = 0; ox < out_cols; ++ox)
+    int64_t max_m = 1, max_n = 1;
+    for (int64_t ox = 0; ox < out_cols; ++ox) {
         inv_m[ox] = 1.0 / static_cast<double>(xc[ox]);
+        if (xc[ox] > max_m) max_m = xc[ox];
+    }
+    for (int64_t oy = oy0; oy < oy1; ++oy)
+        if (yc[oy] > max_n) max_n = yc[oy];
+    // Column sums are n*65535 <= u32 max for any real n. Horizontal window
+    // sums of those u32 columns need u64 once the 2-D box exceeds 65537
+    // pixels (e.g. a 26544² band thumbnailed to 64 has ~415x415 windows);
+    // the common downsample-on-read shapes (boxes of ~100 px) stay on the
+    // faster u32 path.
+    const bool wide = max_n * max_m > 65537;
     for (int64_t oy = oy0; oy < oy1; ++oy) {
-        std::memset(acc.data(), 0, static_cast<size_t>(src_cols) * 4);
         const int64_t r0 = ys[oy];
         const int64_t n = yc[oy];
-        for (int64_t r = 0; r < n; ++r) {
-            const uint16_t* row = src + (r0 + r - src_row0) * src_cols;
-            uint32_t* a = acc.data();
-            for (int64_t x = 0; x < src_cols; ++x) a[x] += row[x];
-        }
+        const uint16_t* rows0 = src + (r0 - src_row0) * src_cols;
+#if defined(__AVX512F__)
+        vertical_acc_avx512(rows0, src_cols, n, acc.data());
+#else
+        vertical_acc_scalar(rows0, src_cols, n, acc.data());
+#endif
         float* orow = out + (oy - oy0) * out_cols;
         const double inv_n = 1.0 / static_cast<double>(n);
-        for (int64_t ox = 0; ox < out_cols; ++ox) {
-            const int64_t x0 = xs[ox];
-            const int64_t m = xc[ox];
-            uint64_t s = 0;
-            for (int64_t j = 0; j < m; ++j) s += acc[x0 + j];
-            orow[ox] = static_cast<float>(
-                static_cast<double>(s) * (inv_n * inv_m[ox]));
+        if (wide) {
+            for (int64_t ox = 0; ox < out_cols; ++ox) {
+                const uint32_t* p = acc.data() + xs[ox];
+                const int64_t m = xc[ox];
+                uint64_t s = 0;
+                for (int64_t j = 0; j < m; ++j) s += p[j];
+                orow[ox] = static_cast<float>(
+                    static_cast<double>(s) * (inv_n * inv_m[ox]));
+            }
+        } else {
+            for (int64_t ox = 0; ox < out_cols; ++ox) {
+                const uint32_t* p = acc.data() + xs[ox];
+                const int64_t m = xc[ox];
+                uint32_t s = 0;
+                for (int64_t j = 0; j < m; ++j) s += p[j];
+                orow[ox] = static_cast<float>(
+                    static_cast<double>(s) * (inv_n * inv_m[ox]));
+            }
         }
     }
 }

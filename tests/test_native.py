@@ -97,3 +97,52 @@ def test_predictor2_undo(rng):
         fh.write(buf)
     got = TiffReader(path).read(1)
     np.testing.assert_array_equal(got, orig)
+
+
+@needs_native
+@pytest.mark.parametrize("shape", [
+    (997, 1003, 101, 97),    # ragged windows, u32 horizontal path
+    (512, 512, 64, 64),      # exact 8x8 boxes
+    (2654, 2654, 7, 7),      # ~379x379 boxes -> u64 horizontal (wide) path
+    (40, 60, 13, 17),        # tiny, windows of 2-4
+])
+def test_box_reduce_matches_f64_oracle(rng, shape):
+    """The SIMD box reducer must match a float64 box-average oracle to f32
+    precision on both the u32 and the wide-window u64 horizontal paths
+    (reference semantics: GDAL Average decimation, src/io/gdal.rs:145-177)."""
+    from sarpro_tpu.io.raster import _average_windows
+
+    H, W, oh, ow = shape
+    src = rng.integers(0, 65536, (H, W)).astype(np.uint16)
+    ys, yc = _average_windows(H, oh)
+    xs, xc = _average_windows(W, ow)
+    out = np.empty((oh, ow), np.float32)
+    _native.box_reduce_u16(src, out, 0, oh, ys, yc, xs, xc)
+    oracle = np.empty((oh, ow), np.float64)
+    for oy in range(oh):
+        colsum = src[ys[oy]:ys[oy] + yc[oy]].astype(np.float64).sum(axis=0)
+        for ox in range(ow):
+            s = colsum[xs[ox]:xs[ox] + xc[ox]].sum()
+            oracle[oy, ox] = s / yc[oy] / xc[ox]
+    err = np.abs(out.astype(np.float64) - oracle).max()
+    assert err / max(oracle.max(), 1.0) < 1e-6
+
+
+@needs_native
+def test_box_reduce_chunked_src_row0(rng):
+    """Chunked callers pass src_row0 > 0; partial output ranges must match
+    the full-array reduction exactly."""
+    from sarpro_tpu.io.raster import _average_windows
+
+    H, W, oh, ow = 300, 200, 31, 23
+    src = rng.integers(0, 65536, (H, W)).astype(np.uint16)
+    ys, yc = _average_windows(H, oh)
+    xs, xc = _average_windows(W, ow)
+    full = np.empty((oh, ow), np.float32)
+    _native.box_reduce_u16(src, full, 0, oh, ys, yc, xs, xc)
+    o0, o1 = 10, 20
+    r0, r1 = int(ys[o0]), int(ys[o1 - 1] + yc[o1 - 1])
+    part = np.empty((o1 - o0, ow), np.float32)
+    _native.box_reduce_u16(np.ascontiguousarray(src[r0:r1]), part, o0, o1,
+                           ys, yc, xs, xc, src_row0=r0)
+    np.testing.assert_array_equal(part, full[o0:o1])
