@@ -189,11 +189,13 @@ def run_breakdown() -> dict:
 
     out = fused.synrgb_pipeline(dev[0], dev[1],
                                 strategy=AutoscaleStrategy.CLAHE,
-                                target_size=2048, pad=True)
+                                target_size=2048, pad=True,
+                                channel_order="bgr")
     _ = int(np.asarray(out[0, 0, 0]))
-    fetch_ms, host_rgb = t(lambda: np.asarray(out))
+    fetch_ms, host_bgr = t(lambda: np.asarray(out))
     write_ms, _ = t_min(lambda: write_rgb_jpeg(DATA / "bd.jpg", 2048, 2048,
-                                               host_rgb), reps=5)
+                                               host_bgr, channel_order="bgr"),
+                        reps=5)
     return {
         "read_reduce_ms": round(read_ms, 1),
         "h2d_transfer_ms": round(xfer_ms, 1),

@@ -150,11 +150,15 @@ def save_multiband_fast(
 
             rgb = np.asarray(synrgb_streamed(
                 dn1, dn2, strategy=strategy, pad=pad))
+            write_rgb_jpeg(output, final_cols, final_rows, rgb)
         else:
-            rgb = np.asarray(fused.synrgb_pipeline(
+            # device emits BGR (a free interleave reverse in-graph) so the
+            # cv2 writer takes it without any host-side channel swap
+            bgr = np.asarray(fused.synrgb_pipeline(
                 dn1, dn2, strategy=strategy, target_size=target_size,
-                pad=pad, resample_alg=resample_alg))
-        write_rgb_jpeg(output, final_cols, final_rows, rgb)
+                pad=pad, resample_alg=resample_alg, channel_order="bgr"))
+            write_rgb_jpeg(output, final_cols, final_rows, bgr,
+                           channel_order="bgr")
         if metadata is not None:
             if gt_override is not None:
                 write_world_file(output, gt_override)

@@ -425,7 +425,8 @@ def _plan_read_dims(in_rows: int, in_cols: int, target_size: int | None,
 @functools.partial(
     jax.jit,
     static_argnames=("strategy", "target_size", "pad", "suppressed",
-                     "resample_alg", "row_axis", "row_shards"),
+                     "resample_alg", "row_axis", "row_shards",
+                     "channel_order"),
 )
 def synrgb_pipeline(
     vv_dn,
@@ -437,6 +438,7 @@ def synrgb_pipeline(
     resample_alg: str | None = None,
     row_axis: str | None = None,
     row_shards: int = 1,
+    channel_order: str = "rgb",
 ):
     """Flagship fused program: dual-pol DN rasters → synthetic-RGB u8.
 
@@ -478,8 +480,11 @@ def synrgb_pipeline(
 
     if suppressed is None:
         suppressed = strategy in (AutoscaleStrategy.TAMED, AutoscaleStrategy.CLAHE)
-    return (_synrgb_suppressed(b1, b2, row_axis, row_shards) if suppressed
-            else _synrgb_default(b1, b2))
+    out = (_synrgb_suppressed(b1, b2, row_axis, row_shards) if suppressed
+           else _synrgb_default(b1, b2))
+    # "bgr" reverses the interleave on device (free inside the fused
+    # program) so the cv2 JPEG writer consumes it without a host swap
+    return out[..., ::-1] if channel_order == "bgr" else out
 
 
 @functools.partial(

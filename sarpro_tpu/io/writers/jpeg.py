@@ -36,13 +36,21 @@ def write_gray_jpeg(output, cols: int, rows: int, data) -> None:
     )
 
 
-def write_rgb_jpeg(output, cols: int, rows: int, rgb_data) -> None:
-    """reference: jpeg.rs:19-30 (interleaved RGB)."""
+def write_rgb_jpeg(output, cols: int, rows: int, rgb_data,
+                   channel_order: str = "rgb") -> None:
+    """reference: jpeg.rs:19-30 (interleaved RGB).
+
+    `channel_order="bgr"` accepts BGR-interleaved input (the fused device
+    program emits BGR at zero cost for this writer), skipping the host-side
+    channel swap entirely on the cv2 path."""
     arr = np.asarray(rgb_data).reshape(rows, cols, 3).astype(np.uint8, copy=False)
     if cv2 is not None and Path(output).suffix.lower() in (".jpg", ".jpeg"):
-        if cv2.imwrite(str(output), cv2.cvtColor(arr, cv2.COLOR_RGB2BGR),
-                       _CV2_FLAGS):
+        # cv2 wants BGR; a strided reverse copy beats cv2.cvtColor's
+        # allocate+convert on the single-core host
+        bgr = arr if channel_order == "bgr" else np.ascontiguousarray(arr[..., ::-1])
+        if cv2.imwrite(str(output), bgr, _CV2_FLAGS):
             return
-    Image.fromarray(arr, mode="RGB").save(
+    rgb = arr if channel_order == "rgb" else arr[..., ::-1]
+    Image.fromarray(np.ascontiguousarray(rgb), mode="RGB").save(
         Path(output), format="JPEG", quality=JPEG_QUALITY, subsampling=0
     )

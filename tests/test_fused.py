@@ -114,3 +114,16 @@ def test_fused_clahe_realistic_scale_2048(rng):
     frac_tight = (diff <= 16).mean()
     assert frac_tight >= 0.999, f"{(diff > 16).mean():.5%} beyond one CDF step"
     assert (diff <= 32).all(), f"max diff {diff.max()}"
+
+
+def test_synrgb_pipeline_bgr_is_reversed_rgb(rng):
+    """channel_order='bgr' is exactly the RGB output with the interleave
+    reversed (consumed by the cv2 JPEG writer without a host swap)."""
+    vv = rng.integers(0, 60000, (96, 80)).astype(np.uint16)
+    vh = rng.integers(0, 30000, (96, 80)).astype(np.uint16)
+    rgb = np.asarray(fused.synrgb_pipeline(
+        vv, vh, strategy=AutoscaleStrategy.CLAHE, target_size=64, pad=True))
+    bgr = np.asarray(fused.synrgb_pipeline(
+        vv, vh, strategy=AutoscaleStrategy.CLAHE, target_size=64, pad=True,
+        channel_order="bgr"))
+    np.testing.assert_array_equal(bgr, rgb[..., ::-1])

@@ -701,3 +701,16 @@ def test_raster_reader_content_probe_odd_extension(tmp_path, rng):
     r = RasterReader(p)
     assert r.metadata.epsg == 32632
     np.testing.assert_array_equal(r.read_band(1), a.astype(np.float32))
+
+
+def test_rgb_jpeg_bgr_order_identical(tmp_path, rng):
+    """channel_order='bgr' must produce the same encoded image as the RGB
+    path fed the equivalent RGB array (the fused program emits BGR for the
+    cv2 writer at zero device cost)."""
+    rgb = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+    write_rgb_jpeg(tmp_path / "rgb.jpg", 48, 32, rgb)
+    write_rgb_jpeg(tmp_path / "bgr.jpg", 48, 32, rgb[..., ::-1],
+                   channel_order="bgr")
+    a = (tmp_path / "rgb.jpg").read_bytes()
+    b = (tmp_path / "bgr.jpg").read_bytes()
+    assert a == b
