@@ -3,9 +3,12 @@
 The reference's batch loop is strictly serial (api/mod.rs:502-533: read,
 process, write per product). The pipelined driver
 (parallel/batch.py:process_directory_pipelined) prefetches scene reads on a
-host thread so device compute overlaps the next scene's I/O — the
-inter-scene parallelism SURVEY.md §2.5 calls for. This benchmark builds N
-synthetic dual-pol SAFEs on disk and measures scenes/second through the
+host thread so device compute overlaps the next scene's I/O, and with
+fast=True defers encode+file-write to a dedicated writer thread so the
+device starts scene N+1 while scene N encodes (VERDICT r2 item 3) — the
+inter-scene parallelism SURVEY.md §2.5 calls for. Both arms here run the
+fused fast path, so the speedup isolates pipelining. This benchmark builds
+N synthetic dual-pol SAFEs on disk and measures scenes/second through the
 REAL directory APIs (everything included: SAFE parse, read+reduce, device,
 JPEG write, sidecars).
 
@@ -70,7 +73,7 @@ def run(n_scenes: int = 6, side: int = 5000) -> dict:
         ("serial", lambda out: api.process_directory_to_path(
             indir, out, params, fast=True)),
         ("pipelined_prefetch2", lambda out: process_directory_pipelined(
-            indir, out, params, prefetch=2)),
+            indir, out, params, prefetch=2, fast=True)),
     ):
         out = DATA / f"out_{name}"
         if out.exists():

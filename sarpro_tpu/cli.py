@@ -136,7 +136,7 @@ def run(argv=None) -> int:
                 report = process_directory_pipelined(
                     args.input_dir, args.output_dir, params,
                     continue_on_error=True, prefetch=args.prefetch,
-                    resume=args.resume,
+                    resume=args.resume, fast=args.fast,
                 )
             else:
                 report = api.process_directory_to_path(

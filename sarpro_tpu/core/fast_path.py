@@ -64,9 +64,15 @@ def save_single_band_fast(
     dn, output, format: OutputFormat, bit_depth: BitDepth, target_size,
     metadata=None, pad: bool = False, strategy=None,
     operation: ProcessingOperation = ProcessingOperation.SINGLE_BAND,
-    resample_alg=None,
-) -> None:
-    """Single-band DN → file through the fused program."""
+    resample_alg=None, write_pool=None,
+):
+    """Single-band DN → file through the fused program.
+
+    With `write_pool` (an Executor), the encode+file-write stage is
+    submitted to it and the Future returned — the batch driver's writer
+    thread runs it while the device starts the next scene (the metadata
+    snapshot is taken before returning, so the caller may mutate/reuse the
+    reader). Without it, writes happen inline and None is returned."""
     output = Path(output)
     in_rows, in_cols = dn.shape
     depth = bit_depth if format is OutputFormat.TIFF else BitDepth.U8
@@ -88,23 +94,33 @@ def save_single_band_fast(
         metadata, cols, rows, final_cols, final_rows, pad_left, pad_top, 1.0, 1.0
     )
     label = operation.metadata_label
-    if format is OutputFormat.TIFF:
-        writer = write_tiff_u8 if depth is BitDepth.U8 else write_tiff_u16
-        ds = writer(output, final_cols, final_rows, arr)
-        if metadata is not None:
-            embed_tiff_metadata(ds, metadata, label, gt_override, proj_override)
-        ds.flush()
-    else:
-        write_gray_jpeg(output, final_cols, final_rows, arr)
-        if metadata is not None:
-            if gt_override is not None:
-                write_world_file(output, gt_override)
-            if proj_override is not None:
-                write_prj_file(output, proj_override)
-            create_jpeg_metadata_sidecar_with_overrides(
-                output, metadata, label, gt_override, proj_override
-            )
-    logger.info("fast: saved %s", output)
+    meta_snapshot = metadata.copy() if (metadata is not None
+                                        and write_pool is not None) else metadata
+
+    def _write():
+        if format is OutputFormat.TIFF:
+            writer = write_tiff_u8 if depth is BitDepth.U8 else write_tiff_u16
+            ds = writer(output, final_cols, final_rows, arr)
+            if meta_snapshot is not None:
+                embed_tiff_metadata(ds, meta_snapshot, label, gt_override,
+                                    proj_override)
+            ds.flush()
+        else:
+            write_gray_jpeg(output, final_cols, final_rows, arr)
+            if meta_snapshot is not None:
+                if gt_override is not None:
+                    write_world_file(output, gt_override)
+                if proj_override is not None:
+                    write_prj_file(output, proj_override)
+                create_jpeg_metadata_sidecar_with_overrides(
+                    output, meta_snapshot, label, gt_override, proj_override
+                )
+        logger.info("fast: saved %s", output)
+
+    if write_pool is not None:
+        return write_pool.submit(_write)
+    _write()
+    return None
 
 
 def save_multiband_fast(
@@ -112,9 +128,12 @@ def save_multiband_fast(
     metadata=None, pad: bool = False, strategy=None,
     operation: ProcessingOperation = ProcessingOperation.MULTIBAND_VV_VH,
     syn_mode: SyntheticRgbMode = SyntheticRgbMode.DEFAULT,
-    resample_alg=None,
-) -> None:
-    """Dual-band DN → multiband TIFF or synRGB JPEG through fused programs."""
+    resample_alg=None, write_pool=None,
+):
+    """Dual-band DN → multiband TIFF or synRGB JPEG through fused programs.
+
+    `write_pool` defers the encode+write stage to the given Executor and
+    returns its Future (see save_single_band_fast)."""
     output = Path(output)
     in_rows, in_cols = dn1.shape
     rows, cols, final_cols, final_rows, pad_left, pad_top = _final_dims(
@@ -125,6 +144,8 @@ def save_multiband_fast(
     )
     label = operation.metadata_label
     big = _is_big_scene(in_rows, in_cols, target_size)
+    meta_snapshot = metadata.copy() if (metadata is not None
+                                        and write_pool is not None) else metadata
     if format is OutputFormat.TIFF:
         if big:
             from .streamed import grayscale_streamed
@@ -138,34 +159,46 @@ def save_multiband_fast(
                 resample_alg=resample_alg)
         b1 = np.asarray(gray(dn1))
         b2 = np.asarray(gray(dn2))
-        writer = (write_tiff_multiband_u8 if bit_depth is BitDepth.U8
-                  else write_tiff_multiband_u16)
-        ds = writer(output, final_cols, final_rows, b1, b2)
-        if metadata is not None:
-            embed_tiff_metadata(ds, metadata, label, gt_override, proj_override)
-        ds.flush()
+
+        def _write():
+            writer = (write_tiff_multiband_u8 if bit_depth is BitDepth.U8
+                      else write_tiff_multiband_u16)
+            ds = writer(output, final_cols, final_rows, b1, b2)
+            if meta_snapshot is not None:
+                embed_tiff_metadata(ds, meta_snapshot, label, gt_override,
+                                    proj_override)
+            ds.flush()
+            logger.info("fast: saved %s", output)
     else:
         if big:
             from .streamed import synrgb_streamed
 
             rgb = np.asarray(synrgb_streamed(
                 dn1, dn2, strategy=strategy, pad=pad))
-            write_rgb_jpeg(output, final_cols, final_rows, rgb)
+            order = "rgb"
         else:
             # device emits BGR (a free interleave reverse in-graph) so the
             # cv2 writer takes it without any host-side channel swap
-            bgr = np.asarray(fused.synrgb_pipeline(
+            rgb = np.asarray(fused.synrgb_pipeline(
                 dn1, dn2, strategy=strategy, target_size=target_size,
                 pad=pad, resample_alg=resample_alg, channel_order="bgr"))
-            write_rgb_jpeg(output, final_cols, final_rows, bgr,
-                           channel_order="bgr")
-        if metadata is not None:
-            if gt_override is not None:
-                write_world_file(output, gt_override)
-            if proj_override is not None:
-                write_prj_file(output, proj_override)
-            create_jpeg_metadata_sidecar_with_overrides_and_extras(
-                output, metadata, label, gt_override, proj_override,
-                [("synthetic_rgb_mode", syn_mode.display)],
-            )
-    logger.info("fast: saved %s", output)
+            order = "bgr"
+
+        def _write():
+            write_rgb_jpeg(output, final_cols, final_rows, rgb,
+                           channel_order=order)
+            if meta_snapshot is not None:
+                if gt_override is not None:
+                    write_world_file(output, gt_override)
+                if proj_override is not None:
+                    write_prj_file(output, proj_override)
+                create_jpeg_metadata_sidecar_with_overrides_and_extras(
+                    output, meta_snapshot, label, gt_override, proj_override,
+                    [("synthetic_rgb_mode", syn_mode.display)],
+                )
+            logger.info("fast: saved %s", output)
+
+    if write_pool is not None:
+        return write_pool.submit(_write)
+    _write()
+    return None

@@ -63,8 +63,16 @@ def process_directory_pipelined(
     continue_on_error: bool = True,
     prefetch: int = 2,
     resume: bool = False,
+    fast: bool = False,
 ):
     """Batch all SAFE subdirectories with `prefetch` scenes loading ahead.
+
+    With `fast=True` the scenes run through the fused single-program
+    pipeline AND the encode+file-write stage runs on a dedicated writer
+    thread: the device starts scene N+1 while scene N's JPEG/TIFF encodes,
+    so steady-state throughput approaches 1/max(stage) instead of
+    1/sum(stages) (the reference's loop is strictly serial,
+    src/cli/runner.rs:294-340).
 
     Returns a BatchReport (same counters as the reference's batch loops).
     """
@@ -95,12 +103,39 @@ def process_directory_pipelined(
     bit_depth = params.bit_depth.to_bit_depth()
     pol = params.polarization
 
-    def run_scene(load: _SceneLoad):
+    def run_scene(load: _SceneLoad, write_pool=None):
+        """Device compute (+fetch) for one scene; returns the deferred
+        write Future in fast mode (None = written inline)."""
         from ..api import _band_pair, _op_band, _single_band
 
         reader = load.reader
         ext = params.format.extension
         out = output_dir / f"{load.path.name}.{ext}"
+        if fast:
+            from ..core import fast_path
+
+            if pol.kind in ("vv", "vh", "hh", "hv"):
+                return fast_path.save_single_band_fast(
+                    _single_band(reader, pol), out, params.format, bit_depth,
+                    params.size, reader.metadata, params.pad, params.autoscale,
+                    ProcessingOperation.SINGLE_BAND,
+                    write_pool=write_pool,
+                )
+            if pol.kind == "multiband":
+                b1, b2, is_vvvh = _band_pair(reader, "Multiband")
+                return fast_path.save_multiband_fast(
+                    b1, b2, out, params.format, bit_depth, params.size,
+                    reader.metadata, params.pad, params.autoscale,
+                    ProcessingOperation.MULTIBAND_VV_VH if is_vvvh
+                    else ProcessingOperation.MULTIBAND_HH_HV,
+                    params.synrgb_mode, write_pool=write_pool,
+                )
+            return fast_path.save_single_band_fast(
+                _op_band(reader, pol.op), out, params.format, bit_depth,
+                params.size, reader.metadata, params.pad, params.autoscale,
+                ProcessingOperation.PolarOp(pol.op),
+                write_pool=write_pool,
+            )
         if pol.kind in ("vv", "vh", "hh", "hv"):
             save_processed_image(
                 _single_band(reader, pol), out, params.format, bit_depth,
@@ -122,8 +157,32 @@ def process_directory_pipelined(
                 params.size, reader.metadata, params.pad, params.autoscale,
                 ProcessingOperation.PolarOp(pol.op),
             )
+        return None
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=max(prefetch, 1)) as pool:
+    # write_futs: deferred encode+write stages (fast mode), resolved as they
+    # finish so counters stay accurate; depth-capped so host arrays from at
+    # most 2 scenes wait for the writer thread
+    write_futs: list[tuple[Path, concurrent.futures.Future]] = []
+
+    def drain_writes(block: bool = False):
+        while write_futs:
+            path, wfut = write_futs[0]
+            if not block and not wfut.done():
+                return
+            write_futs.pop(0)
+            try:
+                wfut.result()
+                report.processed += 1
+                logger.info("Processed: %s", path)
+            except Exception as e:  # noqa: BLE001 — batch isolation boundary
+                logger.warning("Error writing %s: %s", path, e)
+                report.errors += 1
+                if not continue_on_error:
+                    raise
+
+    with concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(prefetch, 1)) as pool, \
+         concurrent.futures.ThreadPoolExecutor(max_workers=1) as writer_pool:
         pending: list[concurrent.futures.Future] = []
         it = iter(paths)
 
@@ -159,12 +218,22 @@ def process_directory_pipelined(
                     raise load.error
                 continue
             try:
-                run_scene(load)
-                report.processed += 1
-                logger.info("Processed: %s", load.path)
+                wfut = run_scene(load, write_pool=writer_pool if fast else None)
             except Exception as e:  # noqa: BLE001 — batch isolation boundary
                 logger.warning("Error processing %s: %s", load.path, e)
                 report.errors += 1
                 if not continue_on_error:
                     raise
+                continue
+            if wfut is None:
+                report.processed += 1
+                logger.info("Processed: %s", load.path)
+            else:
+                write_futs.append((load.path, wfut))
+                drain_writes()
+                if len(write_futs) > 2:
+                    path, first = write_futs[0]
+                    first.exception()  # wait without raising here
+                    drain_writes()
+        drain_writes(block=True)
     return report

@@ -116,3 +116,50 @@ def test_single_pol_missing_file_skipped(tmp_path):
                               autoscale=AutoscaleStrategy.STANDARD)
     report = process_directory_to_path(indir, tmp_path / "out", params)
     assert (report.processed, report.skipped, report.errors) == (0, 1, 0)
+
+
+def test_pipelined_fast_writer_thread_matches_serial_fast(tmp_path):
+    """fast=True routes scenes through the fused pipeline with the deferred
+    writer thread; outputs must be byte-identical to the serial fast path
+    and counters must match (VERDICT r2 item 3)."""
+    from sarpro_tpu import api
+
+    indir = _setup(tmp_path)
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.CLAHE, size=32, pad=True,
+    )
+    report = process_directory_pipelined(indir, tmp_path / "pf", params,
+                                         prefetch=2, fast=True)
+    assert report.processed == 3
+    assert report.skipped == 2
+    assert report.errors == 0
+    api.process_directory_to_path(indir, tmp_path / "sf", params, fast=True)
+    for name in ("a", "b", "c"):
+        piped = (tmp_path / "pf" / f"{name}.SAFE.jpg").read_bytes()
+        serial = (tmp_path / "sf" / f"{name}.SAFE.jpg").read_bytes()
+        assert piped == serial
+        # sidecars written by the writer thread too
+        assert (tmp_path / "pf" / f"{name}.SAFE.json").exists()
+
+
+def test_pipelined_fast_write_error_is_counted(tmp_path, monkeypatch):
+    """A failure inside the deferred write stage surfaces in the error
+    counter, not as a silent drop."""
+    import sarpro_tpu.core.fast_path as fp
+
+    indir = _setup(tmp_path)
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic encode failure")
+
+    monkeypatch.setattr(fp, "write_rgb_jpeg", boom)
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.CLAHE, size=32,
+    )
+    report = process_directory_pipelined(indir, tmp_path / "pe", params,
+                                         prefetch=2, fast=True)
+    assert report.processed == 0
+    assert report.errors == 3
+    assert report.skipped == 2
