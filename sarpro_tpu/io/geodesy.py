@@ -34,44 +34,58 @@ _E2 = _F * (2.0 - _F)
 _E = np.sqrt(_E2)
 
 _n = _N
+
+
+def _alpha_coeffs(n):
+    """Krüger forward series coefficients (order 6) for third flattening n."""
+    return np.array([
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+        - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440 + 281 * n**5 / 630
+        - 1983433 * n**6 / 1935360,
+        61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+        + 167603 * n**6 / 181440,
+        49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+        34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+        212378941 * n**6 / 319334400,
+    ])
+
+
+def _beta_coeffs(n):
+    """Krüger inverse series coefficients (order 6)."""
+    return np.array([
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+        - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+        - 1118711 * n**6 / 3870720,
+        17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+        + 5569 * n**6 / 90720,
+        4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+        4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+        20648693 * n**6 / 638668800,
+    ])
+
+
+def _delta_coeffs(n):
+    """Conformal → geodetic latitude series coefficients (order 6)."""
+    return np.array([
+        2 * n - 2 * n**2 / 3 - 2 * n**3 + 116 * n**4 / 45
+        + 26 * n**5 / 45 - 2854 * n**6 / 675,
+        7 * n**2 / 3 - 8 * n**3 / 5 - 227 * n**4 / 45 + 2704 * n**5 / 315
+        + 2323 * n**6 / 945,
+        56 * n**3 / 15 - 136 * n**4 / 35 - 1262 * n**5 / 105
+        + 73814 * n**6 / 2835,
+        4279 * n**4 / 630 - 332 * n**5 / 35 - 399572 * n**6 / 14175,
+        4174 * n**5 / 315 - 144838 * n**6 / 6237,
+        601676 * n**6 / 22275,
+    ])
+
+
 # Rectifying radius
 _A_REC = _A / (1 + _n) * (1 + _n**2 / 4 + _n**4 / 64 + _n**6 / 256)
-
-# Krüger series coefficients (order 6)
-_ALPHA = np.array([
-    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180
-    - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
-    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630
-    - 1983433 * _n**6 / 1935360,
-    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880
-    + 167603 * _n**6 / 181440,
-    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
-    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
-    212378941 * _n**6 / 319334400,
-])
-_BETA = np.array([
-    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360
-    - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
-    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105
-    - 1118711 * _n**6 / 3870720,
-    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480
-    + 5569 * _n**6 / 90720,
-    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
-    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
-    20648693 * _n**6 / 638668800,
-])
-# conformal -> geodetic latitude series
-_DELTA = np.array([
-    2 * _n - 2 * _n**2 / 3 - 2 * _n**3 + 116 * _n**4 / 45
-    + 26 * _n**5 / 45 - 2854 * _n**6 / 675,
-    7 * _n**2 / 3 - 8 * _n**3 / 5 - 227 * _n**4 / 45 + 2704 * _n**5 / 315
-    + 2323 * _n**6 / 945,
-    56 * _n**3 / 15 - 136 * _n**4 / 35 - 1262 * _n**5 / 105
-    + 73814 * _n**6 / 2835,
-    4279 * _n**4 / 630 - 332 * _n**5 / 35 - 399572 * _n**6 / 14175,
-    4174 * _n**5 / 315 - 144838 * _n**6 / 6237,
-    601676 * _n**6 / 22275,
-])
+_ALPHA = _alpha_coeffs(_n)
+_BETA = _beta_coeffs(_n)
+_DELTA = _delta_coeffs(_n)
 
 UTM_K0 = 0.9996
 UTM_FE = 500000.0
@@ -334,6 +348,318 @@ def ups_inverse(easting, northing, north: bool):
 
 
 # ---------------------------------------------------------------------------
+# National grids: generic-ellipsoid TM, Lambert Conformal Conic (1SP/2SP),
+# Albers Equal Area, and the Helmert datum shifts they need.
+#
+# gdalwarp accepts any PROJ-known `-t_srs` (reference: sentinel1.rs:988-1003);
+# these three projection methods + the ellipsoid/datum layer cover the most
+# common national grids (Lambert-93, CONUS Albers, British National Grid,
+# TM35FIN, ETRS89-UTM, …). Parameters match `projinfo EPSG:<code>`; outputs
+# are oracle-tested against cs2cs (tests/test_warp.py).
+# ---------------------------------------------------------------------------
+_ELLPS = {
+    "wgs84": (6378137.0, 1.0 / 298.257223563),
+    "grs80": (6378137.0, 1.0 / 298.257222101),
+    "airy": (6377563.396, 1.0 / 299.3249646),
+    "clrk66": (6378206.4, 1.0 / 294.978698213898),
+}
+
+_TM_SERIES_CACHE: dict = {}
+
+
+def _tm_series(ellps: str):
+    """(a, e, e2, A_rec, alpha, beta, delta) for an ellipsoid key."""
+    cached = _TM_SERIES_CACHE.get(ellps)
+    if cached is None:
+        a, f = _ELLPS[ellps]
+        n = f / (2.0 - f)
+        e2 = f * (2.0 - f)
+        a_rec = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64 + n**6 / 256)
+        cached = (a, np.sqrt(e2), e2, a_rec, _alpha_coeffs(n),
+                  _beta_coeffs(n), _delta_coeffs(n))
+        _TM_SERIES_CACHE[ellps] = cached
+    return cached
+
+
+def tm_forward_e(lon_deg, lat_deg, lon0_deg: float, ellps: str = "wgs84"):
+    """Krüger-series TM forward on an arbitrary registered ellipsoid."""
+    _, e, _, a_rec, alpha, _, _ = _tm_series(ellps)
+    lon = np.radians(np.asarray(lon_deg, np.float64) - lon0_deg)
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    s = np.sin(lat)
+    conf = np.arctanh(s) - e * np.arctanh(e * s)
+    t = np.sinh(conf)
+    xi = np.arctan2(t, np.cos(lon))
+    eta = np.arcsinh(np.sin(lon) / np.sqrt(t * t + np.cos(lon) ** 2))
+    xi_s = xi.copy()
+    eta_s = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_s = xi_s + alpha[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_s = eta_s + alpha[j] * np.cos(k * xi) * np.sinh(k * eta)
+    return a_rec * eta_s, a_rec * xi_s
+
+
+def tm_inverse_e(x, y, lon0_deg: float, ellps: str = "wgs84"):
+    _, _, _, a_rec, _, beta, delta = _tm_series(ellps)
+    eta = np.asarray(x, np.float64) / a_rec
+    xi = np.asarray(y, np.float64) / a_rec
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_p = xi_p - beta[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_p = eta_p - beta[j] * np.cos(k * xi) * np.sinh(k * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    lat = chi.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        lat = lat + delta[j] * np.sin(k * chi)
+    lon = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lon) + lon0_deg, np.degrees(lat)
+
+
+# --- Helmert 7-parameter datum shifts (WGS84 ↔ local geodetic) -------------
+# Parameters are the PROJ-default transformations for the grids below (the
+# same ones cs2cs/gdalwarp pick when no NTv2 grid file is installed):
+#   osgb36: inverse of "OSGB36 to WGS 84 (6)" (position vector)
+#   jad69:  inverse of "JAD69 to WGS 84 (3)"  (coordinate frame)
+# Each entry states the LOCAL→WGS84 transform; WGS84→local applies the exact
+# inverse.
+_DATUM_TO_WGS84 = {
+    "osgb36": dict(t=(446.448, -125.157, 542.06), r=(0.15, 0.247, 0.842),
+                   s=-20.489, convention="position_vector", ellps="airy"),
+    "jad69": dict(t=(-33.722, 153.789, 94.959), r=(8.581, 4.478, -4.54),
+                  s=8.95, convention="coordinate_frame", ellps="clrk66"),
+}
+
+_ARCSEC = np.pi / (180.0 * 3600.0)
+
+
+def _helmert_rotation(r, convention: str) -> np.ndarray:
+    rx, ry, rz = (v * _ARCSEC for v in r)
+    if convention == "coordinate_frame":
+        rx, ry, rz = -rx, -ry, -rz
+    return np.array([
+        [1.0, -rz, ry],
+        [rz, 1.0, -rx],
+        [-ry, rx, 1.0],
+    ])
+
+
+def _geodetic_to_ecef(lon_deg, lat_deg, ellps: str):
+    a, _, e2, *_ = _tm_series(ellps)
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    s = np.sin(lat)
+    nu = a / np.sqrt(1 - e2 * s * s)
+    return (nu * np.cos(lat) * np.cos(lon),
+            nu * np.cos(lat) * np.sin(lon),
+            nu * (1 - e2) * s)
+
+
+def _ecef_to_geodetic(x, y, z, ellps: str):
+    a, _, e2, *_ = _tm_series(ellps)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    p = np.hypot(x, y)
+    lat = np.arctan2(z, p * (1 - e2))
+    for _ in range(6):
+        s = np.sin(lat)
+        nu = a / np.sqrt(1 - e2 * s * s)
+        lat = np.arctan2(z + e2 * nu * s, p)
+    return np.degrees(np.arctan2(y, x)), np.degrees(lat)
+
+
+def _datum_shift(lon, lat, datum: str, to_wgs84: bool):
+    """Shift geodetic coordinates between WGS84 and a local datum via
+    ECEF Helmert (heights treated as 0 and discarded — PROJ's push/pop v_3)."""
+    d = _DATUM_TO_WGS84[datum]
+    scale = 1.0 + d["s"] * 1e-6
+    rot = _helmert_rotation(d["r"], d["convention"])
+    t = np.asarray(d["t"])
+    if to_wgs84:
+        xyz = np.stack(_geodetic_to_ecef(lon, lat, d["ellps"]), axis=0)
+        out = scale * (rot @ xyz.reshape(3, -1)) + t[:, None]
+        lon2, lat2 = _ecef_to_geodetic(*out, ellps="wgs84")
+    else:
+        xyz = np.stack(_geodetic_to_ecef(lon, lat, "wgs84"), axis=0)
+        out = np.linalg.solve(rot, (xyz.reshape(3, -1) - t[:, None]) / scale)
+        lon2, lat2 = _ecef_to_geodetic(*out, ellps=d["ellps"])
+    shape = np.shape(np.asarray(lon, np.float64))
+    return lon2.reshape(shape), lat2.reshape(shape)
+
+
+# --- projected-grid parameter tables (from `projinfo EPSG:<code>`) ----------
+_TM_GRIDS = {
+    27700: dict(lat0=49.0, lon0=-2.0, k0=0.9996012717, fe=400000.0,
+                fn=-100000.0, ellps="airy", datum="osgb36",
+                name="OSGB36 / British National Grid"),
+    3067: dict(lat0=0.0, lon0=27.0, k0=0.9996, fe=500000.0, fn=0.0,
+               ellps="grs80", datum=None, name="ETRS89 / TM35FIN(E,N)"),
+    25832: dict(lat0=0.0, lon0=9.0, k0=0.9996, fe=500000.0, fn=0.0,
+                ellps="grs80", datum=None, name="ETRS89 / UTM zone 32N"),
+    25833: dict(lat0=0.0, lon0=15.0, k0=0.9996, fe=500000.0, fn=0.0,
+                ellps="grs80", datum=None, name="ETRS89 / UTM zone 33N"),
+    25835: dict(lat0=0.0, lon0=27.0, k0=0.9996, fe=500000.0, fn=0.0,
+                ellps="grs80", datum=None, name="ETRS89 / UTM zone 35N"),
+}
+_LCC_GRIDS = {
+    # lat1 == lat2 (or lat2 absent) selects the 1SP method (EPSG 9801)
+    2154: dict(lat0=46.5, lon0=3.0, lat1=49.0, lat2=44.0, k0=1.0,
+               fe=700000.0, fn=6600000.0, ellps="grs80", datum=None,
+               name="RGF93 v1 / Lambert-93"),
+    3347: dict(lat0=63.390675, lon0=-91.86666666666667, lat1=49.0, lat2=77.0,
+               k0=1.0, fe=6200000.0, fn=3000000.0, ellps="grs80", datum=None,
+               name="NAD83 / Statistics Canada Lambert"),
+    24200: dict(lat0=18.0, lon0=-77.0, lat1=18.0, lat2=18.0, k0=1.0,
+                fe=250000.0, fn=150000.0, ellps="clrk66", datum="jad69",
+                name="JAD69 / Jamaica National Grid"),
+}
+_ALBERS_GRIDS = {
+    5070: dict(lat0=23.0, lon0=-96.0, lat1=29.5, lat2=45.5, fe=0.0, fn=0.0,
+               ellps="grs80", datum=None, name="NAD83 / Conus Albers"),
+    3577: dict(lat0=0.0, lon0=132.0, lat1=-18.0, lat2=-36.0, fe=0.0, fn=0.0,
+               ellps="grs80", datum=None, name="GDA94 / Australian Albers"),
+}
+
+
+def tmerc_grid_forward(lon, lat, p: dict):
+    """Generic TM grid (EPSG 9807): k0/false offsets/non-zero lat0/datum."""
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=False)
+    x, y = tm_forward_e(lon, lat, p["lon0"], p["ellps"])
+    m0 = tm_forward_e(p["lon0"], p["lat0"], p["lon0"], p["ellps"])[1]
+    return p["fe"] + p["k0"] * x, p["fn"] + p["k0"] * (y - m0)
+
+
+def tmerc_grid_inverse(easting, northing, p: dict):
+    m0 = tm_forward_e(p["lon0"], p["lat0"], p["lon0"], p["ellps"])[1]
+    x = (np.asarray(easting, np.float64) - p["fe"]) / p["k0"]
+    y = (np.asarray(northing, np.float64) - p["fn"]) / p["k0"] + m0
+    lon, lat = tm_inverse_e(x, y, p["lon0"], p["ellps"])
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=True)
+    return lon, lat
+
+
+def _lcc_m_t(lat, e, e2):
+    s = np.sin(lat)
+    m = np.cos(lat) / np.sqrt(1 - e2 * s * s)
+    t = np.tan(np.pi / 4 - lat / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+    return m, t
+
+
+def _lcc_consts(p: dict):
+    a, e, e2, *_ = _tm_series(p["ellps"])
+    phi0 = np.radians(p["lat0"])
+    phi1 = np.radians(p["lat1"])
+    phi2 = np.radians(p["lat2"])
+    m1, t1 = _lcc_m_t(phi1, e, e2)
+    _, t0 = _lcc_m_t(phi0, e, e2)
+    if abs(p["lat1"] - p["lat2"]) < 1e-12:
+        # 1SP (EPSG 9801): cone constant from the single parallel
+        n = np.sin(phi1)
+    else:
+        m2, t2 = _lcc_m_t(phi2, e, e2)
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    f = m1 / (n * t1**n)
+    rho0 = a * f * t0**n * p["k0"]
+    return a, e, e2, n, f, rho0
+
+
+def lcc_forward(lon_deg, lat_deg, p: dict):
+    """Lambert Conformal Conic forward (EPSG 9801 1SP / 9802 2SP)."""
+    lon, lat = lon_deg, lat_deg
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=False)
+    a, e, e2, n, f, rho0 = _lcc_consts(p)
+    phi = np.radians(np.asarray(lat, np.float64))
+    _, t = _lcc_m_t(phi, e, e2)
+    rho = a * f * t**n * p["k0"]
+    theta = n * np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    return (p["fe"] + rho * np.sin(theta),
+            p["fn"] + rho0 - rho * np.cos(theta))
+
+
+def lcc_inverse(easting, northing, p: dict):
+    a, e, e2, n, f, rho0 = _lcc_consts(p)
+    dx = np.asarray(easting, np.float64) - p["fe"]
+    dy = rho0 - (np.asarray(northing, np.float64) - p["fn"])
+    rho = np.sign(n) * np.hypot(dx, dy)
+    t = (rho / (a * f * p["k0"])) ** (1.0 / n)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+    theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    lon = np.degrees(theta / n) + p["lon0"]
+    lat = np.degrees(phi)
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=True)
+    return lon, lat
+
+
+def albers_forward(lon_deg, lat_deg, p: dict):
+    """Albers Equal Area forward (EPSG 9822)."""
+    lon, lat = lon_deg, lat_deg
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=False)
+    a, e, e2, *_ = _tm_series(p["ellps"])
+    phi = np.radians(np.asarray(lat, np.float64))
+    phi0 = np.radians(p["lat0"])
+    phi1 = np.radians(p["lat1"])
+    phi2 = np.radians(p["lat2"])
+    m1, _ = _lcc_m_t(phi1, e, e2)
+    m2, _ = _lcc_m_t(phi2, e, e2)
+    q = _authalic_q(phi, e, e2)
+    q0 = _authalic_q(phi0, e, e2)
+    q1 = _authalic_q(phi1, e, e2)
+    q2 = _authalic_q(phi2, e, e2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho = a * np.sqrt(np.maximum(c - n * q, 0.0)) / n
+    rho0 = a * np.sqrt(max(c - n * q0, 0.0)) / n
+    theta = n * np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    return (p["fe"] + rho * np.sin(theta),
+            p["fn"] + rho0 - rho * np.cos(theta))
+
+
+def albers_inverse(easting, northing, p: dict):
+    a, e, e2, *_ = _tm_series(p["ellps"])
+    phi0 = np.radians(p["lat0"])
+    phi1 = np.radians(p["lat1"])
+    phi2 = np.radians(p["lat2"])
+    m1, _ = _lcc_m_t(phi1, e, e2)
+    m2, _ = _lcc_m_t(phi2, e, e2)
+    q1 = _authalic_q(phi1, e, e2)
+    q2 = _authalic_q(phi2, e, e2)
+    q0 = _authalic_q(phi0, e, e2)
+    qp = _authalic_q(np.pi / 2, e, e2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(max(c - n * q0, 0.0)) / n
+    dx = np.asarray(easting, np.float64) - p["fe"]
+    dy = rho0 - (np.asarray(northing, np.float64) - p["fn"])
+    rho = np.sign(n) * np.hypot(dx, dy)
+    q = (c - (rho * n / a) ** 2) / n
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    lat = (beta
+           + (e2 / 3 + 31 * e2**2 / 180 + 517 * e2**3 / 5040)
+           * np.sin(2 * beta)
+           + (23 * e2**2 / 360 + 251 * e2**3 / 3780) * np.sin(4 * beta)
+           + (761 * e2**3 / 45360) * np.sin(6 * beta))
+    theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    lon = np.degrees(theta / n) + p["lon0"]
+    lat = np.degrees(lat)
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=True)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
 # EPSG plumbing
 # ---------------------------------------------------------------------------
 def parse_epsg_code(crs: str) -> Optional[int]:
@@ -375,6 +701,12 @@ def epsg_kind(code: int) -> Optional[dict]:
         return {"kind": "polar_stereo", **_POLAR_STEREO[code]}
     if code in _LAEA:
         return {"kind": "laea", **_LAEA[code]}
+    if code in _TM_GRIDS:
+        return {"kind": "tm_grid", "code": code, **_TM_GRIDS[code]}
+    if code in _LCC_GRIDS:
+        return {"kind": "lcc", "code": code, **_LCC_GRIDS[code]}
+    if code in _ALBERS_GRIDS:
+        return {"kind": "albers", "code": code, **_ALBERS_GRIDS[code]}
     return None
 
 
@@ -382,7 +714,11 @@ SUPPORTED_CRS_FAMILIES = (
     "EPSG:4326 (geographic), EPSG:326xx/327xx (UTM WGS84 N/S), "
     "EPSG:32661/32761 (UPS), EPSG:3857 (Web Mercator), "
     "EPSG:3395 (World Mercator), EPSG:3413/3976/3031 (polar "
-    "stereographic science grids), EPSG:3035 (ETRS89-LAEA Europe)"
+    "stereographic science grids), EPSG:3035 (ETRS89-LAEA Europe), "
+    "EPSG:2154 (Lambert-93), EPSG:3347 (StatCan Lambert), "
+    "EPSG:24200 (Jamaica LCC 1SP), EPSG:5070 (CONUS Albers), "
+    "EPSG:3577 (Australian Albers), EPSG:27700 (British National Grid), "
+    "EPSG:3067 (TM35FIN), EPSG:25832/25833/25835 (ETRS89 UTM)"
 )
 
 
@@ -393,6 +729,58 @@ _WKT_GEOGCS = (
     'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]],'
     'AUTHORITY["EPSG","4326"]]'
 )
+
+_WKT_ANGULAR = (
+    'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+    'UNIT["degree",0.0174532925199433,AUTHORITY["EPSG","9122"]]'
+)
+_WKT_SPHEROID_GRS80 = ('SPHEROID["GRS 1980",6378137,298.257222101,'
+                       'AUTHORITY["EPSG","7019"]]')
+# base geographic CRS per datum of the national grids
+_WKT_GEOGCS_BY_DATUM = {
+    "etrs89": (
+        f'GEOGCS["ETRS89",DATUM["European_Terrestrial_Reference_System_1989",'
+        f'{_WKT_SPHEROID_GRS80},AUTHORITY["EPSG","6258"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4258"]]'
+    ),
+    "rgf93": (
+        f'GEOGCS["RGF93 v1",DATUM["Reseau_Geodesique_Francais_1993_v1",'
+        f'{_WKT_SPHEROID_GRS80},AUTHORITY["EPSG","6171"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4171"]]'
+    ),
+    "nad83": (
+        f'GEOGCS["NAD83",DATUM["North_American_Datum_1983",'
+        f'{_WKT_SPHEROID_GRS80},AUTHORITY["EPSG","6269"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4269"]]'
+    ),
+    "gda94": (
+        f'GEOGCS["GDA94",DATUM["Geocentric_Datum_of_Australia_1994",'
+        f'{_WKT_SPHEROID_GRS80},AUTHORITY["EPSG","6283"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4283"]]'
+    ),
+    "osgb36": (
+        f'GEOGCS["OSGB36",DATUM["OSGB_1936",'
+        f'SPHEROID["Airy 1830",6377563.396,299.3249646,'
+        f'AUTHORITY["EPSG","7001"]],'
+        f'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489],'
+        f'AUTHORITY["EPSG","6277"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4277"]]'
+    ),
+    "jad69": (
+        f'GEOGCS["JAD69",DATUM["Jamaica_1969",'
+        f'SPHEROID["Clarke 1866",6378206.4,294.978698213898,'
+        f'AUTHORITY["EPSG","7008"]],AUTHORITY["EPSG","6242"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4242"]]'
+    ),
+}
+# which base GEOGCS each national-grid code sits on
+_GRID_BASE_DATUM = {
+    27700: "osgb36", 3067: "etrs89", 25832: "etrs89", 25833: "etrs89",
+    25835: "etrs89", 2154: "rgf93", 3347: "nad83", 24200: "jad69",
+    5070: "nad83", 3577: "gda94",
+}
+_WKT_UNIT_AXES = ('UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+                  'AXIS["Easting",EAST],AXIS["Northing",NORTH]')
 
 
 def epsg_to_wkt(code: int) -> Optional[str]:
@@ -478,6 +866,49 @@ def epsg_to_wkt(code: int) -> Optional[str]:
             f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
             f'AUTHORITY["EPSG","{code}"]]'
         )
+    if info["kind"] in ("tm_grid", "lcc", "albers"):
+        geogcs = _WKT_GEOGCS_BY_DATUM[_GRID_BASE_DATUM[code]]
+        if info["kind"] == "tm_grid":
+            proj = (
+                f'PROJECTION["Transverse_Mercator"],'
+                f'PARAMETER["latitude_of_origin",{info["lat0"]:g}],'
+                f'PARAMETER["central_meridian",{info["lon0"]:g}],'
+                f'PARAMETER["scale_factor",{info["k0"]:.10g}],'
+                f'PARAMETER["false_easting",{info["fe"]:g}],'
+                f'PARAMETER["false_northing",{info["fn"]:g}]'
+            )
+        elif info["kind"] == "lcc":
+            if abs(info["lat1"] - info["lat2"]) < 1e-12:
+                proj = (
+                    f'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+                    f'PARAMETER["latitude_of_origin",{info["lat0"]:g}],'
+                    f'PARAMETER["central_meridian",{info["lon0"]:g}],'
+                    f'PARAMETER["scale_factor",{info["k0"]:.10g}],'
+                    f'PARAMETER["false_easting",{info["fe"]:g}],'
+                    f'PARAMETER["false_northing",{info["fn"]:g}]'
+                )
+            else:
+                proj = (
+                    f'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+                    f'PARAMETER["standard_parallel_1",{info["lat1"]:g}],'
+                    f'PARAMETER["standard_parallel_2",{info["lat2"]:g}],'
+                    f'PARAMETER["latitude_of_origin",{info["lat0"]:.9g}],'
+                    f'PARAMETER["central_meridian",{info["lon0"]:.15g}],'
+                    f'PARAMETER["false_easting",{info["fe"]:g}],'
+                    f'PARAMETER["false_northing",{info["fn"]:g}]'
+                )
+        else:
+            proj = (
+                f'PROJECTION["Albers_Conic_Equal_Area"],'
+                f'PARAMETER["latitude_of_center",{info["lat0"]:g}],'
+                f'PARAMETER["longitude_of_center",{info["lon0"]:g}],'
+                f'PARAMETER["standard_parallel_1",{info["lat1"]:g}],'
+                f'PARAMETER["standard_parallel_2",{info["lat2"]:g}],'
+                f'PARAMETER["false_easting",{info["fe"]:g}],'
+                f'PARAMETER["false_northing",{info["fn"]:g}]'
+            )
+        return (f'PROJCS["{info["name"]}",{geogcs},{proj},{_WKT_UNIT_AXES},'
+                f'AUTHORITY["EPSG","{code}"]]')
     north = info["north"]
     name = "WGS 84 / UPS North (N,E)" if north else "WGS 84 / UPS South (N,E)"
     lat0 = 90 if north else -90
@@ -515,6 +946,12 @@ def project_forward(lon, lat, code: int):
     if info["kind"] == "laea":
         return laea_forward(lon, lat, info["lat0"], info["lon0"],
                             info["fe"], info["fn"])
+    if info["kind"] == "tm_grid":
+        return tmerc_grid_forward(lon, lat, info)
+    if info["kind"] == "lcc":
+        return lcc_forward(lon, lat, info)
+    if info["kind"] == "albers":
+        return albers_forward(lon, lat, info)
     return ups_forward(lon, lat, info["north"])
 
 
@@ -539,6 +976,12 @@ def project_inverse(x, y, code: int):
     if info["kind"] == "laea":
         return laea_inverse(x, y, info["lat0"], info["lon0"],
                             info["fe"], info["fn"])
+    if info["kind"] == "tm_grid":
+        return tmerc_grid_inverse(x, y, info)
+    if info["kind"] == "lcc":
+        return lcc_inverse(x, y, info)
+    if info["kind"] == "albers":
+        return albers_inverse(x, y, info)
     return ups_inverse(x, y, info["north"])
 
 
