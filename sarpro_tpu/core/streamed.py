@@ -175,10 +175,47 @@ def _band_stats(dn, chunks):
         hist += np.asarray(h, np.int64)
         sum_d = np.float32(sum_d + np.asarray(sd))
         sum_dd = np.float32(sum_dd + np.asarray(sdd))
+    if count > np.iinfo(np.int32).max:
+        # >2.1 Gpx valid pixels: the device finalize's int32 count/cumsum
+        # would wrap — invert the percentiles host-side from the int64
+        # histogram instead (same formulas, f64 intermediates)
+        return _stats_finalize_host(hist, count, float(mn), float(mx),
+                                    float(sum_d), float(sum_dd))
     return fused._stats_finalize(
         jnp.asarray(hist, jnp.int32),
-        jnp.asarray(np.int32(min(count, np.iinfo(np.int32).max))),
+        jnp.asarray(np.int32(count)),
         mn_j, mx_j, jnp.asarray(sum_d), jnp.asarray(sum_dd))
+
+
+def _stats_finalize_host(hist, count, mn, mx, sum_d, sum_dd):
+    """Host-f64 mirror of fused._stats_finalize for bands whose valid-pixel
+    count exceeds int32 (the streamed path exists to remove size ceilings;
+    the device finalize keeps bit-parity for everything below it)."""
+    span = mx - mn
+    n = max(float(count), 1.0)
+    m1 = sum_d / n
+    mean = (mn + mx) * 0.5 + m1
+    var = max(sum_dd / n - m1 * m1, 0.0)
+    std = np.sqrt(var) if count > 1 else 0.0
+    cum = np.cumsum(hist)
+    pct_values = np.asarray(fused._PCT_VALUES, np.float64)
+    targets = np.minimum(np.floor(pct_values * n).astype(np.int64), count - 1)
+    b = np.minimum(np.searchsorted(cum, targets, side="right"), NUM_BINS - 1)
+    h = hist[b]
+    cum_before = cum[b] - h
+    within = np.maximum(targets - cum_before, 0)
+    frac = np.where(h > 0, within.astype(np.float64) / np.maximum(h, 1), 0.0)
+    bw = span / NUM_BINS
+    pcts = mn + (b.astype(np.float64) + frac) * bw
+    if span <= 0:
+        pcts = np.where(pct_values <= 0.5, mn, mx)
+    d = {k: jnp.float32(v) for k, v in zip(fused._PCT_ORDER, pcts)}
+    # dict count saturates at int32 (matching the device dict's dtype; no
+    # downstream consumer reads it — the true count was already used above)
+    d.update(count=jnp.asarray(np.int32(min(count, np.iinfo(np.int32).max))),
+             min=jnp.float32(mn), max=jnp.float32(mx), mean=jnp.float32(mean),
+             std=jnp.float32(std))
+    return d
 
 
 def band_u8_streamed(dn, strategy: AutoscaleStrategy,

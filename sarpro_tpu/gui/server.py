@@ -63,9 +63,24 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
     lock = threading.Lock()
     log_events: list[dict] = []
 
+    # DNS-rebinding guard: a remote page can point its own hostname at
+    # 127.0.0.1 and drive this API from the victim's browser; the browser
+    # still sends the attacker hostname in Host, so requiring a local (or
+    # explicitly bound) Host header blocks it for every endpoint, including
+    # the filesystem-listing /api/listdir.
+    allowed_hosts = {"localhost", "127.0.0.1", "[::1]", host.lower()}
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
+
+        def _host_ok(self) -> bool:
+            raw = (self.headers.get("Host") or "").strip().lower()
+            if raw.startswith("["):  # [v6]:port
+                name = raw.split("]")[0] + "]"
+            else:
+                name = raw.split(":")[0]
+            return name in allowed_hosts
 
         def _json(self, obj, status=200):
             body = json.dumps(obj).encode()
@@ -80,6 +95,9 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
             return json.loads(self.rfile.read(n) or b"{}")
 
         def do_GET(self):
+            if not self._host_ok():
+                self._json({"error": "forbidden host"}, 403)
+                return
             if self.path == "/" or self.path == "/index.html":
                 body = (_STATIC / "index.html").read_bytes()
                 self.send_response(200)
@@ -119,6 +137,9 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                 self._json({"error": "not found"}, 404)
 
         def do_POST(self):
+            if not self._host_ok():
+                self._json({"error": "forbidden host"}, 403)
+                return
             try:
                 data = self._body()
             except (ValueError, json.JSONDecodeError):

@@ -100,7 +100,20 @@ class PilRaster:
         # normalize palette images like GDAL's RGB expansion
         if im.mode == "P":
             im = im.convert("RGB")
-        if im.mode in ("I", "I;16", "I;16B", "I;16L"):
+        if im.mode == "I":
+            # genuine 32-bit integer raster: refuse values outside u16 range
+            # instead of silently wrapping modulo 2^16 (DN corruption)
+            raw = np.asarray(im)
+            if raw.size and (raw.min() < 0 or raw.max() > 65535):
+                raise RasterError(
+                    f"{self.path}: 32-bit integer raster exceeds uint16 "
+                    f"range ({raw.min()}..{raw.max()}); convert to uint16 "
+                    f"or GeoTIFF first"
+                )
+            self._data = raw.astype(np.uint16)
+            if self._data.ndim == 2:
+                self._data = self._data[..., None]
+        elif im.mode in ("I;16", "I;16B", "I;16L"):
             self._data = np.asarray(im, np.uint16)[..., None] \
                 if np.asarray(im).ndim == 2 else np.asarray(im, np.uint16)
         else:

@@ -170,6 +170,11 @@ def band_resample_axis0(x, in_size: int, out_size: int, filter_name: str):
         return None  # absurd band; let the tap-loop handle it
     r0s_j, W_j = jnp.asarray(r0s[:kb]), jnp.asarray(W[:kb])
     chunk = max(-(-ca // n_split) // 128 * 128, 128)
+    if 2 * B * chunk * x.dtype.itemsize > _MAX_SCRATCH_BYTES:
+        # the column split cannot shrink below 128 lanes: a narrow raster
+        # with an extreme reduction (band height B huge) would blow the
+        # double-buffered scratch at compile time — tap-loop instead
+        return None
     parts = []
     col0 = 0
     while col0 < ca:

@@ -167,3 +167,16 @@ def test_html_js_server_consistency():
     for route in set(re.findall(r"fetch\('(/api/[a-z-]+)", script)):
         assert f'"{route}"' in server_src or f'"{route}' in server_src, \
             f"page fetches {route} but server.py has no handler"
+
+
+def test_forbidden_host_header_rejected(server):
+    """DNS-rebinding guard: any non-local Host header gets 403 on every
+    endpoint (the filesystem-listing /api/listdir especially)."""
+    for path in ("/api/listdir", "/api/state"):
+        req = urllib.request.Request(server + path,
+                                     headers={"Host": "evil.example.com"})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc.value.code == 403
+    # legitimate localhost requests still pass
+    assert "entries" in _get(server, "/api/listdir")

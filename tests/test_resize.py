@@ -1,4 +1,5 @@
 """Tests: resize dimension math, padding, Lanczos3 convolution vs Pillow."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from PIL import Image
@@ -142,3 +143,20 @@ def test_band_plan_weight_totals_aligned():
     np.testing.assert_allclose(
         W.reshape(G * 8, B)[:kb * 8].sum(axis=1),
         weights.sum(axis=1)[:kb * 8], atol=1e-6)
+
+
+def test_banded_kernel_declines_narrow_extreme_reduction():
+    """A 128-lane raster with an extreme reduction cannot shrink its column
+    chunk below one lane group; the banded kernel must decline (tap-loop
+    fallback) instead of blowing the VMEM scratch at compile time."""
+    from sarpro_tpu.ops import resample_kernel as rk
+
+    in_size, out_size = 40000, 10
+    x = jnp.zeros((in_size, 128), jnp.float32)
+    plan = rk._band_plan(in_size, out_size, "lanczos")
+    if plan is None:
+        pytest.skip("planner already declines this shape")
+    _, _, B, _, _ = plan
+    res = rk.band_resample_axis0(x, in_size, out_size, "lanczos")
+    if 2 * B * 128 * 4 > rk._MAX_SCRATCH_BYTES:
+        assert res is None

@@ -10,6 +10,7 @@ whose f32 summation order differs across chunks — tolerance there.
 Chunk sizes are chosen so chunks cut CLAHE tiles mid-row and leave a ragged
 tail chunk.
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -113,3 +114,45 @@ def test_streamed_floor_host_matches_reference_semantics():
     big[50] = 3_000_000_000
     v = float(np.asarray(streamed._suppressed_floor_host(big, int(big.sum()))))
     assert v == 3.0  # floor at bin 0 (+3 cushion)
+
+
+def test_stats_finalize_host_mirrors_device():
+    """The host-f64 finalize (engaged for >int32 valid-pixel counts) must
+    match the device finalize on an in-range histogram."""
+    import numpy as np
+
+    from sarpro_tpu.core import fused
+    from sarpro_tpu.core.streamed import _stats_finalize_host
+
+    rng = np.random.default_rng(3)
+    hist = rng.integers(0, 100000, fused.NUM_BINS).astype(np.int64)
+    count = int(hist.sum())
+    mn, mx = -42.0, -7.5
+    sum_d, sum_dd = 123.5, 8901.25
+    dev = fused._stats_finalize(
+        jnp.asarray(hist, jnp.int32), jnp.asarray(np.int32(count)),
+        jnp.float32(mn), jnp.float32(mx), jnp.float32(sum_d),
+        jnp.float32(sum_dd))
+    host = _stats_finalize_host(hist, count, mn, mx, sum_d, sum_dd)
+    for k in ("p01", "p02", "p05", "p25", "median", "p75", "p95", "p99",
+              "mean", "std", "min", "max"):
+        np.testing.assert_allclose(float(host[k]), float(np.asarray(dev[k])),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_stats_finalize_host_past_int32():
+    """Counts beyond int32 must not wrap: a uniform histogram of 3 Gpx
+    places the median at the bin midpoint."""
+    import numpy as np
+
+    from sarpro_tpu.core import fused
+    from sarpro_tpu.core.streamed import _stats_finalize_host
+
+    per_bin = (3_000_000_000 // fused.NUM_BINS) + 1
+    hist = np.full(fused.NUM_BINS, per_bin, np.int64)
+    count = int(hist.sum())
+    assert count > np.iinfo(np.int32).max
+    s = _stats_finalize_host(hist, count, 0.0, 100.0, 0.0, 0.0)
+    assert abs(float(s["median"]) - 50.0) < 0.1
+    assert abs(float(s["p01"]) - 1.0) < 0.1
+    assert abs(float(s["p99"]) - 99.0) < 0.1
