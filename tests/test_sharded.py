@@ -1,4 +1,10 @@
-"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4 item 3)."""
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4 item 3).
+
+VERDICT r2 item 6: every scene in the batch is compared (not just scene 0),
+and equality is exact for strategies whose sharded reductions are integer
+(histograms/min/max psum exactly; only ADAPTIVE consumes the float-ordered
+mean/std sums, so only it gets a tolerance).
+"""
 import jax
 import numpy as np
 import pytest
@@ -21,7 +27,20 @@ def test_mesh_shape(mesh):
     assert mesh.shape["row"] >= 2  # real row sharding, not a trivial axis
 
 
+def _assert_scenes_match(out, want_fn, exact=True, label=""):
+    for i in range(out.shape[0]):
+        want = np.asarray(want_fn(i))
+        if exact:
+            np.testing.assert_array_equal(
+                out[i], want, err_msg=f"{label} scene {i}")
+        else:
+            diff = np.abs(out[i].astype(np.int64) - want.astype(np.int64))
+            assert (diff <= 1).mean() >= 0.999, f"{label} scene {i}"
+
+
 def test_sharded_synrgb_matches_single_device(rng, mesh):
+    """CLAHE synRGB: tile histograms and percentile histograms psum as
+    integers, so every scene must match the unsharded program bit-for-bit."""
     n_scene = mesh.shape["scene"]
     rows = 64 * mesh.shape["row"]
     vv = np.stack([sar_like(rng, (rows, 96)) for _ in range(n_scene)])
@@ -30,13 +49,11 @@ def test_sharded_synrgb_matches_single_device(rng, mesh):
         vv, vh, mesh, strategy=AutoscaleStrategy.CLAHE, target_size=None
     ))
     assert out.shape == (n_scene, rows, 96, 3)
-    # compare scene 0 against the unsharded program
-    want = np.asarray(fused.synrgb_pipeline(
-        vv[0], vh[0], strategy=AutoscaleStrategy.CLAHE, target_size=None
-    ))
-    diff = np.abs(out[0].astype(int) - want.astype(int))
-    # sharded reductions reorder float sums; quantized results stay put
-    assert (diff == 0).mean() >= 0.999, f"{(diff != 0).mean():.4%} differ"
+    _assert_scenes_match(
+        out,
+        lambda i: fused.synrgb_pipeline(
+            vv[i], vh[i], strategy=AutoscaleStrategy.CLAHE, target_size=None),
+        exact=True, label="clahe")
 
 
 def test_sharded_grayscale_batch(rng, mesh):
@@ -47,11 +64,72 @@ def test_sharded_grayscale_batch(rng, mesh):
         dn, mesh, strategy=AutoscaleStrategy.ROBUST, bit_depth=BitDepth.U16
     ))
     assert out.shape == (n_scene, rows, 64)
-    want = np.asarray(fused.grayscale_pipeline(
-        dn[0], strategy=AutoscaleStrategy.ROBUST, bit_depth=BitDepth.U16
+    _assert_scenes_match(
+        out,
+        lambda i: fused.grayscale_pipeline(
+            dn[i], strategy=AutoscaleStrategy.ROBUST, bit_depth=BitDepth.U16),
+        exact=True, label="robust-u16")
+
+
+def test_sharded_adaptive_tolerance(rng, mesh):
+    """ADAPTIVE consumes mean/std whose cross-shard float sums reorder;
+    outputs stay within 1 quantization level."""
+    n_scene = mesh.shape["scene"]
+    rows = 32 * mesh.shape["row"]
+    dn = np.stack([sar_like(rng, (rows, 64)) for _ in range(n_scene)])
+    out = np.asarray(grayscale_batch(
+        dn, mesh, strategy=AutoscaleStrategy.ADAPTIVE, bit_depth=BitDepth.U8
     ))
-    diff = np.abs(out[0].astype(np.int64) - want.astype(np.int64))
-    assert (diff <= 1).mean() >= 0.999
+    _assert_scenes_match(
+        out,
+        lambda i: fused.grayscale_pipeline(
+            dn[i], strategy=AutoscaleStrategy.ADAPTIVE, bit_depth=BitDepth.U8),
+        exact=False, label="adaptive")
+
+
+def test_gspmd_fallback_resample_pad_matches_unsharded(rng, mesh):
+    """The GSPMD fallback branch (_synrgb_batch_jit: target_size + pad) must
+    reproduce the unsharded program on every scene (VERDICT r2 item 6 —
+    previously untested)."""
+    n_scene = mesh.shape["scene"]
+    rows = 48 * mesh.shape["row"]
+    vv = np.stack([sar_like(rng, (rows, 144)) for _ in range(n_scene)])
+    vh = np.stack([sar_like(rng, (rows, 144)) for _ in range(n_scene)])
+    out = np.asarray(synrgb_batch(
+        vv, vh, mesh, strategy=AutoscaleStrategy.CLAHE, target_size=96,
+        pad=True,
+    ))
+    assert out.shape == (n_scene, 96, 96, 3)
+    from sarpro_tpu.ops.kernels import force_xla_fallbacks
+
+    def want(i):
+        # the fallback path traces with XLA kernels; compare like-for-like
+        with force_xla_fallbacks():
+            return fused.synrgb_pipeline(
+                vv[i], vh[i], strategy=AutoscaleStrategy.CLAHE,
+                target_size=96, pad=True)
+
+    _assert_scenes_match(out, want, exact=True, label="gspmd-pad")
+
+
+def test_gspmd_fallback_grayscale_target_size(rng, mesh):
+    n_scene = mesh.shape["scene"]
+    rows = 48 * mesh.shape["row"]
+    dn = np.stack([sar_like(rng, (rows, 120)) for _ in range(n_scene)])
+    out = np.asarray(grayscale_batch(
+        dn, mesh, strategy=AutoscaleStrategy.STANDARD, bit_depth=BitDepth.U8,
+        target_size=64, pad=True,
+    ))
+    assert out.shape == (n_scene, 64, 64)
+    from sarpro_tpu.ops.kernels import force_xla_fallbacks
+
+    def want(i):
+        with force_xla_fallbacks():
+            return fused.grayscale_pipeline(
+                dn[i], strategy=AutoscaleStrategy.STANDARD,
+                bit_depth=BitDepth.U8, target_size=64, pad=True)
+
+    _assert_scenes_match(out, want, exact=True, label="gspmd-gray")
 
 
 def test_graft_entry_contract():
@@ -81,11 +159,11 @@ def test_shardmap_clahe_tile_straddles_shard_boundary(rng, mesh):
     out = np.asarray(synrgb_batch(
         vv, vh, mesh, strategy=AutoscaleStrategy.CLAHE, target_size=None
     ))
-    want = np.asarray(fused.synrgb_pipeline(
-        vv[0], vh[0], strategy=AutoscaleStrategy.CLAHE, target_size=None
-    ))
-    diff = np.abs(out[0].astype(int) - want.astype(int))
-    assert (diff == 0).mean() >= 0.999, f"{(diff != 0).mean():.4%} differ"
+    _assert_scenes_match(
+        out,
+        lambda i: fused.synrgb_pipeline(
+            vv[i], vh[i], strategy=AutoscaleStrategy.CLAHE, target_size=None),
+        exact=True, label="straddle")
 
 
 def test_shardmap_tamed_and_equalized(rng, mesh):
@@ -98,7 +176,8 @@ def test_shardmap_tamed_and_equalized(rng, mesh):
     for strat in (AutoscaleStrategy.TAMED, AutoscaleStrategy.EQUALIZED):
         out = np.asarray(synrgb_batch(vv, vh, mesh, strategy=strat,
                                       target_size=None))
-        want = np.asarray(fused.synrgb_pipeline(vv[0], vh[0], strategy=strat,
-                                                target_size=None))
-        diff = np.abs(out[0].astype(int) - want.astype(int))
-        assert (diff == 0).mean() >= 0.999, strat
+        _assert_scenes_match(
+            out,
+            lambda i, s=strat: fused.synrgb_pipeline(
+                vv[i], vh[i], strategy=s, target_size=None),
+            exact=True, label=str(strat))
