@@ -2,21 +2,25 @@
 
 Reference baseline (BASELINE.md row 2): the same scene end-to-end from disk
 in ~348.21 ms on a 12-core Apple M4 Pro (`--target-crs none`). The headline
-value is the **tunnel-free end-to-end estimate**: the sum of the real,
-individually measured pipeline stages — disk read + single-pass native box
-reduce, the fused device program p50, JPEG encode — plus a 3 ms PCIe
-allowance replacing the host↔device transfer (32 MB up + 12.6 MB down at
-~16 GB/s). Everything else is reported alongside in `extra`:
+value is an ESTIMATE — the sum of the real, individually measured pipeline
+stages (disk read + single-pass native box reduce, the fused device
+program, JPEG encode) plus a 3 ms PCIe allowance replacing the host↔device
+transfer, which here rides a shared RPC tunnel whose bandwidth swings
+2–40 MB/s minute to minute. Both the raw tunnel e2e ratio and the
+estimated ratio are reported side by side in `extra` (ADVICE r2 item 5).
 
-  * **e2e raw**: the real `api.process_safe_to_path(fast=True)` wall time
-    through the axon remote RPC tunnel. The tunnel ships 32 MB per run at a
-    bandwidth that swings between ~2 and ~40 MB/s across minutes (measured
-    times in `extra` range seconds apart for identical runs), so raw e2e is
-    dominated by shared-tunnel weather a co-located production host does not
-    have; that is why the component sum is the headline.
-  * **device-resident**: the fused program with full-res DN already in HBM —
-    per-chip compute capability (batch throughput builds on this, since the
-    async loader keeps the device fed).
+Also reported:
+  * **host_read_floor_ms** — the measured time to merely TRAVERSE the same
+    1.6 GB of source DN once on this host's single core (native 4-stream
+    AVX-512 probe). The box reduce must read every byte once, so this is
+    its speed-of-light; `read_reduce_ms` within ~1.3× of it means the
+    stage is bandwidth-bound, not code-bound.
+  * **device-resident** — the fused program with full-res DN already in
+    HBM: per-chip compute capability.
+  * **tpu_validate** — every Pallas kernel validated against its XLA
+    oracle on the real chip this run; results persisted to
+    benchmarks/tpu_validate_results.json (VERDICT r2 item 5). Any FAIL is
+    fatal to the benchmark.
 
 Host asymmetry, documented not hidden: this host has ONE CPU core (the
 reference machine has 12), so the read/reduce and JPEG stages — pure host
@@ -26,10 +30,14 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 import functools
 import json
+import subprocess
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
+REPO = Path(__file__).resolve().parent
 BASELINE_NO_WARP_MS = 348.21  # reference README.md:63, --target-crs none
 PCIE_ALLOWANCE_MS = 3.0       # 32 MB h2d + 12.6 MB d2h at ~16 GB/s
 
@@ -45,7 +53,58 @@ def _p50(fn, n, warmup=1):
     return float(np.percentile(ts, 50)), [round(t, 1) for t in ts]
 
 
+def run_tpu_validate() -> dict:
+    """Validate every Pallas kernel on the real chip; persist + gate."""
+    rc = subprocess.call([sys.executable,
+                          str(REPO / "benchmarks" / "tpu_validate.py")],
+                         stdout=sys.stderr)
+    results_path = REPO / "benchmarks" / "tpu_validate_results.json"
+    summary = {"rc": rc}
+    if results_path.exists():
+        data = json.loads(results_path.read_text())
+        summary.update(passed=data["passed"], failed=data["failed"])
+    if rc != 0:
+        print("FATAL: on-TPU kernel validation failed "
+              f"({summary})", file=sys.stderr)
+        raise SystemExit(1)
+    return summary
+
+
+def host_read_floor_ms(paths) -> float:
+    """Pure traversal time of the same source bytes (min of reps/band)."""
+    import mmap as _mmap
+
+    from sarpro_tpu import _native
+    from sarpro_tpu.io.tiffio import TiffReader
+
+    if not _native.available():
+        return float("nan")
+    total = 0.0
+    for p in paths:
+        t = TiffReader(p)
+        with open(p, "rb") as fh:
+            mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+            try:
+                src = np.frombuffer(mm, dtype=np.uint16,
+                                    count=t.height * t.width,
+                                    offset=int(t.offsets[0]))
+                best = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _native.stream_sum_u16(src)
+                    dt = (time.perf_counter() - t0) * 1000.0
+                    best = dt if best is None else min(best, dt)
+                total += best
+                del src
+            finally:
+                mm.close()
+        t.close()
+    return total
+
+
 def main():
+    validate = run_tpu_validate()
+
     import jax
     import jax.numpy as jnp
 
@@ -85,8 +144,10 @@ def main():
     # ---- 2. end-to-end from disk (the claim BASELINE.json makes) ----------
     e2e = e2e_mod.run_e2e(runs=5)
     breakdown = e2e_mod.run_breakdown()
+    base = e2e_mod.ensure_fullsize_safe()
+    floor_ms = host_read_floor_ms(sorted((base / "measurement").glob("*.tiff")))
 
-    # ---- 3. tunnel-free e2e estimate: sum of measured real stages ---------
+    # ---- 3. e2e estimate: sum of measured real stages ---------------------
     # (read+reduce and jpeg are real host stage timings; device compute is
     # the measured fused-program p50; only the host<->device transfer is
     # replaced, by a PCIe allowance, because the remote tunnel's bandwidth
@@ -97,23 +158,36 @@ def main():
 
     print(json.dumps({
         "metric": "400MP dual-pol SAFE disk->2048 CLAHE synRGB JPEG e2e p50 "
-                  "(tunnel-free component sum; raw tunnel e2e in extra)",
+                  "ESTIMATE (sum of measured stages, tunnel replaced by 3ms "
+                  "PCIe allowance; raw tunnel e2e alongside in extra)",
         "value": round(estimate, 1),
         "unit": "ms",
         "vs_baseline": round(BASELINE_NO_WARP_MS / estimate, 2),
         "extra": {
+            "vs_baseline_estimated": round(BASELINE_NO_WARP_MS / estimate, 2),
+            "vs_baseline_raw_tunnel": round(
+                BASELINE_NO_WARP_MS / e2e["p50_ms"], 2),
             "breakdown": breakdown,
             "pcie_allowance_ms": PCIE_ALLOWANCE_MS,
+            "host_read_floor_ms": round(floor_ms, 1),
+            "read_reduce_vs_floor": round(
+                breakdown["read_reduce_ms"] / floor_ms, 2)
+            if floor_ms == floor_ms else None,
+            "floor_note": "floor = measured single-traversal time of the "
+                          "same 1.6 GB on this 1-core host (4-stream "
+                          "AVX-512 probe); the reduce stage cannot go "
+                          "below it",
             "e2e_raw_tunnel_p50_ms": round(e2e["p50_ms"], 1),
             "e2e_raw_tunnel_times_ms": e2e["times_ms"],
-            "e2e_raw_note": "raw runs ship 32 MB through the shared axon RPC "
-                            "tunnel whose bandwidth swings ~2-40 MB/s "
+            "e2e_raw_note": "raw runs ship 32 MB through the shared axon "
+                            "RPC tunnel whose bandwidth swings ~2-40 MB/s "
                             "minute to minute; a co-located host moves the "
                             "same bytes over PCIe in ~3 ms (the allowance)",
             "device_resident_fullres_p50_ms": round(dev_p50, 1),
             "device_resident_times_ms": dev_times,
             "device_resident_mp_per_s": round(400.0 / (dev_p50 / 1000.0), 1),
-            "host": "1 CPU core, ~1 GB/s disk (reference: 12-core M4 Pro); "
+            "tpu_validate": validate,
+            "host": "1 CPU core, ~13 GB/s DRAM (reference: 12-core M4 Pro); "
                     "read/reduce + jpeg are single-threaded host stages here",
             "device": str(dev),
         },

@@ -25,12 +25,29 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 FAILURES: list[str] = []
+RESULTS: list[dict] = []
 
 
 def check(name: str, ok: bool, detail: str = ""):
     print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+    RESULTS.append({"name": name, "ok": ok, "detail": detail})
     if not ok:
         FAILURES.append(name)
+
+
+def write_results(device: str):
+    """Persist the per-round validation artifact (VERDICT r2 item 5)."""
+    import json
+    import pathlib
+
+    out = pathlib.Path(__file__).parent / "tpu_validate_results.json"
+    out.write_text(json.dumps({
+        "device": device,
+        "passed": len(RESULTS) - len(FAILURES),
+        "failed": len(FAILURES),
+        "checks": RESULTS,
+    }, indent=2))
+    print(f"wrote {out}")
 
 
 def main():
@@ -117,6 +134,7 @@ def main():
               f"frac>|1.0|={frac_off:.2e}")
 
     print(f"\n{len(FAILURES)} failure(s)")
+    write_results(str(jax.devices()[0]))
     return 1 if FAILURES else 0
 
 

@@ -361,4 +361,39 @@ void box_reduce_u16_f32(const uint16_t* src, int64_t src_row0,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Streaming-read bandwidth probe
+// ---------------------------------------------------------------------------
+// Traverses `n` u16 values with four interleaved read streams (the fastest
+// single-core pattern measured on this host) and returns their sum. The
+// benchmark uses this to report the host's speed-of-light for the reduce
+// stage: the box reducer must read every source byte exactly once, so its
+// floor is this traversal time.
+// Returns a byte-fold checksum (not a u16 sum) — the value exists only to
+// keep the loads alive.
+uint64_t stream_sum_u16(const uint16_t* src, int64_t n) {
+#if defined(__AVX512F__)
+    const int64_t q = (n / 4) & ~31LL;
+    __m512i a0 = _mm512_setzero_si512(), a1 = a0, a2 = a0, a3 = a0;
+    const __m512i z = _mm512_setzero_si512();
+    for (int64_t i = 0; i + 32 <= q; i += 32) {
+        a0 = _mm512_add_epi64(a0, _mm512_sad_epu8(_mm512_loadu_si512(src + i), z));
+        a1 = _mm512_add_epi64(a1, _mm512_sad_epu8(_mm512_loadu_si512(src + q + i), z));
+        a2 = _mm512_add_epi64(a2, _mm512_sad_epu8(_mm512_loadu_si512(src + 2 * q + i), z));
+        a3 = _mm512_add_epi64(a3, _mm512_sad_epu8(_mm512_loadu_si512(src + 3 * q + i), z));
+    }
+    uint64_t tmp[8];
+    uint64_t s = 0;
+    _mm512_storeu_si512(tmp, _mm512_add_epi64(_mm512_add_epi64(a0, a1),
+                                              _mm512_add_epi64(a2, a3)));
+    for (int k = 0; k < 8; ++k) s += tmp[k];
+    for (int64_t i = 4 * q; i < n; ++i) s += src[i];
+    return s;
+#else
+    uint64_t s = 0;
+    for (int64_t i = 0; i < n; ++i) s += src[i];
+    return s;
+#endif
+}
+
 }  // extern "C"

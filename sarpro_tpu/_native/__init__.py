@@ -50,6 +50,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.box_reduce_u16_f32.restype = None
     lib.box_reduce_u16_f32.argtypes = [u16p, i64, i64, f32p, i64, i64, i64,
                                        i32p, i32p, i32p, i32p]
+    lib.stream_sum_u16.restype = ctypes.c_uint64
+    lib.stream_sum_u16.argtypes = [u16p, i64]
     _LIB = lib
     return _LIB
 
@@ -127,3 +129,12 @@ def box_reduce_u16(
         ys.ctypes.data_as(i32), yc.ctypes.data_as(i32),
         xs.ctypes.data_as(i32), xc.ctypes.data_as(i32),
     )
+
+
+def stream_sum_u16(src: np.ndarray) -> int:
+    """Bandwidth probe: traverse a u16 array once with the fastest measured
+    single-core read pattern; returns a checksum (value is probe-only)."""
+    lib = _load()
+    assert src.dtype == np.uint16 and src.flags.c_contiguous
+    return int(lib.stream_sum_u16(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), src.size))

@@ -21,7 +21,7 @@ from .tiffio import GeoInfo
 
 # extensions PIL handles that we advertise (TIFF stays on the native codec)
 PIL_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".gif", ".ppm", ".pgm",
-                  ".pbm", ".webp")
+                  ".pbm", ".webp", ".jp2", ".j2k", ".jpx")
 
 
 def world_file_candidates(path: Path) -> list[Path]:

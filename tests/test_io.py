@@ -484,8 +484,10 @@ def test_project_dispatch_mercators():
         assert lat == pytest.approx(46.0, abs=1e-9)
         wkt = geodesy.epsg_to_wkt(code)
         assert f'"{code}"' in wkt and "Mercator" in wkt
+    # EPSG:2154 is a supported national grid since round 3; use a code the
+    # framework genuinely does not project
     with pytest.raises(ValueError, match="supported:"):
-        geodesy.project_forward(0.0, 0.0, 2154)
+        geodesy.project_forward(0.0, 0.0, 29902)
 
 
 # -- streamed decimated reads (VERDICT r1 items 1-2) --------------------------
@@ -714,3 +716,42 @@ def test_rgb_jpeg_bgr_order_identical(tmp_path, rng):
     a = (tmp_path / "rgb.jpg").read_bytes()
     b = (tmp_path / "bgr.jpg").read_bytes()
     assert a == b
+
+
+def test_jp2_raster_reads_lossless_u16(tmp_path, rng):
+    """JPEG2000 through the PIL/openjpeg backend (format breadth of the
+    reference's GdalSarReader::open, gdal.rs:57-104): reversible u16 single
+    band and 8-bit RGB both decode exactly."""
+    import warnings
+
+    from sarpro_tpu.io.raster import RasterReader
+
+    a = rng.integers(0, 60000, (64, 80)).astype(np.uint16)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        Image.fromarray(a, mode="I;16").save(tmp_path / "u16.jp2")
+    r = RasterReader(tmp_path / "u16.jp2")
+    assert (r.metadata.size_x, r.metadata.size_y) == (80, 64)
+    np.testing.assert_array_equal(r.read_band(1), a.astype(np.float32))
+
+    rgb = rng.integers(0, 255, (32, 40, 3)).astype(np.uint8)
+    Image.fromarray(rgb).save(tmp_path / "rgb.jp2")
+    r2 = RasterReader(tmp_path / "rgb.jp2")
+    assert r2.metadata.bands == 3
+    np.testing.assert_array_equal(r2.read_band(2), rgb[..., 1].astype(np.float32))
+
+
+def test_jp2_world_file_georeferencing(tmp_path, rng):
+    """JP2 + .j2w world file yields a geotransform like GDAL's worldfile
+    probing."""
+    from sarpro_tpu.io.raster import RasterReader
+
+    a = rng.integers(0, 255, (16, 20)).astype(np.uint8)
+    Image.fromarray(a, mode="L").save(tmp_path / "g.jp2")
+    # pixel-center world file: 10m pixels at (500000, 4000000)
+    (tmp_path / "g.j2w").write_text(
+        "10.0\n0.0\n0.0\n-10.0\n500005.0\n3999995.0\n")
+    r = RasterReader(tmp_path / "g.jp2")
+    gt = r.metadata.geotransform
+    assert gt[0] == pytest.approx(500000.0) and gt[3] == pytest.approx(4000000.0)
+    assert gt[1] == 10.0 and gt[5] == -10.0
