@@ -68,32 +68,50 @@ def run(n_scenes: int = 6, side: int = 5000) -> dict:
         autoscale=AutoscaleStrategy.CLAHE, size=1024,
     )
 
-    results = {}
-    for name, fn in (
+    arms = (
         ("serial", lambda out: api.process_directory_to_path(
             indir, out, params, fast=True)),
         ("pipelined_prefetch2", lambda out: process_directory_pipelined(
             indir, out, params, prefetch=2, fast=True)),
-    ):
+    )
+
+    def run_arm(name, fn):
         out = DATA / f"out_{name}"
         if out.exists():
             shutil.rmtree(out)
         out.mkdir(parents=True)
-        fn(out)  # warmup (jit compile) on a fresh dir
-        shutil.rmtree(out)
-        out.mkdir()
         t0 = time.perf_counter()
         report = fn(out)
-        dt = time.perf_counter() - t0
+        return time.perf_counter() - t0, report
+
+    # warmup both arms once (jit compile, page cache)
+    for name, fn in arms:
+        run_arm(name, fn)
+    # interleave A/B repetitions: the tunnel's bandwidth swings 2-40 MB/s
+    # across minutes, so back-to-back arms sample different weather —
+    # interleaving + per-arm medians keeps the comparison honest
+    reps = 3
+    walls = {name: [] for name, _ in arms}
+    report_by = {}
+    for _ in range(reps):
+        for name, fn in arms:
+            dt, report = run_arm(name, fn)
+            walls[name].append(dt)
+            report_by[name] = report
+    results = {}
+    for name, _ in arms:
+        med = float(np.median(walls[name]))
         results[name] = {
-            "wall_s": round(dt, 2),
-            "scenes_per_s": round(n_scenes / dt, 3),
-            "processed": report.processed,
-            "skipped": report.skipped,
-            "errors": report.errors,
+            "wall_s_median": round(med, 2),
+            "wall_s_all": [round(w, 2) for w in walls[name]],
+            "scenes_per_s": round(n_scenes / med, 3),
+            "processed": report_by[name].processed,
+            "skipped": report_by[name].skipped,
+            "errors": report_by[name].errors,
         }
     results["config"] = (f"{n_scenes} scenes, {side}x{side} dual-pol u16 -> "
-                        f"1024 CLAHE synRGB JPEG (--fast)")
+                        f"1024 CLAHE synRGB JPEG (--fast), interleaved "
+                        f"median of {reps}")
     results["speedup"] = round(
         results["pipelined_prefetch2"]["scenes_per_s"]
         / results["serial"]["scenes_per_s"], 2)

@@ -120,22 +120,65 @@ def run_e2e(runs: int = 5, strategy: str = "clahe") -> dict:
     }
 
 
+_READ_STAGE_SNIPPET = """\
+import sys, time, json
+import numpy as np
+sys.path.insert(0, {repo!r})
+from sarpro_tpu.io.raster import RasterReader
+total = 0.0
+for p in {paths!r}:
+    best = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        arr = RasterReader(p).read_band_resampled(1, 2048, 2048, "average")
+        dt = (time.perf_counter() - t0) * 1000.0
+        best = dt if best is None or dt < best else best
+    total += best
+    np.save({out!r} + "/" + p.rsplit("/", 1)[1] + ".npy", arr)
+print(json.dumps({{"ms": total}}))
+"""
+
+_JPEG_STAGE_SNIPPET = """\
+import sys, time, json
+import numpy as np
+sys.path.insert(0, {repo!r})
+from sarpro_tpu.io.writers.jpeg import write_rgb_jpeg
+bgr = np.load({npy!r})
+best = None
+for _ in range(7):
+    t0 = time.perf_counter()
+    write_rgb_jpeg({jpg!r}, 2048, 2048, bgr, channel_order="bgr")
+    dt = (time.perf_counter() - t0) * 1000.0
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"ms": best}}))
+"""
+
+
+def _run_host_stage(snippet: str) -> dict:
+    """Run a host stage in a fresh python with no JAX runtime: the bench
+    process's tunnel threads share this host's single core and inflate
+    min-of-reps by 30-50%; a production host runs these stages on an
+    unloaded core. The stage code is the real library path."""
+    import subprocess
+
+    out = subprocess.run([sys.executable, "-c", snippet],
+                         capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_breakdown() -> dict:
     """Per-stage timing of the same flow (read/transfer/compute/fetch/write).
 
-    Host stages report the MIN of several repetitions: the single shared CPU
-    core also runs the JAX runtime's tunnel threads, so individual reps can
-    be inflated 2-3x by scheduling noise; the min is what a dedicated host
-    core does. Device compute uses rep-differencing inside one dispatch
-    ((t(6 reps) - t(1))/5 with per-rep perturbed inputs so XLA cannot CSE
-    them) — a single dispatch+fetch measurement would embed two ~27 ms RPC
-    round-trips a co-located host does not pay."""
+    Host stages (read+reduce, JPEG encode) run in clean subprocesses —
+    min of reps on an otherwise idle core (see _run_host_stage). Device
+    compute uses rep-differencing inside one dispatch ((t(6 reps) - t(1))/5
+    with per-rep perturbed inputs so XLA cannot CSE them) — a single
+    dispatch+fetch measurement would embed two ~27 ms RPC round-trips a
+    co-located host does not pay."""
     import jax
     import jax.numpy as jnp
 
     from sarpro_tpu.core import fused
-    from sarpro_tpu.io.raster import RasterReader
-    from sarpro_tpu.io.writers.jpeg import write_rgb_jpeg
     from sarpro_tpu.types import AutoscaleStrategy
 
     base = ensure_fullsize_safe()
@@ -146,20 +189,12 @@ def run_breakdown() -> dict:
         r = fn()
         return (time.perf_counter() - t0) * 1000.0, r
 
-    def t_min(fn, reps=5):
-        best, res = None, None
-        for _ in range(reps):
-            ms, r = t(fn)
-            if best is None or ms < best:
-                best, res = ms, r
-        return best, res
-
-    read_ms, planes = 0.0, []
-    for p in paths:
-        ms, arr = t_min(lambda p=p: RasterReader(p).read_band_resampled(
-            1, 2048, 2048, "average"))
-        read_ms += ms
-        planes.append(arr)
+    stage_dir = DATA / "stages"
+    stage_dir.mkdir(exist_ok=True)
+    read = _run_host_stage(_READ_STAGE_SNIPPET.format(
+        repo=str(REPO), paths=[str(p) for p in paths], out=str(stage_dir)))
+    read_ms = read["ms"]
+    planes = [np.load(stage_dir / (p.name + ".npy")) for p in paths]
 
     def xfer():
         devs = [jnp.asarray(a) for a in planes]
@@ -193,20 +228,23 @@ def run_breakdown() -> dict:
                                 channel_order="bgr")
     _ = int(np.asarray(out[0, 0, 0]))
     fetch_ms, host_bgr = t(lambda: np.asarray(out))
-    write_ms, _ = t_min(lambda: write_rgb_jpeg(DATA / "bd.jpg", 2048, 2048,
-                                               host_bgr, channel_order="bgr"),
-                        reps=5)
+    npy = stage_dir / "bgr.npy"
+    np.save(npy, np.asarray(host_bgr))
+    write = _run_host_stage(_JPEG_STAGE_SNIPPET.format(
+        repo=str(REPO), npy=str(npy), jpg=str(DATA / "bd.jpg")))
+    write_ms = write["ms"]
     return {
         "read_reduce_ms": round(read_ms, 1),
         "h2d_transfer_ms": round(xfer_ms, 1),
         "device_compute_ms": round(comp_ms, 1),
         "d2h_fetch_ms": round(fetch_ms, 1),
         "jpeg_write_ms": round(write_ms, 1),
-        "note": "read is dual-band single-pass native box reduce from disk "
-                "(min of 3 reps/band); device compute is rep-differenced "
-                "inside one dispatch; transfer/fetch ride the axon RPC "
-                "tunnel (~27ms/dispatch) and are replaced by the PCIe "
-                "allowance in the component sum",
+        "note": "read (dual-band single-pass native box reduce from disk) "
+                "and jpeg encode are min-of-reps in clean no-JAX "
+                "subprocesses (idle-core stage time); device compute is "
+                "rep-differenced inside one dispatch; transfer/fetch ride "
+                "the axon RPC tunnel (~27ms/dispatch) and are replaced by "
+                "the PCIe allowance in the component sum",
     }
 
 
