@@ -142,12 +142,12 @@ _JPEG_STAGE_SNIPPET = """\
 import sys, time, json
 import numpy as np
 sys.path.insert(0, {repo!r})
-from sarpro_tpu.io.writers.jpeg import write_rgb_jpeg
-bgr = np.load({npy!r})
+from sarpro_tpu.io.writers.jpeg import write_synrgb_jpeg
+arr = np.load({npy!r})
 best = None
 for _ in range(7):
     t0 = time.perf_counter()
-    write_rgb_jpeg({jpg!r}, 2048, 2048, bgr, channel_order="bgr")
+    write_synrgb_jpeg({jpg!r}, 2048, 2048, arr, layout={layout!r})
     dt = (time.perf_counter() - t0) * 1000.0
     best = dt if best is None or dt < best else best
 print(json.dumps({{"ms": best}}))
@@ -222,16 +222,20 @@ def run_breakdown() -> dict:
     t6 = min(t(many)[0] for _ in range(3))
     comp_ms = max((t6 - t1) / 5.0, 0.0)
 
+    from sarpro_tpu.io.writers.jpeg import preferred_synrgb_layout
+
+    layout = preferred_synrgb_layout()
     out = fused.synrgb_pipeline(dev[0], dev[1],
                                 strategy=AutoscaleStrategy.CLAHE,
                                 target_size=2048, pad=True,
-                                channel_order="bgr")
-    _ = int(np.asarray(out[0, 0, 0]))
-    fetch_ms, host_bgr = t(lambda: np.asarray(out))
-    npy = stage_dir / "bgr.npy"
-    np.save(npy, np.asarray(host_bgr))
+                                channel_order=layout)
+    _ = int(np.asarray(out.ravel()[0]))
+    fetch_ms, host_arr = t(lambda: np.asarray(out))
+    npy = stage_dir / "synrgb_out.npy"
+    np.save(npy, np.asarray(host_arr))
     write = _run_host_stage(_JPEG_STAGE_SNIPPET.format(
-        repo=str(REPO), npy=str(npy), jpg=str(DATA / "bd.jpg")))
+        repo=str(REPO), npy=str(npy), jpg=str(DATA / "bd.jpg"),
+        layout=layout))
     write_ms = write["ms"]
     return {
         "read_reduce_ms": round(read_ms, 1),

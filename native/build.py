@@ -19,6 +19,7 @@ def main() -> int:
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         "-pthread",
         str(HERE / "tiffcodec.cpp"),
+        str(HERE / "jpegenc.cpp"),
         "-o", str(out),
     ]
     print(" ".join(cmd))

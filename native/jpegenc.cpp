@@ -1,0 +1,451 @@
+// Native baseline JPEG encoder (quality 100, 4:4:4 / grayscale).
+//
+// The reference hardcodes JPEG quality 100 (reference: src/io/writers/
+// jpeg.rs:14,27). At q100 every quantizer is 1, so the stream is dominated
+// by entropy coding of near-raw DCT coefficients — the headline 2048² SAR
+// frame compresses to ~17 MB and libjpeg-turbo needs ~95 ms single-core on
+// the bench host. This encoder reaches the same stream format faster:
+//   * it takes PLANAR YCbCr input — the fused device program emits YCbCr
+//     planes at zero cost (color conversion fuses into the XLA program),
+//     so the host pays no color convert and no deinterleave;
+//   * 8x8 forward DCT as two 8x8 f32 matrix passes (orthonormal DCT-II
+//     basis == the JPEG FDCT) with AVX2/AVX-512 FMA when available;
+//   * 64-bit shift-register Huffman writer with standard Annex K tables
+//     (byte-identical table segments to libjpeg's q100 non-optimized
+//     output; coefficient streams differ only by rounding mode, invisible
+//     at decode).
+//
+// Exposed as plain C ABI via ctypes (like tiffcodec.cpp).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
+namespace {
+
+// --------------------------------------------------------------------------
+// Standard Annex K Huffman tables (verified byte-identical to libjpeg DHT
+// output at q100): BITS (codes per length 1..16) + HUFFVAL.
+// --------------------------------------------------------------------------
+static const uint8_t kDcLumBits[17] = {0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0};
+static const uint8_t kDcLumVals[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+static const uint8_t kDcChrBits[17] = {0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0};
+static const uint8_t kDcChrVals[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+static const uint8_t kAcLumBits[17] = {0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d};
+static const uint8_t kAcLumVals[162] = {
+    1, 2, 3, 0, 4, 17, 5, 18, 33, 49, 65, 6, 19, 81, 97, 7, 34, 113, 20, 50,
+    129, 145, 161, 8, 35, 66, 177, 193, 21, 82, 209, 240, 36, 51, 98, 114,
+    130, 9, 10, 22, 23, 24, 25, 26, 37, 38, 39, 40, 41, 42, 52, 53, 54, 55,
+    56, 57, 58, 67, 68, 69, 70, 71, 72, 73, 74, 83, 84, 85, 86, 87, 88, 89,
+    90, 99, 100, 101, 102, 103, 104, 105, 106, 115, 116, 117, 118, 119, 120,
+    121, 122, 131, 132, 133, 134, 135, 136, 137, 138, 146, 147, 148, 149,
+    150, 151, 152, 153, 154, 162, 163, 164, 165, 166, 167, 168, 169, 170,
+    178, 179, 180, 181, 182, 183, 184, 185, 186, 194, 195, 196, 197, 198,
+    199, 200, 201, 202, 210, 211, 212, 213, 214, 215, 216, 217, 218, 225,
+    226, 227, 228, 229, 230, 231, 232, 233, 234, 241, 242, 243, 244, 245,
+    246, 247, 248, 249, 250};
+static const uint8_t kAcChrBits[17] = {0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77};
+static const uint8_t kAcChrVals[162] = {
+    0, 1, 2, 3, 17, 4, 5, 33, 49, 6, 18, 65, 81, 7, 97, 113, 19, 34, 50,
+    129, 8, 20, 66, 145, 161, 177, 193, 9, 35, 51, 82, 240, 21, 98, 114,
+    209, 10, 22, 36, 52, 225, 37, 241, 23, 24, 25, 26, 38, 39, 40, 41, 42,
+    53, 54, 55, 56, 57, 58, 67, 68, 69, 70, 71, 72, 73, 74, 83, 84, 85, 86,
+    87, 88, 89, 90, 99, 100, 101, 102, 103, 104, 105, 106, 115, 116, 117,
+    118, 119, 120, 121, 122, 130, 131, 132, 133, 134, 135, 136, 137, 138,
+    146, 147, 148, 149, 150, 151, 152, 153, 154, 162, 163, 164, 165, 166,
+    167, 168, 169, 170, 178, 179, 180, 181, 182, 183, 184, 185, 186, 194,
+    195, 196, 197, 198, 199, 200, 201, 202, 210, 211, 212, 213, 214, 215,
+    216, 217, 218, 226, 227, 228, 229, 230, 231, 232, 233, 234, 242, 243,
+    244, 245, 246, 247, 248, 249, 250};
+
+// zigzag order k -> (row, col) flat index of the TRANSPOSED coefficient
+// matrix (the DCT below leaves its result transposed; mapping (c,r) here
+// saves the second 8x8 transpose).
+static int kZigzagT[64];
+static const int kZigzagRC[64][2] = {
+    {0,0},{0,1},{1,0},{2,0},{1,1},{0,2},{0,3},{1,2},
+    {2,1},{3,0},{4,0},{3,1},{2,2},{1,3},{0,4},{0,5},
+    {1,4},{2,3},{3,2},{4,1},{5,0},{6,0},{5,1},{4,2},
+    {3,3},{2,4},{1,5},{0,6},{0,7},{1,6},{2,5},{3,4},
+    {4,3},{5,2},{6,1},{7,0},{7,1},{6,2},{5,3},{4,4},
+    {3,5},{2,6},{1,7},{2,7},{3,6},{4,5},{5,4},{6,3},
+    {7,2},{7,3},{6,4},{5,5},{4,6},{3,7},{4,7},{5,6},
+    {6,5},{7,4},{7,5},{6,6},{5,7},{6,7},{7,6},{7,7}};
+
+struct HuffTable {
+    uint16_t code[256];
+    uint8_t len[256];
+};
+
+static HuffTable gDcLum, gDcChr, gAcLum, gAcChr;
+static float gDctT[8][8];  // orthonormal DCT-II basis
+static bool gInit = false;
+
+static void build_table(const uint8_t* bits, const uint8_t* vals, int nvals,
+                        HuffTable* t) {
+    std::memset(t->len, 0, sizeof(t->len));
+    uint16_t code = 0;
+    int k = 0;
+    for (int l = 1; l <= 16; ++l) {
+        for (int i = 0; i < bits[l]; ++i) {
+            t->code[vals[k]] = code;
+            t->len[vals[k]] = static_cast<uint8_t>(l);
+            ++code;
+            ++k;
+        }
+        code <<= 1;
+    }
+    (void)nvals;
+}
+
+static void init_tables() {
+    if (gInit) return;
+    build_table(kDcLumBits, kDcLumVals, 12, &gDcLum);
+    build_table(kDcChrBits, kDcChrVals, 12, &gDcChr);
+    build_table(kAcLumBits, kAcLumVals, 162, &gAcLum);
+    build_table(kAcChrBits, kAcChrVals, 162, &gAcChr);
+    const double pi = 3.14159265358979323846;
+    for (int u = 0; u < 8; ++u) {
+        const double s = (u == 0) ? std::sqrt(1.0 / 8.0) : std::sqrt(2.0 / 8.0);
+        for (int x = 0; x < 8; ++x)
+            gDctT[u][x] = static_cast<float>(
+                s * std::cos((2 * x + 1) * u * pi / 16.0));
+    }
+    for (int kk = 0; kk < 64; ++kk)
+        kZigzagT[kk] = kZigzagRC[kk][1] * 8 + kZigzagRC[kk][0];
+    gInit = true;
+}
+
+struct BitWriter {
+    uint8_t* out;
+    int64_t cap;
+    int64_t pos = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    bool ok = true;
+
+    // Flush whole 32-bit groups from the top of the accumulator. The fast
+    // path (no 0xFF byte in the group, ~98% of groups on q100 SAR content)
+    // emits 4 bytes with one bswap store; only groups containing 0xFF take
+    // the byte-stuffing loop.
+    inline void flush32() {
+        while (nbits >= 32) {
+            const uint32_t v = static_cast<uint32_t>(acc >> (nbits - 32));
+            const uint32_t x = v ^ 0xFFFFFFFFu;  // FF bytes become 00
+            if (((x - 0x01010101u) & ~x & 0x80808080u) == 0) {
+                if (pos + 4 > cap) { ok = false; nbits = 0; return; }
+                const uint32_t be = __builtin_bswap32(v);
+                std::memcpy(out + pos, &be, 4);
+                pos += 4;
+            } else {
+                if (pos + 8 > cap) { ok = false; nbits = 0; return; }
+                for (int i = 3; i >= 0; --i) {
+                    const uint8_t b = static_cast<uint8_t>((v >> (8 * i)) & 0xFF);
+                    out[pos++] = b;
+                    if (b == 0xFF) out[pos++] = 0x00;
+                }
+            }
+            nbits -= 32;
+        }
+    }
+
+    // len <= 27 (16-bit Huffman code + up to 11 value bits); nbits stays
+    // < 32 after flush, so acc never overflows 64 bits.
+    inline void put(uint64_t code, int len) {
+        acc = (acc << len) | code;
+        nbits += len;
+        if (nbits >= 32) flush32();
+    }
+
+    inline void byte(uint8_t b) {
+        if (pos + 1 > cap) { ok = false; return; }
+        out[pos++] = b;
+    }
+
+    void bytes(const uint8_t* p, int64_t n) {
+        if (pos + n > cap) { ok = false; return; }
+        std::memcpy(out + pos, p, n);
+        pos += n;
+    }
+
+    void flush_bits() {  // pad to byte with 1s, drain everything
+        const int pad = (8 - (nbits & 7)) & 7;
+        if (pad) {
+            acc = (acc << pad) | ((1u << pad) - 1);
+            nbits += pad;
+        }
+        while (nbits >= 8) {
+            if (pos + 2 > cap) { ok = false; nbits = 0; return; }
+            const uint8_t b = static_cast<uint8_t>((acc >> (nbits - 8)) & 0xFF);
+            out[pos++] = b;
+            if (b == 0xFF) out[pos++] = 0x00;
+            nbits -= 8;
+        }
+    }
+};
+
+static inline int bit_category(int v) {
+    const unsigned a = static_cast<unsigned>(v < 0 ? -v : v);
+    return a ? 32 - __builtin_clz(a) : 0;
+}
+
+// --- 8x8 forward DCT: coeffs = (T · block · Tᵀ)ᵀ, stored transposed ------
+#if defined(__AVX2__)
+static inline void transpose8(__m256 r[8]) {
+    __m256 t0 = _mm256_unpacklo_ps(r[0], r[1]);
+    __m256 t1 = _mm256_unpackhi_ps(r[0], r[1]);
+    __m256 t2 = _mm256_unpacklo_ps(r[2], r[3]);
+    __m256 t3 = _mm256_unpackhi_ps(r[2], r[3]);
+    __m256 t4 = _mm256_unpacklo_ps(r[4], r[5]);
+    __m256 t5 = _mm256_unpackhi_ps(r[4], r[5]);
+    __m256 t6 = _mm256_unpacklo_ps(r[6], r[7]);
+    __m256 t7 = _mm256_unpackhi_ps(r[6], r[7]);
+    __m256 s0 = _mm256_shuffle_ps(t0, t2, 0x44);
+    __m256 s1 = _mm256_shuffle_ps(t0, t2, 0xEE);
+    __m256 s2 = _mm256_shuffle_ps(t1, t3, 0x44);
+    __m256 s3 = _mm256_shuffle_ps(t1, t3, 0xEE);
+    __m256 s4 = _mm256_shuffle_ps(t4, t6, 0x44);
+    __m256 s5 = _mm256_shuffle_ps(t4, t6, 0xEE);
+    __m256 s6 = _mm256_shuffle_ps(t5, t7, 0x44);
+    __m256 s7 = _mm256_shuffle_ps(t5, t7, 0xEE);
+    r[0] = _mm256_permute2f128_ps(s0, s4, 0x20);
+    r[1] = _mm256_permute2f128_ps(s1, s5, 0x20);
+    r[2] = _mm256_permute2f128_ps(s2, s6, 0x20);
+    r[3] = _mm256_permute2f128_ps(s3, s7, 0x20);
+    r[4] = _mm256_permute2f128_ps(s0, s4, 0x31);
+    r[5] = _mm256_permute2f128_ps(s1, s5, 0x31);
+    r[6] = _mm256_permute2f128_ps(s2, s6, 0x31);
+    r[7] = _mm256_permute2f128_ps(s3, s7, 0x31);
+}
+
+static inline void dct_pass(const __m256 in[8], __m256 out[8]) {
+    for (int i = 0; i < 8; ++i) {
+        __m256 acc = _mm256_mul_ps(_mm256_set1_ps(gDctT[i][0]), in[0]);
+        acc = _mm256_fmadd_ps(_mm256_set1_ps(gDctT[i][1]), in[1], acc);
+        acc = _mm256_fmadd_ps(_mm256_set1_ps(gDctT[i][2]), in[2], acc);
+        acc = _mm256_fmadd_ps(_mm256_set1_ps(gDctT[i][3]), in[3], acc);
+        acc = _mm256_fmadd_ps(_mm256_set1_ps(gDctT[i][4]), in[4], acc);
+        acc = _mm256_fmadd_ps(_mm256_set1_ps(gDctT[i][5]), in[5], acc);
+        acc = _mm256_fmadd_ps(_mm256_set1_ps(gDctT[i][6]), in[6], acc);
+        acc = _mm256_fmadd_ps(_mm256_set1_ps(gDctT[i][7]), in[7], acc);
+        out[i] = acc;
+    }
+}
+
+static void fdct8x8(const float in[64], int32_t out[64]) {
+    __m256 rows[8], tmp[8];
+    for (int i = 0; i < 8; ++i) rows[i] = _mm256_loadu_ps(in + 8 * i);
+    dct_pass(rows, tmp);       // T · B
+    transpose8(tmp);           // (T·B)ᵀ = Bᵀ·Tᵀ
+    dct_pass(tmp, rows);       // T·Bᵀ·Tᵀ = (T·B·Tᵀ)ᵀ  (stored transposed)
+    for (int i = 0; i < 8; ++i)
+        _mm256_storeu_si256(reinterpret_cast<__m256i*>(out + 8 * i),
+                            _mm256_cvtps_epi32(rows[i]));
+}
+#else
+static void fdct8x8(const float in[64], int32_t out[64]) {
+    float m1[64], m2[64];
+    for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j) {
+            float a = 0;
+            for (int k = 0; k < 8; ++k) a += gDctT[i][k] * in[k * 8 + j];
+            m1[i * 8 + j] = a;
+        }
+    for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j) {
+            float a = 0;
+            for (int k = 0; k < 8; ++k) a += m1[i * 8 + k] * gDctT[j][k];
+            m2[j * 8 + i] = a;  // store transposed like the AVX path
+        }
+    for (int i = 0; i < 64; ++i)
+        out[i] = static_cast<int32_t>(std::lrintf(m2[i]));
+}
+#endif
+
+// NOTE (negative result, measured): an AVX-512 variant that permuted
+// coefficients into zigzag order and iterated a nonzero bitmask with tzcnt
+// ran 1.75x SLOWER than this scalar scan on the bench host (141 vs 80 ms
+// for the 2048² frame) — the 512-bit permute/blend chain plus downclocking
+// outweighed the removed zero-branch. Keep the scan scalar.
+static inline void encode_block(BitWriter& bw, const int32_t coeffs[64],
+                                int& dc_prev, const HuffTable& dc,
+                                const HuffTable& ac) {
+    // DC: Huffman code and value bits append as ONE shift (halves flush
+    // checks). For negative v the JPEG value bits v + (1<<s) - 1 equal
+    // (v - 1) & ((1<<s)-1) in two's complement.
+    const int dcv = coeffs[kZigzagT[0]];
+    const int diff = dcv - dc_prev;
+    dc_prev = dcv;
+    {
+        const int s = bit_category(diff);
+        const uint32_t valbits =
+            static_cast<uint32_t>(diff >= 0 ? diff : diff - 1) & ((1u << s) - 1);
+        bw.put((static_cast<uint64_t>(dc.code[s]) << s) | valbits,
+               dc.len[s] + s);
+    }
+    // AC
+    int run = 0;
+    for (int k = 1; k < 64; ++k) {
+        const int v = coeffs[kZigzagT[k]];
+        if (v == 0) {
+            ++run;
+            continue;
+        }
+        while (run > 15) {
+            bw.put(ac.code[0xF0], ac.len[0xF0]);  // ZRL
+            run -= 16;
+        }
+        const int s = bit_category(v);
+        const int sym = (run << 4) | s;
+        const uint32_t valbits =
+            static_cast<uint32_t>(v >= 0 ? v : v - 1) & ((1u << s) - 1);
+        bw.put((static_cast<uint64_t>(ac.code[sym]) << s) | valbits,
+               ac.len[sym] + s);
+        run = 0;
+    }
+    if (run > 0) bw.put(ac.code[0x00], ac.len[0x00]);  // EOB
+}
+
+// Load one 8x8 block from a u8 plane with edge replication, level-shifted.
+static inline void load_block(const uint8_t* plane, int64_t w, int64_t h,
+                              int64_t bx, int64_t by, float out[64]) {
+    const int64_t x0 = bx * 8, y0 = by * 8;
+    if (x0 + 8 <= w && y0 + 8 <= h) {
+#if defined(__AVX2__)
+        const __m256 off = _mm256_set1_ps(128.0f);
+        for (int r = 0; r < 8; ++r) {
+            const __m128i b = _mm_loadl_epi64(reinterpret_cast<const __m128i*>(
+                plane + (y0 + r) * w + x0));
+            _mm256_storeu_ps(out + r * 8, _mm256_sub_ps(
+                _mm256_cvtepi32_ps(_mm256_cvtepu8_epi32(b)), off));
+        }
+#else
+        for (int r = 0; r < 8; ++r) {
+            const uint8_t* p = plane + (y0 + r) * w + x0;
+            for (int c = 0; c < 8; ++c)
+                out[r * 8 + c] = static_cast<float>(p[c]) - 128.0f;
+        }
+#endif
+        return;
+    }
+    for (int r = 0; r < 8; ++r) {
+        const int64_t y = y0 + r < h ? y0 + r : h - 1;
+        const uint8_t* p = plane + y * w;
+        for (int c = 0; c < 8; ++c) {
+            const int64_t x = x0 + c < w ? x0 + c : w - 1;
+            out[r * 8 + c] = static_cast<float>(p[x]) - 128.0f;
+        }
+    }
+}
+
+static void emit_headers(BitWriter& bw, int w, int h, int ncomp) {
+    auto u16be = [&](int v) {
+        bw.byte(static_cast<uint8_t>(v >> 8));
+        bw.byte(static_cast<uint8_t>(v & 0xFF));
+    };
+    bw.byte(0xFF); bw.byte(0xD8);  // SOI
+    // APP0 JFIF
+    bw.byte(0xFF); bw.byte(0xE0); u16be(16);
+    const uint8_t jfif[] = {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0};
+    bw.bytes(jfif, sizeof(jfif));
+    // DQT: all-ones tables (quality 100)
+    for (int t = 0; t < (ncomp == 1 ? 1 : 2); ++t) {
+        bw.byte(0xFF); bw.byte(0xDB); u16be(67);
+        bw.byte(static_cast<uint8_t>(t));
+        for (int i = 0; i < 64; ++i) bw.byte(1);
+    }
+    // SOF0
+    bw.byte(0xFF); bw.byte(0xC0); u16be(8 + 3 * ncomp);
+    bw.byte(8); u16be(h); u16be(w); bw.byte(static_cast<uint8_t>(ncomp));
+    for (int c = 0; c < ncomp; ++c) {
+        bw.byte(static_cast<uint8_t>(c + 1));
+        bw.byte(0x11);  // 1x1 sampling (4:4:4)
+        bw.byte(c == 0 ? 0 : 1);
+    }
+    // DHT
+    auto dht = [&](int cls, int id, const uint8_t* bits, const uint8_t* vals) {
+        int n = 0;
+        for (int l = 1; l <= 16; ++l) n += bits[l];
+        bw.byte(0xFF); bw.byte(0xC4); u16be(19 + n);
+        bw.byte(static_cast<uint8_t>((cls << 4) | id));
+        for (int l = 1; l <= 16; ++l) bw.byte(bits[l]);
+        bw.bytes(vals, n);
+    };
+    dht(0, 0, kDcLumBits, kDcLumVals);
+    dht(1, 0, kAcLumBits, kAcLumVals);
+    if (ncomp == 3) {
+        dht(0, 1, kDcChrBits, kDcChrVals);
+        dht(1, 1, kAcChrBits, kAcChrVals);
+    }
+    // SOS
+    bw.byte(0xFF); bw.byte(0xDA); u16be(6 + 2 * ncomp);
+    bw.byte(static_cast<uint8_t>(ncomp));
+    for (int c = 0; c < ncomp; ++c) {
+        bw.byte(static_cast<uint8_t>(c + 1));
+        bw.byte(c == 0 ? 0x00 : 0x11);
+    }
+    bw.byte(0); bw.byte(63); bw.byte(0);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Planar YCbCr 4:4:4 → baseline JPEG q100. Returns bytes written, -1 on
+// overflow. Planes are u8 row-major h*w (full-range JFIF YCbCr).
+int64_t jpeg_encode_ycbcr444(const uint8_t* y, const uint8_t* cb,
+                             const uint8_t* cr, int64_t w, int64_t h,
+                             uint8_t* out, int64_t cap) {
+    init_tables();
+    BitWriter bw{out, cap};
+    emit_headers(bw, static_cast<int>(w), static_cast<int>(h), 3);
+    const int64_t bw_n = (w + 7) / 8, bh_n = (h + 7) / 8;
+    int dc[3] = {0, 0, 0};
+    const uint8_t* planes[3] = {y, cb, cr};
+    float fblock[64];
+    int32_t coeffs[64];
+    for (int64_t by = 0; by < bh_n; ++by) {
+        for (int64_t bx = 0; bx < bw_n; ++bx) {
+            for (int c = 0; c < 3; ++c) {
+                load_block(planes[c], w, h, bx, by, fblock);
+                fdct8x8(fblock, coeffs);
+                encode_block(bw, coeffs, dc[c],
+                             c == 0 ? gDcLum : gDcChr,
+                             c == 0 ? gAcLum : gAcChr);
+                if (!bw.ok) return -1;
+            }
+        }
+    }
+    bw.flush_bits();
+    bw.byte(0xFF); bw.byte(0xD9);  // EOI
+    return bw.ok ? bw.pos : -1;
+}
+
+// Grayscale u8 → baseline JPEG q100.
+int64_t jpeg_encode_gray(const uint8_t* y, int64_t w, int64_t h,
+                         uint8_t* out, int64_t cap) {
+    init_tables();
+    BitWriter bw{out, cap};
+    emit_headers(bw, static_cast<int>(w), static_cast<int>(h), 1);
+    const int64_t bw_n = (w + 7) / 8, bh_n = (h + 7) / 8;
+    int dc = 0;
+    float fblock[64];
+    int32_t coeffs[64];
+    for (int64_t by = 0; by < bh_n; ++by) {
+        for (int64_t bx = 0; bx < bw_n; ++bx) {
+            load_block(y, w, h, bx, by, fblock);
+            fdct8x8(fblock, coeffs);
+            encode_block(bw, coeffs, dc, gDcLum, gAcLum);
+            if (!bw.ok) return -1;
+        }
+    }
+    bw.flush_bits();
+    bw.byte(0xFF); bw.byte(0xD9);
+    return bw.ok ? bw.pos : -1;
+}
+
+}  // extern "C"

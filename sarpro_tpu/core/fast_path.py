@@ -20,7 +20,12 @@ from pathlib import Path
 
 import numpy as np
 
-from ..io.writers.jpeg import write_gray_jpeg, write_rgb_jpeg
+from ..io.writers.jpeg import (
+    preferred_synrgb_layout,
+    write_gray_jpeg,
+    write_rgb_jpeg,
+    write_synrgb_jpeg,
+)
 from ..io.writers.metadata import (
     create_jpeg_metadata_sidecar_with_overrides,
     create_jpeg_metadata_sidecar_with_overrides_and_extras,
@@ -177,16 +182,17 @@ def save_multiband_fast(
                 dn1, dn2, strategy=strategy, pad=pad))
             order = "rgb"
         else:
-            # device emits BGR (a free interleave reverse in-graph) so the
-            # cv2 writer takes it without any host-side channel swap
+            # device emits the writer's preferred layout: planar YCbCr for
+            # the native encoder (color conversion fused in-graph), else
+            # BGR for cv2 — no host-side channel work either way
+            order = preferred_synrgb_layout()
             rgb = np.asarray(fused.synrgb_pipeline(
                 dn1, dn2, strategy=strategy, target_size=target_size,
-                pad=pad, resample_alg=resample_alg, channel_order="bgr"))
-            order = "bgr"
+                pad=pad, resample_alg=resample_alg, channel_order=order))
 
         def _write():
-            write_rgb_jpeg(output, final_cols, final_rows, rgb,
-                           channel_order=order)
+            write_synrgb_jpeg(output, final_cols, final_rows, rgb,
+                              layout=order)
             if meta_snapshot is not None:
                 if gt_override is not None:
                     write_world_file(output, gt_override)

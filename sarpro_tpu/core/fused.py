@@ -482,9 +482,23 @@ def synrgb_pipeline(
         suppressed = strategy in (AutoscaleStrategy.TAMED, AutoscaleStrategy.CLAHE)
     out = (_synrgb_suppressed(b1, b2, row_axis, row_shards) if suppressed
            else _synrgb_default(b1, b2))
-    # "bgr" reverses the interleave on device (free inside the fused
-    # program) so the cv2 JPEG writer consumes it without a host swap
-    return out[..., ::-1] if channel_order == "bgr" else out
+    if channel_order == "bgr":
+        # free interleave reverse in-graph: the cv2 JPEG writer consumes it
+        # without a host swap
+        return out[..., ::-1]
+    if channel_order == "ycbcr":
+        # planar full-range JFIF YCbCr for the native JPEG encoder — the
+        # color conversion fuses into the program (free on device), so the
+        # host encoder pays neither color convert nor deinterleave
+        r = out[..., 0].astype(jnp.float32)
+        g = out[..., 1].astype(jnp.float32)
+        b = out[..., 2].astype(jnp.float32)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        planes = jnp.stack([y, cb, cr])
+        return jnp.clip(jnp.round(planes), 0.0, 255.0).astype(jnp.uint8)
+    return out
 
 
 @functools.partial(

@@ -2,9 +2,13 @@
 
 The reference hardcodes quality 100 (jpeg.rs:14,27) — deliberately preserved.
 4:4:4 subsampling matches the jpeg-encoder crate's behavior at quality >= 90
-(no chroma loss). Encoding prefers OpenCV's libjpeg-turbo binding (~15%
-faster on the 2048² headline frame, ~3.5x for grayscale) with a PIL
-fallback; both produce baseline q100 4:4:4 streams.
+(no chroma loss).
+
+Three encoders, fastest-first: the framework's own native encoder
+(native/jpegenc.cpp — the self-contained analogue of the reference's
+jpeg-encoder crate; takes PLANAR YCbCr the fused device program emits for
+free), OpenCV's libjpeg-turbo binding, then PIL. All produce baseline q100
+4:4:4 streams.
 """
 from __future__ import annotations
 
@@ -12,6 +16,8 @@ from pathlib import Path
 
 import numpy as np
 from PIL import Image
+
+from ... import _native
 
 try:
     import cv2
@@ -54,3 +60,26 @@ def write_rgb_jpeg(output, cols: int, rows: int, rgb_data,
     Image.fromarray(np.ascontiguousarray(rgb), mode="RGB").save(
         Path(output), format="JPEG", quality=JPEG_QUALITY, subsampling=0
     )
+
+
+def preferred_synrgb_layout() -> str:
+    """Fastest device→file layout for the fused fast path: planar YCbCr for
+    the native encoder (device does the color conversion in-graph), BGR for
+    cv2 otherwise."""
+    return "ycbcr" if _native.available() else "bgr"
+
+
+def write_synrgb_jpeg(output, cols: int, rows: int, arr,
+                      layout: str = "rgb") -> None:
+    """Write the fused program's synRGB output in whatever layout it was
+    produced ('ycbcr' planar (3,rows,cols), 'bgr' or 'rgb' interleaved)."""
+    if layout == "ycbcr":
+        planes = np.asarray(arr).reshape(3, rows, cols)
+        blob = _native.jpeg_encode_ycbcr444(
+            np.ascontiguousarray(planes[0]),
+            np.ascontiguousarray(planes[1]),
+            np.ascontiguousarray(planes[2]),
+        )
+        Path(output).write_bytes(blob)
+        return
+    write_rgb_jpeg(output, cols, rows, arr, channel_order=layout)

@@ -153,7 +153,7 @@ def test_pipelined_fast_write_error_is_counted(tmp_path, monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("synthetic encode failure")
 
-    monkeypatch.setattr(fp, "write_rgb_jpeg", boom)
+    monkeypatch.setattr(fp, "write_synrgb_jpeg", boom)
     params = ProcessingParams(
         format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
         autoscale=AutoscaleStrategy.CLAHE, size=32,

@@ -146,3 +146,85 @@ def test_box_reduce_chunked_src_row0(rng):
     _native.box_reduce_u16(np.ascontiguousarray(src[r0:r1]), part, o0, o1,
                            ys, yc, xs, xc, src_row0=r0)
     np.testing.assert_array_equal(part, full[o0:o1])
+
+
+@needs_native
+def test_native_jpeg_encoder_decodes_everywhere(rng, tmp_path):
+    """native/jpegenc.cpp (the self-contained analogue of the reference's
+    jpeg-encoder crate, jpeg.rs:6-30): q100 4:4:4 streams must decode in
+    both PIL and cv2 with near-lossless error, including odd sizes (edge
+    replication) and flat content (EOB/ZRL paths)."""
+    import io
+
+    for (h, w) in [(8, 8), (33, 47), (64, 64)]:
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        R, G, B = [rgb[..., i].astype(np.float64) for i in range(3)]
+        Y = np.clip(np.round(0.299 * R + 0.587 * G + 0.114 * B),
+                    0, 255).astype(np.uint8)
+        Cb = np.clip(np.round(-0.168735892 * R - 0.331264108 * G + 0.5 * B
+                              + 128), 0, 255).astype(np.uint8)
+        Cr = np.clip(np.round(0.5 * R - 0.418687589 * G - 0.081312411 * B
+                              + 128), 0, 255).astype(np.uint8)
+        blob = _native.jpeg_encode_ycbcr444(
+            *[np.ascontiguousarray(p) for p in (Y, Cb, Cr)])
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        dec = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        err = np.abs(dec.astype(int) - rgb.astype(int))
+        assert err.mean() < 2.5 and err.max() <= 30
+        import cv2
+
+        cvdec = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+        assert cvdec is not None and cvdec.shape == (h, w, 3)
+    # flat content exercises long zero runs + EOB
+    flat = np.full((64, 64), 128, np.uint8)
+    flat[10, 20] = 200
+    blob = _native.jpeg_encode_gray(flat)
+    dec = np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
+    assert np.abs(dec.astype(int) - flat.astype(int)).max() <= 3
+
+
+@needs_native
+def test_write_synrgb_jpeg_ycbcr_matches_bgr_pixels(rng, tmp_path):
+    """The planar-YCbCr native path and the BGR cv2 path must produce
+    visually identical files from the same fused output (decoded pixel
+    error within the q100 round-trip bound)."""
+    import jax.numpy as jnp
+
+    from sarpro_tpu.core import fused
+    from sarpro_tpu.io.writers.jpeg import write_synrgb_jpeg
+    from sarpro_tpu.types import AutoscaleStrategy
+
+    vv = rng.integers(0, 60000, (96, 80)).astype(np.uint16)
+    vh = rng.integers(0, 30000, (96, 80)).astype(np.uint16)
+    kw = dict(strategy=AutoscaleStrategy.CLAHE, target_size=64, pad=True)
+    ycbcr = np.asarray(fused.synrgb_pipeline(vv, vh, channel_order="ycbcr", **kw))
+    assert ycbcr.shape == (3, 64, 64)
+    bgr = np.asarray(fused.synrgb_pipeline(vv, vh, channel_order="bgr", **kw))
+    write_synrgb_jpeg(tmp_path / "y.jpg", 64, 64, ycbcr, layout="ycbcr")
+    write_synrgb_jpeg(tmp_path / "b.jpg", 64, 64, bgr, layout="bgr")
+    a = np.asarray(Image.open(tmp_path / "y.jpg").convert("RGB")).astype(int)
+    b = np.asarray(Image.open(tmp_path / "b.jpg").convert("RGB")).astype(int)
+    assert np.abs(a - b).mean() < 1.5
+
+
+@needs_native
+def test_fused_ycbcr_matches_host_conversion(rng):
+    """Device-side JFIF color conversion == host f64 conversion of the RGB
+    output (within 1 for float-order ties)."""
+    import jax.numpy as jnp
+
+    from sarpro_tpu.core import fused
+    from sarpro_tpu.types import AutoscaleStrategy
+
+    vv = rng.integers(0, 60000, (64, 48)).astype(np.uint16)
+    vh = rng.integers(0, 30000, (64, 48)).astype(np.uint16)
+    kw = dict(strategy=AutoscaleStrategy.TAMED, target_size=None)
+    rgb = np.asarray(fused.synrgb_pipeline(vv, vh, **kw)).astype(np.float64)
+    ycbcr = np.asarray(fused.synrgb_pipeline(vv, vh, channel_order="ycbcr", **kw))
+    R, G, B = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    want = np.stack([
+        np.round(0.299 * R + 0.587 * G + 0.114 * B),
+        np.round(-0.168735892 * R - 0.331264108 * G + 0.5 * B + 128),
+        np.round(0.5 * R - 0.418687589 * G - 0.081312411 * B + 128),
+    ])
+    assert np.abs(ycbcr.astype(np.int64) - np.clip(want, 0, 255)).max() <= 1
