@@ -17,9 +17,12 @@
 //
 // Exposed as plain C ABI via ctypes (like tiffcodec.cpp).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <thread>
+#include <vector>
 
 #if defined(__AVX2__)
 #include <immintrin.h>
@@ -342,7 +345,8 @@ static inline void load_block(const uint8_t* plane, int64_t w, int64_t h,
     }
 }
 
-static void emit_headers(BitWriter& bw, int w, int h, int ncomp) {
+static void emit_headers(BitWriter& bw, int w, int h, int ncomp,
+                         int restart_interval) {
     auto u16be = [&](int v) {
         bw.byte(static_cast<uint8_t>(v >> 8));
         bw.byte(static_cast<uint8_t>(v & 0xFF));
@@ -381,6 +385,10 @@ static void emit_headers(BitWriter& bw, int w, int h, int ncomp) {
         dht(0, 1, kDcChrBits, kDcChrVals);
         dht(1, 1, kAcChrBits, kAcChrVals);
     }
+    if (restart_interval > 0) {  // DRI
+        bw.byte(0xFF); bw.byte(0xDD); u16be(4);
+        u16be(restart_interval);
+    }
     // SOS
     bw.byte(0xFF); bw.byte(0xDA); u16be(6 + 2 * ncomp);
     bw.byte(static_cast<uint8_t>(ncomp));
@@ -391,61 +399,115 @@ static void emit_headers(BitWriter& bw, int w, int h, int ncomp) {
     bw.byte(0); bw.byte(63); bw.byte(0);
 }
 
+// Encode MCU rows [by0, by1) of all components into `bw` (DC predictors
+// reset at band start — JPEG restart-interval semantics), byte-padded.
+static bool encode_band(const uint8_t* const planes[3], int ncomp,
+                        int64_t w, int64_t h, int64_t by0, int64_t by1,
+                        BitWriter& bw) {
+    const int64_t bw_n = (w + 7) / 8;
+    int dc[3] = {0, 0, 0};
+    float fblock[64];
+    int32_t coeffs[64];
+    for (int64_t by = by0; by < by1; ++by) {
+        for (int64_t bx = 0; bx < bw_n; ++bx) {
+            for (int c = 0; c < ncomp; ++c) {
+                load_block(planes[c], w, h, bx, by, fblock);
+                fdct8x8(fblock, coeffs);
+                encode_block(bw, coeffs, dc[c],
+                             c == 0 ? gDcLum : gDcChr,
+                             c == 0 ? gAcLum : gAcChr);
+                if (!bw.ok) return false;
+            }
+        }
+    }
+    bw.flush_bits();
+    return bw.ok;
+}
+
+// Shared driver. n_threads <= 1 emits the classic single-scan stream (no
+// DRI). n_threads > 1 splits MCU rows into bands encoded in parallel and
+// joined with restart markers (DRI = MCUs per band) — JPEG's only legal
+// way to parallelize baseline entropy coding. Single-core hosts see no
+// change; multi-core production hosts scale the dominant q100 entropy
+// stage nearly linearly.
+static int64_t encode_multi(const uint8_t* const planes[3], int ncomp,
+                            int64_t w, int64_t h, uint8_t* out, int64_t cap,
+                            int n_threads) {
+    init_tables();
+    const int64_t bw_n = (w + 7) / 8, bh_n = (h + 7) / 8;
+    int64_t bands = n_threads < 1 ? 1 : n_threads;
+    if (bands > bh_n) bands = bh_n;
+    int64_t band_rows = (bh_n + bands - 1) / bands;
+    // DRI is u16 MCUs: shrink bands if a band would exceed it
+    if (bands > 1 && band_rows * bw_n > 65535) {
+        band_rows = 65535 / bw_n;
+        if (band_rows < 1) bands = 1;  // absurdly wide image: single scan
+        else bands = (bh_n + band_rows - 1) / band_rows;
+    }
+    if (bands <= 1) {
+        BitWriter bw{out, cap};
+        emit_headers(bw, static_cast<int>(w), static_cast<int>(h), ncomp, 0);
+        if (!encode_band(planes, ncomp, w, h, 0, bh_n, bw)) return -1;
+        bw.byte(0xFF); bw.byte(0xD9);  // EOI
+        return bw.ok ? bw.pos : -1;
+    }
+    const int restart = static_cast<int>(band_rows * bw_n);
+    std::vector<std::vector<uint8_t>> bufs(bands);
+    std::vector<int64_t> lens(bands, -1);
+    std::atomic<int64_t> cursor{0};
+    auto worker = [&]() {
+        for (;;) {
+            const int64_t b = cursor.fetch_add(1);
+            if (b >= bands) return;
+            const int64_t by0 = b * band_rows;
+            const int64_t by1 = by0 + band_rows < bh_n ? by0 + band_rows : bh_n;
+            // worst case ~27 bits/coeff + stuffing: 5 bytes/px/comp is safe
+            bufs[b].resize((by1 - by0) * 8 * w * ncomp * 5 + (1 << 16));
+            BitWriter bw{bufs[b].data(), static_cast<int64_t>(bufs[b].size())};
+            lens[b] = encode_band(planes, ncomp, w, h, by0, by1, bw)
+                          ? bw.pos : -1;
+        }
+    };
+    {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < n_threads && t < bands; ++t)
+            pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+    BitWriter bw{out, cap};
+    emit_headers(bw, static_cast<int>(w), static_cast<int>(h), ncomp, restart);
+    for (int64_t b = 0; b < bands; ++b) {
+        if (lens[b] < 0) return -1;
+        bw.bytes(bufs[b].data(), lens[b]);
+        if (b + 1 < bands) {  // RSTm between intervals
+            bw.byte(0xFF);
+            bw.byte(static_cast<uint8_t>(0xD0 + (b & 7)));
+        }
+        if (!bw.ok) return -1;
+    }
+    bw.byte(0xFF); bw.byte(0xD9);  // EOI
+    return bw.ok ? bw.pos : -1;
+}
+
 }  // namespace
 
 extern "C" {
 
 // Planar YCbCr 4:4:4 → baseline JPEG q100. Returns bytes written, -1 on
 // overflow. Planes are u8 row-major h*w (full-range JFIF YCbCr).
+// n_threads > 1 parallelizes entropy coding via restart intervals.
 int64_t jpeg_encode_ycbcr444(const uint8_t* y, const uint8_t* cb,
                              const uint8_t* cr, int64_t w, int64_t h,
-                             uint8_t* out, int64_t cap) {
-    init_tables();
-    BitWriter bw{out, cap};
-    emit_headers(bw, static_cast<int>(w), static_cast<int>(h), 3);
-    const int64_t bw_n = (w + 7) / 8, bh_n = (h + 7) / 8;
-    int dc[3] = {0, 0, 0};
+                             uint8_t* out, int64_t cap, int32_t n_threads) {
     const uint8_t* planes[3] = {y, cb, cr};
-    float fblock[64];
-    int32_t coeffs[64];
-    for (int64_t by = 0; by < bh_n; ++by) {
-        for (int64_t bx = 0; bx < bw_n; ++bx) {
-            for (int c = 0; c < 3; ++c) {
-                load_block(planes[c], w, h, bx, by, fblock);
-                fdct8x8(fblock, coeffs);
-                encode_block(bw, coeffs, dc[c],
-                             c == 0 ? gDcLum : gDcChr,
-                             c == 0 ? gAcLum : gAcChr);
-                if (!bw.ok) return -1;
-            }
-        }
-    }
-    bw.flush_bits();
-    bw.byte(0xFF); bw.byte(0xD9);  // EOI
-    return bw.ok ? bw.pos : -1;
+    return encode_multi(planes, 3, w, h, out, cap, n_threads);
 }
 
 // Grayscale u8 → baseline JPEG q100.
 int64_t jpeg_encode_gray(const uint8_t* y, int64_t w, int64_t h,
-                         uint8_t* out, int64_t cap) {
-    init_tables();
-    BitWriter bw{out, cap};
-    emit_headers(bw, static_cast<int>(w), static_cast<int>(h), 1);
-    const int64_t bw_n = (w + 7) / 8, bh_n = (h + 7) / 8;
-    int dc = 0;
-    float fblock[64];
-    int32_t coeffs[64];
-    for (int64_t by = 0; by < bh_n; ++by) {
-        for (int64_t bx = 0; bx < bw_n; ++bx) {
-            load_block(y, w, h, bx, by, fblock);
-            fdct8x8(fblock, coeffs);
-            encode_block(bw, coeffs, dc, gDcLum, gAcLum);
-            if (!bw.ok) return -1;
-        }
-    }
-    bw.flush_bits();
-    bw.byte(0xFF); bw.byte(0xD9);
-    return bw.ok ? bw.pos : -1;
+                         uint8_t* out, int64_t cap, int32_t n_threads) {
+    const uint8_t* planes[3] = {y, nullptr, nullptr};
+    return encode_multi(planes, 1, w, h, out, cap, n_threads);
 }
 
 }  // extern "C"

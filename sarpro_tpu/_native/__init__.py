@@ -53,9 +53,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.stream_sum_u16.restype = ctypes.c_uint64
     lib.stream_sum_u16.argtypes = [u16p, i64]
     lib.jpeg_encode_ycbcr444.restype = i64
-    lib.jpeg_encode_ycbcr444.argtypes = [u8p, u8p, u8p, i64, i64, u8p, i64]
+    lib.jpeg_encode_ycbcr444.argtypes = [u8p, u8p, u8p, i64, i64, u8p, i64,
+                                         ctypes.c_int32]
     lib.jpeg_encode_gray.restype = i64
-    lib.jpeg_encode_gray.argtypes = [u8p, i64, i64, u8p, i64]
+    lib.jpeg_encode_gray.argtypes = [u8p, i64, i64, u8p, i64, ctypes.c_int32]
     _LIB = lib
     return _LIB
 
@@ -144,29 +145,37 @@ def stream_sum_u16(src: np.ndarray) -> int:
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), src.size))
 
 
-def jpeg_encode_ycbcr444(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> bytes:
-    """Planar full-range YCbCr u8 → baseline JPEG q100 4:4:4 bytes."""
+def jpeg_encode_ycbcr444(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                         n_threads: int = 0) -> bytes:
+    """Planar full-range YCbCr u8 → baseline JPEG q100 4:4:4 bytes.
+
+    n_threads > 1 parallelizes entropy coding via JPEG restart intervals
+    (bands of MCU rows joined with RST markers); 0 = one band per CPU."""
     lib = _load()
     h, w = y.shape
     for p in (y, cb, cr):
         assert p.dtype == np.uint8 and p.flags.c_contiguous and p.shape == (h, w)
-    cap = w * h * 4 + (1 << 16)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    cap = w * h * 5 + (1 << 16)
     out = np.empty(cap, np.uint8)
     n = lib.jpeg_encode_ycbcr444(_u8p(y), _u8p(cb), _u8p(cr), w, h,
-                                 _u8p(out), cap)
+                                 _u8p(out), cap, n_threads)
     if n < 0:
         raise ValueError("jpeg encode overflow")
     return out[:n].tobytes()
 
 
-def jpeg_encode_gray(y: np.ndarray) -> bytes:
+def jpeg_encode_gray(y: np.ndarray, n_threads: int = 0) -> bytes:
     """u8 plane → baseline grayscale JPEG q100 bytes."""
     lib = _load()
     h, w = y.shape
     assert y.dtype == np.uint8 and y.flags.c_contiguous
-    cap = w * h * 4 + (1 << 16)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    cap = w * h * 5 + (1 << 16)
     out = np.empty(cap, np.uint8)
-    n = lib.jpeg_encode_gray(_u8p(y), w, h, _u8p(out), cap)
+    n = lib.jpeg_encode_gray(_u8p(y), w, h, _u8p(out), cap, n_threads)
     if n < 0:
         raise ValueError("jpeg encode overflow")
     return out[:n].tobytes()

@@ -228,3 +228,29 @@ def test_fused_ycbcr_matches_host_conversion(rng):
         np.round(0.5 * R - 0.418687589 * G - 0.081312411 * B + 128),
     ])
     assert np.abs(ycbcr.astype(np.int64) - np.clip(want, 0, 255)).max() <= 1
+
+
+@needs_native
+def test_jpeg_multithread_restart_intervals(rng):
+    """n_threads > 1 splits MCU rows into restart-interval bands (DRI +
+    RST markers) encoded in parallel; decoded pixels must be identical to
+    the single-scan stream for every thread count."""
+    import io
+
+    h, w = 120, 88
+    Y, Cb, Cr = [np.ascontiguousarray(
+        rng.integers(0, 256, (h, w)).astype(np.uint8)) for _ in range(3)]
+    ref = _native.jpeg_encode_ycbcr444(Y, Cb, Cr, n_threads=1)
+    assert b"\xff\xdd" not in ref[:700]  # single scan: no DRI segment
+    d_ref = np.asarray(Image.open(io.BytesIO(ref)).convert("RGB"))
+    for nt in (2, 4, 8):
+        blob = _native.jpeg_encode_ycbcr444(Y, Cb, Cr, n_threads=nt)
+        assert b"\xff\xdd" in blob[:700]  # DRI present
+        dec = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        np.testing.assert_array_equal(dec, d_ref)
+    g = np.ascontiguousarray(rng.integers(0, 256, (h, w)).astype(np.uint8))
+    g1 = _native.jpeg_encode_gray(g, n_threads=1)
+    g4 = _native.jpeg_encode_gray(g, n_threads=4)
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(io.BytesIO(g1)).convert("L")),
+        np.asarray(Image.open(io.BytesIO(g4)).convert("L")))
