@@ -53,7 +53,7 @@ def ensure_scenes(n: int, side: int) -> pathlib.Path:
     return root
 
 
-def run(n_scenes: int = 6, side: int = 5000) -> dict:
+def run(n_scenes: int = 6, side: int = 5000, out_size: int = 1024) -> dict:
     from sarpro_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -65,7 +65,7 @@ def run(n_scenes: int = 6, side: int = 5000) -> dict:
     indir = ensure_scenes(n_scenes, side)
     params = ProcessingParams(
         format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
-        autoscale=AutoscaleStrategy.CLAHE, size=1024,
+        autoscale=AutoscaleStrategy.CLAHE, size=out_size,
     )
 
     arms = (
@@ -110,7 +110,7 @@ def run(n_scenes: int = 6, side: int = 5000) -> dict:
             "errors": report_by[name].errors,
         }
     results["config"] = (f"{n_scenes} scenes, {side}x{side} dual-pol u16 -> "
-                        f"1024 CLAHE synRGB JPEG (--fast), interleaved "
+                        f"{out_size} CLAHE synRGB JPEG (--fast), interleaved "
                         f"median of {reps}")
     results["speedup"] = round(
         results["pipelined_prefetch2"]["scenes_per_s"]
@@ -121,7 +121,8 @@ def run(n_scenes: int = 6, side: int = 5000) -> dict:
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     side = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
-    res = run(n, side)
+    out_size = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    res = run(n, side, out_size)
     print(json.dumps(res, indent=2))
     (REPO / "benchmarks" / "batch_results.json").write_text(
         json.dumps(res, indent=2))

@@ -32,8 +32,13 @@ class _SceneLoad:
 
 def _load_scene(path: Path, params: ProcessingParams) -> _SceneLoad:
     from ..api import _pol_to_reader_hint, _resolve_target_args, scene_skip_reason
-    from ..io.safe import SafeReader
+    from ..io.safe import DEFER_DEVICE_PUT, SafeReader
 
+    # loader threads do host-only work (SAFE parse, strip reads, native box
+    # reduce); device transfers happen on the consumer thread at dispatch —
+    # concurrent device_puts from loaders head-of-line-block the consumer's
+    # fetches on serial transports
+    DEFER_DEVICE_PUT.set(True)
     try:
         try:
             reason = scene_skip_reason(path, params)
