@@ -504,6 +504,9 @@ _TM_GRIDS = {
                 ellps="grs80", datum=None, name="ETRS89 / UTM zone 33N"),
     25835: dict(lat0=0.0, lon0=27.0, k0=0.9996, fe=500000.0, fn=0.0,
                 ellps="grs80", datum=None, name="ETRS89 / UTM zone 35N"),
+    2193: dict(lat0=0.0, lon0=173.0, k0=0.9996, fe=1600000.0, fn=10000000.0,
+               ellps="grs80", datum=None,
+               name="NZGD2000 / New Zealand Transverse Mercator 2000"),
 }
 _LCC_GRIDS = {
     # lat1 == lat2 (or lat2 absent) selects the 1SP method (EPSG 9801)
@@ -516,12 +519,18 @@ _LCC_GRIDS = {
     24200: dict(lat0=18.0, lon0=-77.0, lat1=18.0, lat2=18.0, k0=1.0,
                 fe=250000.0, fn=150000.0, ellps="clrk66", datum="jad69",
                 name="JAD69 / Jamaica National Grid"),
+    3978: dict(lat0=49.0, lon0=-95.0, lat1=49.0, lat2=77.0, k0=1.0,
+               fe=0.0, fn=0.0, ellps="grs80", datum=None,
+               name="NAD83 / Canada Atlas Lambert"),
 }
 _ALBERS_GRIDS = {
     5070: dict(lat0=23.0, lon0=-96.0, lat1=29.5, lat2=45.5, fe=0.0, fn=0.0,
                ellps="grs80", datum=None, name="NAD83 / Conus Albers"),
     3577: dict(lat0=0.0, lon0=132.0, lat1=-18.0, lat2=-36.0, fe=0.0, fn=0.0,
                ellps="grs80", datum=None, name="GDA94 / Australian Albers"),
+    3310: dict(lat0=0.0, lon0=-120.0, lat1=34.0, lat2=40.5, fe=0.0,
+               fn=-4000000.0, ellps="grs80", datum=None,
+               name="NAD83 / California Albers"),
 }
 
 
@@ -753,6 +762,11 @@ _WKT_GEOGCS_BY_DATUM = {
         f'{_WKT_SPHEROID_GRS80},AUTHORITY["EPSG","6269"]],{_WKT_ANGULAR},'
         f'AUTHORITY["EPSG","4269"]]'
     ),
+    "nzgd2000": (
+        f'GEOGCS["NZGD2000",DATUM["New_Zealand_Geodetic_Datum_2000",'
+        f'{_WKT_SPHEROID_GRS80},AUTHORITY["EPSG","6167"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4167"]]'
+    ),
     "gda94": (
         f'GEOGCS["GDA94",DATUM["Geocentric_Datum_of_Australia_1994",'
         f'{_WKT_SPHEROID_GRS80},AUTHORITY["EPSG","6283"]],{_WKT_ANGULAR},'
@@ -777,7 +791,8 @@ _WKT_GEOGCS_BY_DATUM = {
 _GRID_BASE_DATUM = {
     27700: "osgb36", 3067: "etrs89", 25832: "etrs89", 25833: "etrs89",
     25835: "etrs89", 2154: "rgf93", 3347: "nad83", 24200: "jad69",
-    5070: "nad83", 3577: "gda94",
+    5070: "nad83", 3577: "gda94", 2193: "nzgd2000", 3978: "nad83",
+    3310: "nad83",
 }
 _WKT_UNIT_AXES = ('UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
                   'AXIS["Easting",EAST],AXIS["Northing",NORTH]')
