@@ -145,7 +145,7 @@ sys.path.insert(0, {repo!r})
 from sarpro_tpu.io.writers.jpeg import write_synrgb_jpeg
 arr = np.load({npy!r})
 best = None
-for _ in range(7):
+for _ in range(12):
     t0 = time.perf_counter()
     write_synrgb_jpeg({jpg!r}, 2048, 2048, arr, layout={layout!r})
     dt = (time.perf_counter() - t0) * 1000.0
@@ -158,9 +158,11 @@ def _run_host_stage(snippet: str) -> dict:
     """Run a host stage in a fresh python with no JAX runtime: the bench
     process's tunnel threads share this host's single core and inflate
     min-of-reps by 30-50%; a production host runs these stages on an
-    unloaded core. The stage code is the real library path."""
+    unloaded core. The stage code is the real library path. A short settle
+    pause lets the parent's RPC threads drain before timing starts."""
     import subprocess
 
+    time.sleep(2.0)
     out = subprocess.run([sys.executable, "-c", snippet],
                          capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
