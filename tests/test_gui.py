@@ -180,3 +180,14 @@ def test_forbidden_host_header_rejected(server):
         assert exc.value.code == 403
     # legitimate localhost requests still pass
     assert "entries" in _get(server, "/api/listdir")
+
+
+def test_fast_mode_toggle_and_cli_generation(server):
+    """The GUI's fast-mode toggle reaches the worker snapshot and the CLI
+    generator (parity extension: the CLI's --fast)."""
+    s = _post(server, "/api/state", {"fast": True, "mode": "batch",
+                                     "input_dir": "/tmp/in",
+                                     "output_dir": "/tmp/out"})
+    assert s["fast"] is True
+    cmd = _get(server, "/api/cli")["command"]
+    assert "--fast" in cmd and "--prefetch" in cmd
