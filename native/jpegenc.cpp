@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -86,7 +87,8 @@ struct HuffTable {
 
 static HuffTable gDcLum, gDcChr, gAcLum, gAcChr;
 static float gDctT[8][8];  // orthonormal DCT-II basis
-static bool gInit = false;
+static std::once_flag gInitOnce;  // ctypes releases the GIL: first encodes
+                                  // can race from several Python threads
 
 static void build_table(const uint8_t* bits, const uint8_t* vals, int nvals,
                         HuffTable* t) {
@@ -105,8 +107,7 @@ static void build_table(const uint8_t* bits, const uint8_t* vals, int nvals,
     (void)nvals;
 }
 
-static void init_tables() {
-    if (gInit) return;
+static void init_tables_impl() {
     build_table(kDcLumBits, kDcLumVals, 12, &gDcLum);
     build_table(kDcChrBits, kDcChrVals, 12, &gDcChr);
     build_table(kAcLumBits, kAcLumVals, 162, &gAcLum);
@@ -120,7 +121,10 @@ static void init_tables() {
     }
     for (int kk = 0; kk < 64; ++kk)
         kZigzagT[kk] = kZigzagRC[kk][1] * 8 + kZigzagRC[kk][0];
-    gInit = true;
+}
+
+static void init_tables() {
+    std::call_once(gInitOnce, init_tables_impl);
 }
 
 struct BitWriter {

@@ -157,7 +157,9 @@ def jpeg_encode_ycbcr444(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         assert p.dtype == np.uint8 and p.flags.c_contiguous and p.shape == (h, w)
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 16)
-    cap = w * h * 5 + (1 << 16)
+    # worst case ~27 bits/coeff + stuffing per COMPONENT (matches the C
+    # band-buffer sizing): 5 bytes/px/component
+    cap = w * h * 3 * 5 + (1 << 16)
     out = np.empty(cap, np.uint8)
     n = lib.jpeg_encode_ycbcr444(_u8p(y), _u8p(cb), _u8p(cr), w, h,
                                  _u8p(out), cap, n_threads)

@@ -67,7 +67,11 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
     # 127.0.0.1 and drive this API from the victim's browser; the browser
     # still sends the attacker hostname in Host, so requiring a local (or
     # explicitly bound) Host header blocks it for every endpoint, including
-    # the filesystem-listing /api/listdir.
+    # the filesystem-listing /api/listdir. An explicit wildcard bind
+    # (--host 0.0.0.0/::) is the operator opting into remote access — the
+    # browser then sends the machine's real address, which we cannot
+    # enumerate, so the check is skipped for wildcard binds.
+    wildcard_bind = host in ("0.0.0.0", "::", "")
     allowed_hosts = {"localhost", "127.0.0.1", "[::1]", host.lower()}
 
     class Handler(BaseHTTPRequestHandler):
@@ -75,6 +79,8 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
             pass
 
         def _host_ok(self) -> bool:
+            if wildcard_bind:
+                return True
             raw = (self.headers.get("Host") or "").strip().lower()
             if raw.startswith("["):  # [v6]:port
                 name = raw.split("]")[0] + "]"

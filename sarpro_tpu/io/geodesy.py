@@ -97,40 +97,15 @@ UPS_FN = 2000000.0
 
 def tm_forward(lon_deg, lat_deg, lon0_deg: float):
     """Transverse Mercator forward (no scale/false offsets): returns (x, y)
-    in meters relative to the central meridian. Array-friendly f64."""
-    lon = np.radians(np.asarray(lon_deg, np.float64) - lon0_deg)
-    lat = np.radians(np.asarray(lat_deg, np.float64))
-    s = np.sin(lat)
-    conf = np.arctanh(s) - _E * np.arctanh(_E * s)
-    t = np.sinh(conf)
-    xi = np.arctan2(t, np.cos(lon))
-    eta = np.arcsinh(np.sin(lon) / np.sqrt(t * t + np.cos(lon) ** 2))
-    xi_s = xi.copy()
-    eta_s = eta.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        xi_s = xi_s + _ALPHA[j] * np.sin(k * xi) * np.cosh(k * eta)
-        eta_s = eta_s + _ALPHA[j] * np.cos(k * xi) * np.sinh(k * eta)
-    return _A_REC * eta_s, _A_REC * xi_s
+    in meters relative to the central meridian. Array-friendly f64.
+    Delegates to the generic-ellipsoid Krüger series on WGS84 — one copy of
+    the order-6 series math."""
+    return tm_forward_e(lon_deg, lat_deg, lon0_deg, "wgs84")
 
 
 def tm_inverse(x, y, lon0_deg: float):
     """Transverse Mercator inverse: meters (relative) → (lon, lat) degrees."""
-    eta = np.asarray(x, np.float64) / _A_REC
-    xi = np.asarray(y, np.float64) / _A_REC
-    xi_p = xi.copy()
-    eta_p = eta.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        xi_p = xi_p - _BETA[j] * np.sin(k * xi) * np.cosh(k * eta)
-        eta_p = eta_p - _BETA[j] * np.cos(k * xi) * np.sinh(k * eta)
-    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
-    lat = chi.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        lat = lat + _DELTA[j] * np.sin(k * chi)
-    lon = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    return np.degrees(lon) + lon0_deg, np.degrees(lat)
+    return tm_inverse_e(x, y, lon0_deg, "wgs84")
 
 
 def utm_forward(lon_deg, lat_deg, zone: int, south: bool):
@@ -422,10 +397,10 @@ def tm_inverse_e(x, y, lon0_deg: float, ellps: str = "wgs84"):
 # --- Helmert 7-parameter datum shifts (WGS84 ↔ local geodetic) -------------
 # Parameters are the PROJ-default transformations for the grids below (the
 # same ones cs2cs/gdalwarp pick when no NTv2 grid file is installed):
-#   osgb36: inverse of "OSGB36 to WGS 84 (6)" (position vector)
-#   jad69:  inverse of "JAD69 to WGS 84 (3)"  (coordinate frame)
-# Each entry states the LOCAL→WGS84 transform; WGS84→local applies the exact
-# inverse.
+#   osgb36: "OSGB36 to WGS 84 (6)" (position vector), stored as published
+#   jad69:  "JAD69 to WGS 84 (3)"  (coordinate frame), stored as published
+# Each entry states the LOCAL→WGS84 transform verbatim; WGS84→local applies
+# the exact inverse of it (do NOT flip parameter signs here).
 _DATUM_TO_WGS84 = {
     "osgb36": dict(t=(446.448, -125.157, 542.06), r=(0.15, 0.247, 0.842),
                    s=-20.489, convention="position_vector", ellps="airy"),
@@ -727,7 +702,9 @@ SUPPORTED_CRS_FAMILIES = (
     "EPSG:2154 (Lambert-93), EPSG:3347 (StatCan Lambert), "
     "EPSG:24200 (Jamaica LCC 1SP), EPSG:5070 (CONUS Albers), "
     "EPSG:3577 (Australian Albers), EPSG:27700 (British National Grid), "
-    "EPSG:3067 (TM35FIN), EPSG:25832/25833/25835 (ETRS89 UTM)"
+    "EPSG:3067 (TM35FIN), EPSG:2193 (NZTM 2000), EPSG:3978 (Canada Atlas "
+    "Lambert), EPSG:3310 (California Albers), "
+    "EPSG:25832/25833/25835 (ETRS89 UTM)"
 )
 
 
@@ -781,9 +758,13 @@ _WKT_GEOGCS_BY_DATUM = {
         f'AUTHORITY["EPSG","4277"]]'
     ),
     "jad69": (
+        # TOWGS84 uses the position-vector convention: the EPSG (3)
+        # transform is coordinate-frame, so its rotations flip sign here
         f'GEOGCS["JAD69",DATUM["Jamaica_1969",'
         f'SPHEROID["Clarke 1866",6378206.4,294.978698213898,'
-        f'AUTHORITY["EPSG","7008"]],AUTHORITY["EPSG","6242"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","7008"]],'
+        f'TOWGS84[-33.722,153.789,94.959,-8.581,-4.478,4.54,8.95],'
+        f'AUTHORITY["EPSG","6242"]],{_WKT_ANGULAR},'
         f'AUTHORITY["EPSG","4242"]]'
     ),
 }

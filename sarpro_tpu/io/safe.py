@@ -568,7 +568,12 @@ class SafeReader:
     # -- loading --------------------------------------------------------------
     @staticmethod
     def _load_polarization_data(file_path: Path, metadata: SafeMetadata):
-        """Full-resolution load (reference: sentinel1.rs:885-911)."""
+        """Full-resolution load (reference: sentinel1.rs:885-911).
+
+        Honors DEFER_DEVICE_PUT (host numpy out) like the decimated path —
+        batch loader threads must not enqueue device transfers. The warp
+        branch is the one exception: the warp itself computes on device, so
+        warped batch scenes inherently dispatch from the loader."""
         import jax.numpy as jnp
 
         logger.info("Loading underlying data from: %s", file_path)
@@ -579,6 +584,8 @@ class SafeReader:
         arr = reader.read_band(1)
         metadata.lines, metadata.samples = arr.shape
         reader.close()
+        if DEFER_DEVICE_PUT.get():
+            return arr
         return jnp.asarray(arr)
 
     @classmethod
@@ -606,7 +613,7 @@ class SafeReader:
                 arr = reader.read_band(1)
                 metadata.lines, metadata.samples = arr.shape
                 reader.close()
-                return jnp.asarray(arr)
+                return arr if DEFER_DEVICE_PUT.get() else jnp.asarray(arr)
             result = warp_mod.warp_to_crs(
                 reader, target_crs,
                 resample_alg=resample_alg or "bilinear",
