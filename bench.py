@@ -71,10 +71,20 @@ def run_tpu_validate() -> dict:
     sha = _head_sha()
     if results_path.exists():
         data = json.loads(results_path.read_text())
-        if (data.get("commit") == sha != "unknown"
-                and data.get("failed") == 0):
-            return {"rc": 0, "passed": data["passed"], "failed": 0,
-                    "reused_artifact_from_commit": sha[:12]}
+        prev = data.get("commit")
+        if prev and sha != "unknown" and data.get("failed") == 0:
+            try:
+                changed = subprocess.run(
+                    ["git", "diff", "--name-only", prev, sha, "--",
+                     "sarpro_tpu/ops", "sarpro_tpu/core", "native"],
+                    cwd=REPO, capture_output=True, text=True, check=True,
+                ).stdout.strip()
+            except Exception:  # noqa: BLE001 — unknown commit etc.
+                changed = "unknown"
+            if changed == "":
+                return {"rc": 0, "passed": data["passed"], "failed": 0,
+                        "reused_artifact_from_commit": prev[:12],
+                        "kernel_paths_unchanged_since": prev[:12]}
     rc = subprocess.call([sys.executable,
                           str(REPO / "benchmarks" / "tpu_validate.py")],
                          stdout=sys.stderr)
