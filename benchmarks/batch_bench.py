@@ -72,7 +72,9 @@ def run(n_scenes: int = 6, side: int = 5000, out_size: int = 1024) -> dict:
         ("serial", lambda out: api.process_directory_to_path(
             indir, out, params, fast=True)),
         ("pipelined_prefetch2", lambda out: process_directory_pipelined(
-            indir, out, params, prefetch=2, fast=True)),
+            indir, out, params, prefetch=2, fast=True, device_batch=1)),
+        ("pipelined_devbatch3", lambda out: process_directory_pipelined(
+            indir, out, params, prefetch=3, fast=True, device_batch=3)),
     )
 
     def run_arm(name, fn):
@@ -114,6 +116,9 @@ def run(n_scenes: int = 6, side: int = 5000, out_size: int = 1024) -> dict:
                         f"median of {reps}")
     results["speedup"] = round(
         results["pipelined_prefetch2"]["scenes_per_s"]
+        / results["serial"]["scenes_per_s"], 2)
+    results["speedup_devbatch"] = round(
+        results["pipelined_devbatch3"]["scenes_per_s"]
         / results["serial"]["scenes_per_s"], 2)
     return results
 

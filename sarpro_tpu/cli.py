@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefetch", type=int, default=0, metavar="N",
                    help="Batch mode: load N scenes ahead while the device "
                         "processes (0 = serial, reference-parity)")
+    p.add_argument("--device-batch", type=int, default=4, metavar="K",
+                   help="Batch+fast mode: stack K same-shape multiband-JPEG "
+                        "scenes into one vmapped device dispatch (1 = "
+                        "per-scene)")
     p.add_argument("--fast", action="store_true",
                    help="Fused single-program pipeline (benchmark path): one "
                         "device dispatch per band; autoscale windows within "
@@ -137,6 +141,7 @@ def run(argv=None) -> int:
                     args.input_dir, args.output_dir, params,
                     continue_on_error=True, prefetch=args.prefetch,
                     resume=args.resume, fast=args.fast,
+                    device_batch=args.device_batch,
                 )
             else:
                 report = api.process_directory_to_path(

@@ -208,3 +208,69 @@ def save_multiband_fast(
         return write_pool.submit(_write)
     _write()
     return None
+
+
+def save_multiband_batch_fast(
+    items, target_size, pad: bool = False, strategy=None,
+    operation: ProcessingOperation = ProcessingOperation.MULTIBAND_VV_VH,
+    syn_mode: SyntheticRgbMode = SyntheticRgbMode.DEFAULT,
+    resample_alg=None, write_pool=None,
+):
+    """Device-batched synRGB JPEG for same-shape scenes: `items` is a list
+    of (dn1, dn2, output_path, metadata). All scenes run as ONE vmapped
+    device program (parallel/sharded.synrgb_batch on the local mesh) —
+    one transfer + one dispatch + one fetch for the whole bucket, which
+    amortizes per-scene RPC/dispatch cost in the batch driver. Returns the
+    list of deferred write Futures (or None entries if written inline).
+
+    Caller guarantees: JPEG output, equal dn shapes, non-big scenes.
+    """
+    import jax
+
+    from ..parallel import sharded
+    from ..parallel.mesh import make_mesh
+
+    layout = preferred_synrgb_layout()
+    vv = np.stack([np.asarray(it[0]) for it in items])
+    vh = np.stack([np.asarray(it[1]) for it in items])
+    mesh = make_mesh(min(len(jax.devices()), len(items)))
+    out = np.asarray(sharded.synrgb_batch(
+        vv, vh, mesh, strategy=strategy, target_size=target_size, pad=pad,
+        channel_order=layout,
+    ))
+    in_rows, in_cols = items[0][0].shape
+    rows, cols, final_cols, final_rows, pad_left, pad_top = _final_dims(
+        in_rows, in_cols, target_size, pad, resample_alg
+    )
+    label = operation.metadata_label
+    futs = []
+    for arr, (_, _, output, metadata) in zip(out, items):
+        output = Path(output)
+        gt_override, proj_override = _rescale_geotransform(
+            metadata, cols, rows, final_cols, final_rows, pad_left, pad_top,
+            1.0, 1.0
+        )
+        meta_snapshot = metadata.copy() if (metadata is not None
+                                            and write_pool is not None) else metadata
+
+        def _write(arr=arr, output=output, meta_snapshot=meta_snapshot,
+                   gt_override=gt_override, proj_override=proj_override):
+            write_synrgb_jpeg(output, final_cols, final_rows, arr,
+                              layout=layout)
+            if meta_snapshot is not None:
+                if gt_override is not None:
+                    write_world_file(output, gt_override)
+                if proj_override is not None:
+                    write_prj_file(output, proj_override)
+                create_jpeg_metadata_sidecar_with_overrides_and_extras(
+                    output, meta_snapshot, label, gt_override, proj_override,
+                    [("synthetic_rgb_mode", syn_mode.display)],
+                )
+            logger.info("fast: saved %s", output)
+
+        if write_pool is not None:
+            futs.append(write_pool.submit(_write))
+        else:
+            _write()
+            futs.append(None)
+    return futs

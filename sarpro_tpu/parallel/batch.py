@@ -15,6 +15,8 @@ import logging
 from pathlib import Path
 from typing import Optional
 
+import numpy as np
+
 from ..errors import SarproError
 from ..params import ProcessingParams
 
@@ -69,6 +71,7 @@ def process_directory_pipelined(
     prefetch: int = 2,
     resume: bool = False,
     fast: bool = False,
+    device_batch: int = 4,
 ):
     """Batch all SAFE subdirectories with `prefetch` scenes loading ahead.
 
@@ -78,6 +81,12 @@ def process_directory_pipelined(
     so steady-state throughput approaches 1/max(stage) instead of
     1/sum(stages) (the reference's loop is strictly serial,
     src/cli/runner.rs:294-340).
+
+    `device_batch > 1` additionally stacks same-shape multiband-JPEG scenes
+    into ONE vmapped device program (fast_path.save_multiband_batch_fast):
+    one transfer + dispatch + fetch per bucket amortizes per-scene RPC and
+    dispatch overhead and raises device utilization. Partial buckets at
+    end-of-input run per-scene (avoids compiling an extra batch size).
 
     Returns a BatchReport (same counters as the reference's batch loops).
     """
@@ -164,6 +173,14 @@ def process_directory_pipelined(
             )
         return None
 
+    # device-batch buckets: same-shape multiband-JPEG scenes stacked into
+    # one vmapped dispatch; key = (shape, is_vvvh)
+    bucketing = (fast and device_batch > 1
+                 and pol.kind == "multiband"
+                 and params.format is OutputFormat.JPEG
+                 and params.size is not None)
+    buckets: dict = {}
+
     # write_futs: deferred encode+write stages (fast mode), resolved as they
     # finish so counters stay accurate; depth-capped so host arrays from at
     # most 2 scenes wait for the writer thread
@@ -199,6 +216,56 @@ def process_directory_pipelined(
                     return
                 pending.append(pool.submit(_load_scene, p, params))
 
+        def record_write(path, wfut):
+            if wfut is None:
+                report.processed += 1
+                logger.info("Processed: %s", path)
+            else:
+                write_futs.append((path, wfut))
+                drain_writes()
+                if len(write_futs) > 2:
+                    _, first = write_futs[0]
+                    first.exception()  # wait without raising here
+                    drain_writes()
+
+        def flush_bucket(key, per_scene: bool):
+            from ..core import fast_path
+
+            items = buckets.pop(key, [])
+            if not items:
+                return
+            is_vvvh = key[1]
+            op = (ProcessingOperation.MULTIBAND_VV_VH if is_vvvh
+                  else ProcessingOperation.MULTIBAND_HH_HV)
+            if not per_scene and len(items) > 1:
+                try:
+                    futs = fast_path.save_multiband_batch_fast(
+                        [(b1, b2, out, meta) for (_, b1, b2, out, meta)
+                         in items],
+                        params.size, params.pad, params.autoscale, op,
+                        params.synrgb_mode, write_pool=writer_pool,
+                    )
+                    for (path, *_), wfut in zip(items, futs):
+                        record_write(path, wfut)
+                    return
+                except Exception as e:  # noqa: BLE001 — fall back per-scene
+                    logger.warning(
+                        "device-batched dispatch failed (%s); processing "
+                        "bucket per-scene", e)
+            for path, b1, b2, out, meta in items:
+                try:
+                    wfut = fast_path.save_multiband_fast(
+                        b1, b2, out, params.format, bit_depth, params.size,
+                        meta, params.pad, params.autoscale, op,
+                        params.synrgb_mode, write_pool=writer_pool,
+                    )
+                    record_write(path, wfut)
+                except Exception as e:  # noqa: BLE001 — isolation boundary
+                    logger.warning("Error processing %s: %s", path, e)
+                    report.errors += 1
+                    if not continue_on_error:
+                        raise
+
         refill()
         while pending:
             fut = pending.pop(0)
@@ -222,6 +289,26 @@ def process_directory_pipelined(
                 if not continue_on_error:
                     raise load.error
                 continue
+            if bucketing:
+                from ..api import _band_pair
+
+                try:
+                    b1, b2, is_vvvh = _band_pair(load.reader, "Multiband")
+                    ext = params.format.extension
+                    out = output_dir / f"{load.path.name}.{ext}"
+                    key = (tuple(np.asarray(b1).shape), is_vvvh)
+                    buckets.setdefault(key, []).append(
+                        (load.path, b1, b2, out,
+                         load.reader.metadata.copy()))
+                except Exception as e:  # noqa: BLE001 — isolation boundary
+                    logger.warning("Error staging %s: %s", load.path, e)
+                    report.errors += 1
+                    if not continue_on_error:
+                        raise
+                    continue
+                if len(buckets[key]) >= device_batch:
+                    flush_bucket(key, per_scene=False)
+                continue
             try:
                 wfut = run_scene(load, write_pool=writer_pool if fast else None)
             except Exception as e:  # noqa: BLE001 — batch isolation boundary
@@ -230,15 +317,10 @@ def process_directory_pipelined(
                 if not continue_on_error:
                     raise
                 continue
-            if wfut is None:
-                report.processed += 1
-                logger.info("Processed: %s", load.path)
-            else:
-                write_futs.append((load.path, wfut))
-                drain_writes()
-                if len(write_futs) > 2:
-                    path, first = write_futs[0]
-                    first.exception()  # wait without raising here
-                    drain_writes()
+            record_write(load.path, wfut)
+        # end of input: partial buckets run per-scene (no extra batch-size
+        # compiles for a one-off tail)
+        for key in list(buckets):
+            flush_bucket(key, per_scene=True)
         drain_writes(block=True)
     return report

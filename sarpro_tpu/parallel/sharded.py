@@ -107,12 +107,15 @@ def _gray_shardmap_jit(dn, strategy, bit_depth, mesh):
 # ---------------------------------------------------------------------------
 @functools.partial(
     jax.jit,
-    static_argnames=("strategy", "target_size", "pad", "mesh"),
+    static_argnames=("strategy", "target_size", "pad", "mesh",
+                     "channel_order"),
 )
-def _synrgb_batch_jit(vv, vh, strategy, target_size, pad, mesh):
+def _synrgb_batch_jit(vv, vh, strategy, target_size, pad, mesh,
+                      channel_order="rgb"):
     fn = functools.partial(
         fused.synrgb_pipeline,
         strategy=strategy, target_size=target_size, pad=pad,
+        channel_order=channel_order,
     )
     out = jax.vmap(fn)(vv, vh)
     return jax.lax.with_sharding_constraint(
@@ -143,6 +146,7 @@ def synrgb_batch(
     strategy: AutoscaleStrategy = AutoscaleStrategy.CLAHE,
     target_size: Optional[int] = 2048,
     pad: bool = False,
+    channel_order: str = "rgb",
 ):
     """Process a batch of dual-pol scenes to synRGB across the mesh."""
     from ..ops.kernels import force_xla_fallbacks
@@ -150,7 +154,7 @@ def synrgb_batch(
 
     vv = shard_scene_batch(jnp.asarray(vv_batch), mesh)
     vh = shard_scene_batch(jnp.asarray(vh_batch), mesh)
-    if target_size is None and not pad:
+    if target_size is None and not pad and channel_order == "rgb":
         big = _local_pixels(vv.shape, mesh) > _SHARDMAP_PALLAS_MAX_LOCAL_PIXELS
         guard = force_xla_fallbacks() if big else contextlib.nullcontext()
         with mesh, guard:
@@ -158,7 +162,8 @@ def synrgb_batch(
     # Pallas custom calls are not GSPMD-partitionable: trace with the XLA
     # fallbacks so histograms lower to shardable scatters + psum
     with mesh, force_xla_fallbacks():
-        return _synrgb_batch_jit(vv, vh, strategy, target_size, pad, mesh)
+        return _synrgb_batch_jit(vv, vh, strategy, target_size, pad, mesh,
+                                 channel_order)
 
 
 def grayscale_batch(

@@ -163,3 +163,50 @@ def test_pipelined_fast_write_error_is_counted(tmp_path, monkeypatch):
     assert report.processed == 0
     assert report.errors == 3
     assert report.skipped == 2
+
+
+def test_device_batched_buckets_match_per_scene(tmp_path):
+    """device_batch=2 over 4 same-shape scenes forms two full buckets whose
+    vmapped outputs must be byte-identical to the per-scene fast path (on
+    the CPU test platform both trace the same XLA kernels)."""
+    from sarpro_tpu import api
+
+    indir = tmp_path / "in4"
+    indir.mkdir()
+    for i, name in enumerate(("a", "b", "c", "d")):
+        fixtures.make_safe(indir, name=f"{name}.SAFE", seed=10 + i)
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.TAMED, size=32, pad=True,
+    )
+    report = process_directory_pipelined(indir, tmp_path / "db", params,
+                                         prefetch=2, fast=True,
+                                         device_batch=2)
+    assert report.processed == 4 and report.errors == 0
+    api.process_directory_to_path(indir, tmp_path / "ps", params, fast=True)
+    for name in ("a", "b", "c", "d"):
+        batched = (tmp_path / "db" / f"{name}.SAFE.jpg").read_bytes()
+        single = (tmp_path / "ps" / f"{name}.SAFE.jpg").read_bytes()
+        assert batched == single, name
+        # per-scene sidecars written for batched scenes too
+        assert (tmp_path / "db" / f"{name}.SAFE.json").exists()
+
+
+def test_device_batched_partial_bucket_and_mixed_shapes(tmp_path):
+    """Scenes of two shapes with device_batch=3: neither bucket fills, so
+    the tail flush runs per-scene; counters stay exact."""
+    indir = tmp_path / "inmix"
+    indir.mkdir()
+    fixtures.make_safe(indir, name="s1.SAFE", seed=1)
+    fixtures.make_safe(indir, name="s2.SAFE", seed=2)
+    fixtures.make_safe(indir, name="big.SAFE", seed=3, shape=(128, 160))
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.CLAHE, size=32,
+    )
+    report = process_directory_pipelined(indir, tmp_path / "mix", params,
+                                         prefetch=2, fast=True,
+                                         device_batch=3)
+    assert report.processed == 3 and report.errors == 0
+    for name in ("s1", "s2", "big"):
+        assert (tmp_path / "mix" / f"{name}.SAFE.jpg").exists()
