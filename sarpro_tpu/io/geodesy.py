@@ -336,6 +336,8 @@ _ELLPS = {
     "wgs84": (6378137.0, 1.0 / 298.257223563),
     "grs80": (6378137.0, 1.0 / 298.257222101),
     "airy": (6377563.396, 1.0 / 299.3249646),
+    "mod_airy": (6377340.189, 1.0 / 299.3249646),
+    "bessel": (6377397.155, 1.0 / 299.1528128),
     "clrk66": (6378206.4, 1.0 / 294.978698213898),
 }
 
@@ -406,6 +408,12 @@ _DATUM_TO_WGS84 = {
                    s=-20.489, convention="position_vector", ellps="airy"),
     "jad69": dict(t=(-33.722, 153.789, 94.959), r=(8.581, 4.478, -4.54),
                   s=8.95, convention="coordinate_frame", ellps="clrk66"),
+    # "TM65 to WGS 84 (2)" — PROJ's +towgs84 default for Irish Grid
+    "tm65": dict(t=(482.5, -130.6, 564.6), r=(-1.042, -0.214, -0.631),
+                 s=8.15, convention="position_vector", ellps="mod_airy"),
+    # "CH1903+ to WGS 84 (1)" — geocentric translation only
+    "ch1903plus": dict(t=(674.374, 15.056, 405.346), r=(0.0, 0.0, 0.0),
+                       s=0.0, convention="position_vector", ellps="bessel"),
 }
 
 _ARCSEC = np.pi / (180.0 * 3600.0)
@@ -482,6 +490,11 @@ _TM_GRIDS = {
     2193: dict(lat0=0.0, lon0=173.0, k0=0.9996, fe=1600000.0, fn=10000000.0,
                ellps="grs80", datum=None,
                name="NZGD2000 / New Zealand Transverse Mercator 2000"),
+    29902: dict(lat0=53.5, lon0=-8.0, k0=1.000035, fe=200000.0, fn=250000.0,
+                ellps="mod_airy", datum="tm65", name="TM65 / Irish Grid"),
+    2157: dict(lat0=53.5, lon0=-8.0, k0=0.99982, fe=600000.0, fn=750000.0,
+               ellps="grs80", datum=None,
+               name="IRENET95 / Irish Transverse Mercator"),
 }
 _LCC_GRIDS = {
     # lat1 == lat2 (or lat2 absent) selects the 1SP method (EPSG 9801)
@@ -497,6 +510,11 @@ _LCC_GRIDS = {
     3978: dict(lat0=49.0, lon0=-95.0, lat1=49.0, lat2=77.0, k0=1.0,
                fe=0.0, fn=0.0, ellps="grs80", datum=None,
                name="NAD83 / Canada Atlas Lambert"),
+}
+_SOMERC_GRIDS = {
+    2056: dict(lat0=46.95240555555556, lon0=7.439583333333333, k0=1.0,
+               fe=2600000.0, fn=1200000.0, ellps="bessel",
+               datum="ch1903plus", name="CH1903+ / LV95"),
 }
 _ALBERS_GRIDS = {
     5070: dict(lat0=23.0, lon0=-96.0, lat1=29.5, lat2=45.5, fe=0.0, fn=0.0,
@@ -523,6 +541,66 @@ def tmerc_grid_inverse(easting, northing, p: dict):
     x = (np.asarray(easting, np.float64) - p["fe"]) / p["k0"]
     y = (np.asarray(northing, np.float64) - p["fn"]) / p["k0"] + m0
     lon, lat = tm_inverse_e(x, y, p["lon0"], p["ellps"])
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=True)
+    return lon, lat
+
+
+def _somerc_consts(p: dict):
+    """Swiss Oblique Mercator constants (EPSG 9815 with azimuth = rectified
+    grid angle = 90°, PROJ `somerc`): conformal double projection
+    ellipsoid → Gaussian sphere → rotated equatorial Mercator
+    (Swisstopo's published formulation)."""
+    a, e, e2, *_ = _tm_series(p["ellps"])
+    phi0 = np.radians(p["lat0"])
+    s0 = np.sin(phi0)
+    r_gauss = p["k0"] * a * np.sqrt(1 - e2) / (1 - e2 * s0 * s0)
+    alpha = np.sqrt(1 + e2 / (1 - e2) * np.cos(phi0) ** 4)
+    b0 = np.arcsin(s0 / alpha)
+    k_const = (np.log(np.tan(np.pi / 4 + b0 / 2))
+               - alpha * np.log(np.tan(np.pi / 4 + phi0 / 2))
+               + alpha * e * np.arctanh(e * s0))
+    return e, r_gauss, alpha, b0, k_const
+
+
+def somerc_forward(lon_deg, lat_deg, p: dict):
+    lon, lat = lon_deg, lat_deg
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=False)
+    e, r, alpha, b0, k_const = _somerc_consts(p)
+    phi = np.radians(np.asarray(lat, np.float64))
+    lam = np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    s_iso = (alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+             - alpha * e * np.arctanh(e * np.sin(phi)) + k_const)
+    b = 2 * (np.arctan(np.exp(s_iso)) - np.pi / 4)     # sphere latitude
+    li = alpha * lam                                    # sphere longitude
+    # rotate the projection center to the sphere equator
+    b_bar = np.arcsin(np.cos(b0) * np.sin(b)
+                      - np.sin(b0) * np.cos(b) * np.cos(li))
+    l_bar = np.arctan2(np.cos(b) * np.sin(li),
+                       np.cos(b0) * np.cos(b) * np.cos(li)
+                       + np.sin(b0) * np.sin(b))
+    return (p["fe"] + r * l_bar,
+            p["fn"] + r * np.arctanh(np.sin(b_bar)))
+
+
+def somerc_inverse(easting, northing, p: dict):
+    e, r, alpha, b0, k_const = _somerc_consts(p)
+    l_bar = (np.asarray(easting, np.float64) - p["fe"]) / r
+    b_bar = 2 * (np.arctan(np.exp(
+        (np.asarray(northing, np.float64) - p["fn"]) / r)) - np.pi / 4)
+    b = np.arcsin(np.cos(b0) * np.sin(b_bar)
+                  + np.sin(b0) * np.cos(b_bar) * np.cos(l_bar))
+    li = np.arctan2(np.cos(b_bar) * np.sin(l_bar),
+                    np.cos(b0) * np.cos(b_bar) * np.cos(l_bar)
+                    - np.sin(b0) * np.sin(b_bar))
+    q = (np.log(np.tan(np.pi / 4 + b / 2)) - k_const) / alpha
+    phi = b.copy()
+    for _ in range(8):
+        phi = 2 * (np.arctan(np.exp(q + e * np.arctanh(e * np.sin(phi))))
+                   - np.pi / 4)
+    lon = np.degrees(li / alpha) + p["lon0"]
+    lat = np.degrees(phi)
     if p["datum"]:
         lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=True)
     return lon, lat
@@ -691,6 +769,8 @@ def epsg_kind(code: int) -> Optional[dict]:
         return {"kind": "lcc", "code": code, **_LCC_GRIDS[code]}
     if code in _ALBERS_GRIDS:
         return {"kind": "albers", "code": code, **_ALBERS_GRIDS[code]}
+    if code in _SOMERC_GRIDS:
+        return {"kind": "somerc", "code": code, **_SOMERC_GRIDS[code]}
     return None
 
 
@@ -704,7 +784,8 @@ SUPPORTED_CRS_FAMILIES = (
     "EPSG:3577 (Australian Albers), EPSG:27700 (British National Grid), "
     "EPSG:3067 (TM35FIN), EPSG:2193 (NZTM 2000), EPSG:3978 (Canada Atlas "
     "Lambert), EPSG:3310 (California Albers), "
-    "EPSG:25832/25833/25835 (ETRS89 UTM)"
+    "EPSG:25832/25833/25835 (ETRS89 UTM), EPSG:29902 (Irish Grid), "
+    "EPSG:2157 (Irish TM), EPSG:2056 (Swiss LV95 oblique Mercator)"
 )
 
 
@@ -767,13 +848,34 @@ _WKT_GEOGCS_BY_DATUM = {
         f'AUTHORITY["EPSG","6242"]],{_WKT_ANGULAR},'
         f'AUTHORITY["EPSG","4242"]]'
     ),
+    "tm65": (
+        f'GEOGCS["TM65",DATUM["TM65",'
+        f'SPHEROID["Airy Modified 1849",6377340.189,299.3249646,'
+        f'AUTHORITY["EPSG","7002"]],'
+        f'TOWGS84[482.5,-130.6,564.6,-1.042,-0.214,-0.631,8.15],'
+        f'AUTHORITY["EPSG","6299"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4299"]]'
+    ),
+    "irenet95": (
+        f'GEOGCS["IRENET95",DATUM["IRENET95",'
+        f'{_WKT_SPHEROID_GRS80},AUTHORITY["EPSG","6173"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4173"]]'
+    ),
+    "ch1903plus": (
+        f'GEOGCS["CH1903+",DATUM["CH1903+",'
+        f'SPHEROID["Bessel 1841",6377397.155,299.1528128,'
+        f'AUTHORITY["EPSG","7004"]],'
+        f'TOWGS84[674.374,15.056,405.346,0,0,0,0],'
+        f'AUTHORITY["EPSG","6150"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4150"]]'
+    ),
 }
 # which base GEOGCS each national-grid code sits on
 _GRID_BASE_DATUM = {
     27700: "osgb36", 3067: "etrs89", 25832: "etrs89", 25833: "etrs89",
     25835: "etrs89", 2154: "rgf93", 3347: "nad83", 24200: "jad69",
     5070: "nad83", 3577: "gda94", 2193: "nzgd2000", 3978: "nad83",
-    3310: "nad83",
+    3310: "nad83", 29902: "tm65", 2157: "irenet95", 2056: "ch1903plus",
 }
 _WKT_UNIT_AXES = ('UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
                   'AXIS["Easting",EAST],AXIS["Northing",NORTH]')
@@ -840,8 +942,8 @@ def epsg_to_wkt(code: int) -> Optional[str]:
             f'PROJECTION["Polar_Stereographic"],'
             f'PARAMETER["latitude_of_origin",{info["lat_ts"]:g}],'
             f'PARAMETER["central_meridian",{info["lon0"]:g}],'
-            f'PARAMETER["false_easting",{info["fe"]:g}],'
-            f'PARAMETER["false_northing",{info["fn"]:g}],'
+            f'PARAMETER["false_easting",{info["fe"]:.10g}],'
+            f'PARAMETER["false_northing",{info["fn"]:.10g}],'
             f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
             f'AUTHORITY["EPSG","{code}"]]'
         )
@@ -857,12 +959,12 @@ def epsg_to_wkt(code: int) -> Optional[str]:
             f'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
             f'PARAMETER["latitude_of_center",{info["lat0"]:g}],'
             f'PARAMETER["longitude_of_center",{info["lon0"]:g}],'
-            f'PARAMETER["false_easting",{info["fe"]:g}],'
-            f'PARAMETER["false_northing",{info["fn"]:g}],'
+            f'PARAMETER["false_easting",{info["fe"]:.10g}],'
+            f'PARAMETER["false_northing",{info["fn"]:.10g}],'
             f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
             f'AUTHORITY["EPSG","{code}"]]'
         )
-    if info["kind"] in ("tm_grid", "lcc", "albers"):
+    if info["kind"] in ("tm_grid", "lcc", "albers", "somerc"):
         geogcs = _WKT_GEOGCS_BY_DATUM[_GRID_BASE_DATUM[code]]
         if info["kind"] == "tm_grid":
             proj = (
@@ -870,8 +972,8 @@ def epsg_to_wkt(code: int) -> Optional[str]:
                 f'PARAMETER["latitude_of_origin",{info["lat0"]:g}],'
                 f'PARAMETER["central_meridian",{info["lon0"]:g}],'
                 f'PARAMETER["scale_factor",{info["k0"]:.10g}],'
-                f'PARAMETER["false_easting",{info["fe"]:g}],'
-                f'PARAMETER["false_northing",{info["fn"]:g}]'
+                f'PARAMETER["false_easting",{info["fe"]:.10g}],'
+                f'PARAMETER["false_northing",{info["fn"]:.10g}]'
             )
         elif info["kind"] == "lcc":
             if abs(info["lat1"] - info["lat2"]) < 1e-12:
@@ -880,8 +982,8 @@ def epsg_to_wkt(code: int) -> Optional[str]:
                     f'PARAMETER["latitude_of_origin",{info["lat0"]:g}],'
                     f'PARAMETER["central_meridian",{info["lon0"]:g}],'
                     f'PARAMETER["scale_factor",{info["k0"]:.10g}],'
-                    f'PARAMETER["false_easting",{info["fe"]:g}],'
-                    f'PARAMETER["false_northing",{info["fn"]:g}]'
+                    f'PARAMETER["false_easting",{info["fe"]:.10g}],'
+                    f'PARAMETER["false_northing",{info["fn"]:.10g}]'
                 )
             else:
                 proj = (
@@ -890,9 +992,20 @@ def epsg_to_wkt(code: int) -> Optional[str]:
                     f'PARAMETER["standard_parallel_2",{info["lat2"]:g}],'
                     f'PARAMETER["latitude_of_origin",{info["lat0"]:.9g}],'
                     f'PARAMETER["central_meridian",{info["lon0"]:.15g}],'
-                    f'PARAMETER["false_easting",{info["fe"]:g}],'
-                    f'PARAMETER["false_northing",{info["fn"]:g}]'
+                    f'PARAMETER["false_easting",{info["fe"]:.10g}],'
+                    f'PARAMETER["false_northing",{info["fn"]:.10g}]'
                 )
+        elif info["kind"] == "somerc":
+            proj = (
+                f'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+                f'PARAMETER["latitude_of_center",{info["lat0"]:.15g}],'
+                f'PARAMETER["longitude_of_center",{info["lon0"]:.15g}],'
+                f'PARAMETER["azimuth",90],'
+                f'PARAMETER["rectified_grid_angle",90],'
+                f'PARAMETER["scale_factor",{info["k0"]:.10g}],'
+                f'PARAMETER["false_easting",{info["fe"]:.10g}],'
+                f'PARAMETER["false_northing",{info["fn"]:.10g}]'
+            )
         else:
             proj = (
                 f'PROJECTION["Albers_Conic_Equal_Area"],'
@@ -900,8 +1013,8 @@ def epsg_to_wkt(code: int) -> Optional[str]:
                 f'PARAMETER["longitude_of_center",{info["lon0"]:g}],'
                 f'PARAMETER["standard_parallel_1",{info["lat1"]:g}],'
                 f'PARAMETER["standard_parallel_2",{info["lat2"]:g}],'
-                f'PARAMETER["false_easting",{info["fe"]:g}],'
-                f'PARAMETER["false_northing",{info["fn"]:g}]'
+                f'PARAMETER["false_easting",{info["fe"]:.10g}],'
+                f'PARAMETER["false_northing",{info["fn"]:.10g}]'
             )
         return (f'PROJCS["{info["name"]}",{geogcs},{proj},{_WKT_UNIT_AXES},'
                 f'AUTHORITY["EPSG","{code}"]]')
@@ -948,6 +1061,8 @@ def project_forward(lon, lat, code: int):
         return lcc_forward(lon, lat, info)
     if info["kind"] == "albers":
         return albers_forward(lon, lat, info)
+    if info["kind"] == "somerc":
+        return somerc_forward(lon, lat, info)
     return ups_forward(lon, lat, info["north"])
 
 
@@ -978,6 +1093,8 @@ def project_inverse(x, y, code: int):
         return lcc_inverse(x, y, info)
     if info["kind"] == "albers":
         return albers_inverse(x, y, info)
+    if info["kind"] == "somerc":
+        return somerc_inverse(x, y, info)
     return ups_inverse(x, y, info["north"])
 
 

@@ -226,9 +226,9 @@ def test_warp_to_epsg3857(tmp_path):
 def test_warp_unsupported_crs_actionable_error(tmp_path):
     base = fixtures.make_safe(tmp_path, name="bad.SAFE", pols=("vv",))
     params = ProcessingParams(
-        # EPSG:2154 became a supported national grid in round 3; EPSG:29902
-        # (Irish grid, unimplemented) still exercises the actionable error
-        polarization=Polarization.VV, size=64, target_crs="EPSG:29902",
+        # EPSG:2154/29902 became supported national grids in round 3;
+        # EPSG:5514 (Czech Krovak, unimplemented) exercises the error
+        polarization=Polarization.VV, size=64, target_crs="EPSG:5514",
     )
     with pytest.raises(Exception, match="supported:"):
         api.process_safe_to_path(base, tmp_path / "x.tiff", params)

@@ -43,6 +43,9 @@ GRIDS = {
     3310: (32.5, 42.0, -124.0, -114.0),  # NAD83 / California Albers
     25833: (36.0, 70.0, 12.0, 18.0),
     25835: (36.0, 70.0, 24.0, 30.0),
+    29902: (51.4, 55.4, -10.5, -5.4),   # TM65 / Irish Grid (mod Airy + Helmert)
+    2157: (51.4, 55.4, -10.5, -5.4),    # IRENET95 / Irish TM
+    2056: (45.8, 47.8, 6.0, 10.5),      # CH1903+ / LV95 (Swiss somerc + datum)
 }
 
 
@@ -147,6 +150,8 @@ def _gcp_raster(tmp_path, code, lon0, lat0, span=0.25, rows=96, cols=128):
     (3067, 25.0, 62.0),     # Finland
     (24200, -77.2, 18.2),   # Jamaica
     (3577, 147.0, -36.0),   # Australia
+    (29902, -7.5, 53.3),    # Ireland
+    (2056, 8.2, 46.8),      # Switzerland (oblique Mercator)
 ])
 def test_warp_mapping_to_national_grid(tmp_path, code, lon0, lat0):
     """plan_warp to each new family: the coarse inverse-mapping grid the
