@@ -5,7 +5,10 @@ Endpoints:
   GET  /api/state        — GuiState + run status + completion poll
   POST /api/state        — update configuration
   POST /api/process      — start the background worker
-  GET  /api/logs         — drain ring-buffer log events (level filter client-side)
+  GET  /api/logs         — drain ring-buffer log events (level filter
+                           client-side); `?since=N` returns only events past
+                           cursor N as {"next", "events"} so pollers never
+                           re-render history
   POST /api/export-log   — write a .sarpolog file
   GET  /api/cli          — generated CLI command
   POST /api/preset/save  — save .sarpro preset
@@ -13,7 +16,10 @@ Endpoints:
   GET  /api/stats        — CPU/RAM footer stats
   GET  /api/listdir      — server-side directory listing (the file-dialog
                            equivalent of the reference's rfd browse buttons,
-                           src/gui/processing.rs)
+                           src/gui/processing.rs); includes recently visited
+                           directories
+  GET  /api/preview      — rendered view of the last completed single-file
+                           output (JPEG as-is; TIFF re-rendered to PNG)
 """
 from __future__ import annotations
 
@@ -57,11 +63,52 @@ def list_directory(path: str | None) -> dict:
     }
 
 
+def render_preview(path: Path, max_side: int = 1024) -> tuple[bytes, str]:
+    """Preview bytes + content type for a produced output file.
+
+    JPEG outputs are served as-is; (Geo)TIFF outputs (u8/u16, 1 or 2 bands)
+    are min-max rendered to an 8-bit PNG thumbnail of band 1."""
+    suffix = path.suffix.lower()
+    if suffix in (".jpg", ".jpeg"):
+        return path.read_bytes(), "image/jpeg"
+    if suffix not in (".tif", ".tiff"):
+        raise ValueError(f"no preview for {suffix!r}")
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from ..io.tiffio import TiffReader
+
+    reader = TiffReader(path)
+    try:
+        band = np.asarray(reader.read(1))
+    finally:
+        reader.close()
+    band = band.astype(np.float32)
+    lo, hi = float(band.min()), float(band.max())
+    u8 = np.zeros(band.shape, np.uint8) if hi <= lo else \
+        np.clip((band - lo) / (hi - lo) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    im = Image.fromarray(u8, mode="L")
+    im.thumbnail((max_side, max_side))
+    buf = _io.BytesIO()
+    im.save(buf, format="PNG")
+    return buf.getvalue(), "image/png"
+
+
 def make_server(host: str = "127.0.0.1", port: int = 8377):
     gui = GuiState()
     worker = Worker()
     lock = threading.Lock()
     log_events: list[dict] = []
+    log_base = [0]  # cursor of log_events[0] (events drop off the front)
+    recent_dirs: list[str] = []
+
+    def remember_dir(p: str) -> None:
+        if p in recent_dirs:
+            recent_dirs.remove(p)
+        recent_dirs.insert(0, p)
+        del recent_dirs[8:]
 
     # DNS-rebinding guard: a remote page can point its own hostname at
     # 127.0.0.1 and drive this API from the victim's browser; the browser
@@ -118,15 +165,29 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                         gui.last_result = done
                     gui.running = worker.busy()
                     self._json(gui.to_dict())
-            elif self.path == "/api/logs":
+            elif self.path.startswith("/api/logs"):
                 events = worker.ring.drain()
                 log_events.extend(
                     {"level": e.level, "timestamp": e.timestamp,
                      "message": e.message, "target": e.target}
                     for e in events
                 )
-                del log_events[:-1000]
-                self._json(log_events)
+                dropped = max(0, len(log_events) - 1000)
+                if dropped:
+                    del log_events[:dropped]
+                    log_base[0] += dropped
+                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+                since = q.get("since")
+                if since is None:
+                    self._json(log_events)
+                else:
+                    try:
+                        cur = int(since[0])
+                    except ValueError:
+                        cur = 0
+                    start = max(0, cur - log_base[0])
+                    self._json({"next": log_base[0] + len(log_events),
+                                "events": log_events[start:]})
             elif self.path == "/api/cli":
                 with lock:
                     self._json({"command": generate_cli_command(gui)})
@@ -136,9 +197,31 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                 q = urllib.parse.urlparse(self.path).query
                 args = urllib.parse.parse_qs(q)
                 try:
-                    self._json(list_directory(args.get("path", [None])[0]))
+                    listing = list_directory(args.get("path", [None])[0])
+                    remember_dir(listing["path"])
+                    listing["recents"] = list(recent_dirs)
+                    self._json(listing)
                 except (OSError, NotADirectoryError) as e:
                     self._json({"error": str(e)}, 400)
+            elif self.path.startswith("/api/preview"):
+                with lock:
+                    result = gui.last_result
+                out = (result or {}).get("output") if isinstance(result, dict) \
+                    else None
+                if not out or not Path(out).is_file():
+                    self._json({"error": "no output to preview"}, 404)
+                    return
+                try:
+                    body, ctype = render_preview(Path(out))
+                except (OSError, ValueError) as e:
+                    self._json({"error": str(e)}, 415)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json({"error": "not found"}, 404)
 

@@ -191,3 +191,71 @@ def test_fast_mode_toggle_and_cli_generation(server):
     assert s["fast"] is True
     cmd = _get(server, "/api/cli")["command"]
     assert "--fast" in cmd and "--prefetch" in cmd
+
+
+def test_log_cursor_protocol(server):
+    """`/api/logs?since=N` must return only events past the cursor so the
+    page never re-renders history (the legacy no-arg form stays a list)."""
+    import logging
+
+    logging.getLogger("sarpro").setLevel(logging.INFO)
+    logging.getLogger("sarpro").info("cursor-probe-1")
+    d = _get(server, "/api/logs?since=0")
+    assert set(d) == {"next", "events"}
+    n1 = d["next"]
+    assert n1 == len(d["events"]) and n1 >= 1
+    # no new events -> empty delta, stable cursor
+    d2 = _get(server, f"/api/logs?since={n1}")
+    assert d2["events"] == [] and d2["next"] == n1
+    logging.getLogger("sarpro").info("cursor-probe-2")
+    d3 = _get(server, f"/api/logs?since={n1}")
+    assert [e["message"] for e in d3["events"]] == ["cursor-probe-2"]
+    assert d3["next"] == n1 + 1
+
+
+def test_listdir_recents(server, tmp_path):
+    import urllib.parse
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    _get(server, "/api/listdir?path=" + urllib.parse.quote(str(a)))
+    d = _get(server, "/api/listdir?path=" + urllib.parse.quote(str(b)))
+    assert d["recents"][0] == str(b)
+    assert str(a) in d["recents"]
+
+
+def test_preview_endpoint(server, tmp_path):
+    """After a single-file run the GUI serves a rendered output preview
+    (TIFF re-rendered to PNG; JPEG as-is); 404 before any run."""
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server + "/api/preview", timeout=10)
+    assert ei.value.code == 404
+
+    base = fixtures.make_safe(tmp_path)
+    out = tmp_path / "prev.tiff"
+    _post(server, "/api/state", {
+        "mode": "single", "input_path": str(base), "output_path": str(out),
+        "params": {"autoscale": "standard", "size": 32, "bit_depth": "U16"},
+    })
+    assert _post(server, "/api/process", {})["started"]
+    for _ in range(600):
+        s = _get(server, "/api/state")
+        if not s["running"] and s["last_result"]:
+            break
+        time.sleep(0.1)
+    assert s["last_result"]["ok"], s["last_result"]
+    with urllib.request.urlopen(server + "/api/preview", timeout=10) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        png = r.read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # decodes to the output's shape
+    import io as _io
+
+    from PIL import Image
+
+    im = Image.open(_io.BytesIO(png))
+    assert im.size == (32, 24)  # 128x96 fixture scene at size 32
