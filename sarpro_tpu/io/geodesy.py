@@ -414,6 +414,12 @@ _DATUM_TO_WGS84 = {
     # "CH1903+ to WGS 84 (1)" — geocentric translation only
     "ch1903plus": dict(t=(674.374, 15.056, 405.346), r=(0.0, 0.0, 0.0),
                        s=0.0, convention="position_vector", ellps="bessel"),
+    # "S-JTSK to WGS 84 (5)" (EPSG:5239, 1.0 m, Czechia) — the op cs2cs
+    # late-binding picks for Czech points, NOT the 6 m (3) translation
+    # that EPSG:5514's +towgs84 string advertises
+    "sjtsk": dict(t=(572.213, 85.334, 461.94),
+                  r=(-4.9732, -1.529, -5.2484),
+                  s=3.5378, convention="coordinate_frame", ellps="bessel"),
 }
 
 _ARCSEC = np.pi / (180.0 * 3600.0)
@@ -516,6 +522,12 @@ _SOMERC_GRIDS = {
                fe=2600000.0, fn=1200000.0, ellps="bessel",
                datum="ch1903plus", name="CH1903+ / LV95"),
 }
+_KROVAK_GRIDS = {
+    # East-North variant (EPSG 1041): E = -Westing, N = -Southing
+    5514: dict(lat0=49.5, lon0=24.833333333333333, alpha=30.2881397527778,
+               psi1=78.5, k0=0.9999, fe=0.0, fn=0.0, ellps="bessel",
+               datum="sjtsk", name="S-JTSK / Krovak East North"),
+}
 _ALBERS_GRIDS = {
     5070: dict(lat0=23.0, lon0=-96.0, lat1=29.5, lat2=45.5, fe=0.0, fn=0.0,
                ellps="grs80", datum=None, name="NAD83 / Conus Albers"),
@@ -600,6 +612,73 @@ def somerc_inverse(easting, northing, p: dict):
         phi = 2 * (np.arctan(np.exp(q + e * np.arctanh(e * np.sin(phi))))
                    - np.pi / 4)
     lon = np.degrees(li / alpha) + p["lon0"]
+    lat = np.degrees(phi)
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=True)
+    return lon, lat
+
+
+def _krovak_consts(p: dict):
+    """Krovak constants (EPSG method 9819): conformal sphere + oblique cone
+    through the pseudo standard parallel (EPSG Guidance Note 7-2)."""
+    a, e, e2, *_ = _tm_series(p["ellps"])
+    phic = np.radians(p["lat0"])
+    sc = np.sin(phic)
+    big_a = a * np.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    big_b = np.sqrt(1 + e2 * np.cos(phic) ** 4 / (1 - e2))
+    gamma0 = np.arcsin(sc / big_b)
+    t0 = (np.tan(np.pi / 4 + gamma0 / 2)
+          * ((1 + e * sc) / (1 - e * sc)) ** (e * big_b / 2)
+          / np.tan(np.pi / 4 + phic / 2) ** big_b)
+    psi1 = np.radians(p["psi1"])
+    n = np.sin(psi1)
+    r0 = p["k0"] * big_a / np.tan(psi1)
+    return e, big_b, t0, n, r0, psi1, np.radians(p["alpha"])
+
+
+def krovak_forward(lon_deg, lat_deg, p: dict):
+    """Krovak oblique conformal conic forward, East-North axes (EPSG 1041)."""
+    lon, lat = lon_deg, lat_deg
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=False)
+    e, big_b, t0, n, r0, psi1, alpha = _krovak_consts(p)
+    phi = np.radians(np.asarray(lat, np.float64))
+    s = np.sin(phi)
+    u = 2 * (np.arctan(t0 * np.tan(np.pi / 4 + phi / 2) ** big_b
+                       / ((1 + e * s) / (1 - e * s)) ** (e * big_b / 2))
+             - np.pi / 4)
+    v = big_b * np.radians(p["lon0"] - np.asarray(lon, np.float64))
+    t = np.arcsin(np.cos(alpha) * np.sin(u)
+                  + np.sin(alpha) * np.cos(u) * np.cos(v))
+    d = np.arcsin(np.cos(u) * np.sin(v) / np.cos(t))
+    theta = n * d
+    r = r0 * np.tan(np.pi / 4 + psi1 / 2) ** n \
+        / np.tan(np.pi / 4 + t / 2) ** n
+    southing = r * np.cos(theta)
+    westing = r * np.sin(theta)
+    return p["fe"] - westing, p["fn"] - southing
+
+
+def krovak_inverse(easting, northing, p: dict):
+    e, big_b, t0, n, r0, psi1, alpha = _krovak_consts(p)
+    westing = p["fe"] - np.asarray(easting, np.float64)
+    southing = p["fn"] - np.asarray(northing, np.float64)
+    r = np.hypot(westing, southing)
+    theta = np.arctan2(westing, southing)
+    d = theta / n
+    t = 2 * (np.arctan((r0 / r) ** (1.0 / n)
+                       * np.tan(np.pi / 4 + psi1 / 2)) - np.pi / 4)
+    u = np.arcsin(np.cos(alpha) * np.sin(t)
+                  - np.sin(alpha) * np.cos(t) * np.cos(d))
+    v = np.arcsin(np.cos(t) * np.sin(d) / np.cos(u))
+    phi = u.copy()
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = 2 * (np.arctan(
+            t0 ** (-1.0 / big_b)
+            * np.tan(np.pi / 4 + u / 2) ** (1.0 / big_b)
+            * ((1 + e * s) / (1 - e * s)) ** (e / 2)) - np.pi / 4)
+    lon = p["lon0"] - np.degrees(v / big_b)
     lat = np.degrees(phi)
     if p["datum"]:
         lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=True)
@@ -771,6 +850,8 @@ def epsg_kind(code: int) -> Optional[dict]:
         return {"kind": "albers", "code": code, **_ALBERS_GRIDS[code]}
     if code in _SOMERC_GRIDS:
         return {"kind": "somerc", "code": code, **_SOMERC_GRIDS[code]}
+    if code in _KROVAK_GRIDS:
+        return {"kind": "krovak", "code": code, **_KROVAK_GRIDS[code]}
     return None
 
 
@@ -785,7 +866,8 @@ SUPPORTED_CRS_FAMILIES = (
     "EPSG:3067 (TM35FIN), EPSG:2193 (NZTM 2000), EPSG:3978 (Canada Atlas "
     "Lambert), EPSG:3310 (California Albers), "
     "EPSG:25832/25833/25835 (ETRS89 UTM), EPSG:29902 (Irish Grid), "
-    "EPSG:2157 (Irish TM), EPSG:2056 (Swiss LV95 oblique Mercator)"
+    "EPSG:2157 (Irish TM), EPSG:2056 (Swiss LV95 oblique Mercator), "
+    "EPSG:5514 (Czech Krovak)"
 )
 
 
@@ -869,6 +951,17 @@ _WKT_GEOGCS_BY_DATUM = {
         f'AUTHORITY["EPSG","6150"]],{_WKT_ANGULAR},'
         f'AUTHORITY["EPSG","4150"]]'
     ),
+    "sjtsk": (
+        # TOWGS84 is position-vector: the EPSG (5) op is coordinate-frame,
+        # so its rotations flip sign here
+        f'GEOGCS["S-JTSK",'
+        f'DATUM["System_of_the_Unified_Trigonometrical_Cadastral_Network",'
+        f'SPHEROID["Bessel 1841",6377397.155,299.1528128,'
+        f'AUTHORITY["EPSG","7004"]],'
+        f'TOWGS84[572.213,85.334,461.94,4.9732,1.529,5.2484,3.5378],'
+        f'AUTHORITY["EPSG","6156"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4156"]]'
+    ),
 }
 # which base GEOGCS each national-grid code sits on
 _GRID_BASE_DATUM = {
@@ -876,6 +969,7 @@ _GRID_BASE_DATUM = {
     25835: "etrs89", 2154: "rgf93", 3347: "nad83", 24200: "jad69",
     5070: "nad83", 3577: "gda94", 2193: "nzgd2000", 3978: "nad83",
     3310: "nad83", 29902: "tm65", 2157: "irenet95", 2056: "ch1903plus",
+    5514: "sjtsk",
 }
 _WKT_UNIT_AXES = ('UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
                   'AXIS["Easting",EAST],AXIS["Northing",NORTH]')
@@ -964,7 +1058,7 @@ def epsg_to_wkt(code: int) -> Optional[str]:
             f'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
             f'AUTHORITY["EPSG","{code}"]]'
         )
-    if info["kind"] in ("tm_grid", "lcc", "albers", "somerc"):
+    if info["kind"] in ("tm_grid", "lcc", "albers", "somerc", "krovak"):
         geogcs = _WKT_GEOGCS_BY_DATUM[_GRID_BASE_DATUM[code]]
         if info["kind"] == "tm_grid":
             proj = (
@@ -995,6 +1089,17 @@ def epsg_to_wkt(code: int) -> Optional[str]:
                     f'PARAMETER["false_easting",{info["fe"]:.10g}],'
                     f'PARAMETER["false_northing",{info["fn"]:.10g}]'
                 )
+        elif info["kind"] == "krovak":
+            proj = (
+                f'PROJECTION["Krovak"],'
+                f'PARAMETER["latitude_of_center",{info["lat0"]:.15g}],'
+                f'PARAMETER["longitude_of_center",{info["lon0"]:.15g}],'
+                f'PARAMETER["azimuth",{info["alpha"]:.15g}],'
+                f'PARAMETER["pseudo_standard_parallel_1",{info["psi1"]:.10g}],'
+                f'PARAMETER["scale_factor",{info["k0"]:.10g}],'
+                f'PARAMETER["false_easting",{info["fe"]:.10g}],'
+                f'PARAMETER["false_northing",{info["fn"]:.10g}]'
+            )
         elif info["kind"] == "somerc":
             proj = (
                 f'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
@@ -1063,6 +1168,8 @@ def project_forward(lon, lat, code: int):
         return albers_forward(lon, lat, info)
     if info["kind"] == "somerc":
         return somerc_forward(lon, lat, info)
+    if info["kind"] == "krovak":
+        return krovak_forward(lon, lat, info)
     return ups_forward(lon, lat, info["north"])
 
 
@@ -1095,6 +1202,8 @@ def project_inverse(x, y, code: int):
         return albers_inverse(x, y, info)
     if info["kind"] == "somerc":
         return somerc_inverse(x, y, info)
+    if info["kind"] == "krovak":
+        return krovak_inverse(x, y, info)
     return ups_inverse(x, y, info["north"])
 
 

@@ -226,9 +226,10 @@ def test_warp_to_epsg3857(tmp_path):
 def test_warp_unsupported_crs_actionable_error(tmp_path):
     base = fixtures.make_safe(tmp_path, name="bad.SAFE", pols=("vv",))
     params = ProcessingParams(
-        # EPSG:2154/29902 became supported national grids in round 3;
-        # EPSG:5514 (Czech Krovak, unimplemented) exercises the error
-        polarization=Polarization.VV, size=64, target_crs="EPSG:5514",
+        # the round-3 national-grid family absorbed 2154/29902/5514;
+        # EPSG:27572 (NTF Lambert II, Paris meridian, unimplemented)
+        # exercises the actionable error
+        polarization=Polarization.VV, size=64, target_crs="EPSG:27572",
     )
     with pytest.raises(Exception, match="supported:"):
         api.process_safe_to_path(base, tmp_path / "x.tiff", params)

@@ -46,6 +46,9 @@ GRIDS = {
     29902: (51.4, 55.4, -10.5, -5.4),   # TM65 / Irish Grid (mod Airy + Helmert)
     2157: (51.4, 55.4, -10.5, -5.4),    # IRENET95 / Irish TM
     2056: (45.8, 47.8, 6.0, 10.5),      # CH1903+ / LV95 (Swiss somerc + datum)
+    # Czechia-only box (north of Slovakia's EPSG extent) so cs2cs
+    # deterministically picks "S-JTSK to WGS 84 (5)", the op we implement
+    5514: (49.7, 51.0, 12.2, 18.5),     # S-JTSK / Krovak East North
 }
 
 
@@ -152,6 +155,7 @@ def _gcp_raster(tmp_path, code, lon0, lat0, span=0.25, rows=96, cols=128):
     (3577, 147.0, -36.0),   # Australia
     (29902, -7.5, 53.3),    # Ireland
     (2056, 8.2, 46.8),      # Switzerland (oblique Mercator)
+    (5514, 14.4, 50.0),     # Czechia (Krovak)
 ])
 def test_warp_mapping_to_national_grid(tmp_path, code, lon0, lat0):
     """plan_warp to each new family: the coarse inverse-mapping grid the

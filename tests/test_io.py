@@ -484,10 +484,11 @@ def test_project_dispatch_mercators():
         assert lat == pytest.approx(46.0, abs=1e-9)
         wkt = geodesy.epsg_to_wkt(code)
         assert f'"{code}"' in wkt and "Mercator" in wkt
-    # EPSG:2154/29902 are supported national grids since round 3; use a
-    # code the framework genuinely does not project (Czech Krovak)
+    # the round-3 national-grid family absorbed 2154/29902/5514; use a
+    # code the framework genuinely does not project (NTF Lambert II,
+    # Paris meridian)
     with pytest.raises(ValueError, match="supported:"):
-        geodesy.project_forward(0.0, 0.0, 5514)
+        geodesy.project_forward(0.0, 0.0, 27572)
 
 
 # -- streamed decimated reads (VERDICT r1 items 1-2) --------------------------
