@@ -82,10 +82,14 @@ def render_preview(path: Path, max_side: int = 1024) -> tuple[bytes, str]:
 
     reader = TiffReader(path)
     try:
-        band = np.asarray(reader.read(1))
+        # decimated strip reads: memory stays at thumbnail scale even for a
+        # full-resolution multi-hundred-MP output (never the whole raster)
+        step = max(1, -(-max(reader.height, reader.width) // max_side))
+        rows = [reader.read_strip_range(r, r + 1)[0, ::step]
+                for r in range(0, reader.height, step)]
     finally:
         reader.close()
-    band = band.astype(np.float32)
+    band = np.stack(rows).astype(np.float32)
     lo, hi = float(band.min()), float(band.max())
     u8 = np.zeros(band.shape, np.uint8) if hi <= lo else \
         np.clip((band - lo) / (hi - lo) * 255.0 + 0.5, 0, 255).astype(np.uint8)
@@ -166,28 +170,35 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                     gui.running = worker.busy()
                     self._json(gui.to_dict())
             elif self.path.startswith("/api/logs"):
-                events = worker.ring.drain()
-                log_events.extend(
-                    {"level": e.level, "timestamp": e.timestamp,
-                     "message": e.message, "target": e.target}
-                    for e in events
-                )
-                dropped = max(0, len(log_events) - 1000)
-                if dropped:
-                    del log_events[:dropped]
-                    log_base[0] += dropped
-                q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
-                since = q.get("since")
-                if since is None:
-                    self._json(log_events)
-                else:
-                    try:
-                        cur = int(since[0])
-                    except ValueError:
-                        cur = 0
-                    start = max(0, cur - log_base[0])
-                    self._json({"next": log_base[0] + len(log_events),
-                                "events": log_events[start:]})
+                with lock:
+                    events = worker.ring.drain()
+                    log_events.extend(
+                        {"level": e.level, "timestamp": e.timestamp,
+                         "message": e.message, "target": e.target}
+                        for e in events
+                    )
+                    dropped = max(0, len(log_events) - 1000)
+                    if dropped:
+                        del log_events[:dropped]
+                        log_base[0] += dropped
+                    total = log_base[0] + len(log_events)
+                    q = urllib.parse.parse_qs(
+                        urllib.parse.urlparse(self.path).query)
+                    since = q.get("since")
+                    if since is None:
+                        self._json(list(log_events))
+                    else:
+                        try:
+                            cur = int(since[0])
+                        except ValueError:
+                            cur = 0
+                        if cur > total:
+                            # stale cursor from before a server restart:
+                            # resend the full (new) history
+                            cur = 0
+                        start = max(0, cur - log_base[0])
+                        self._json({"next": total,
+                                    "events": log_events[start:]})
             elif self.path == "/api/cli":
                 with lock:
                     self._json({"command": generate_cli_command(gui)})
@@ -198,8 +209,9 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                 args = urllib.parse.parse_qs(q)
                 try:
                     listing = list_directory(args.get("path", [None])[0])
-                    remember_dir(listing["path"])
-                    listing["recents"] = list(recent_dirs)
+                    with lock:
+                        remember_dir(listing["path"])
+                        listing["recents"] = list(recent_dirs)
                     self._json(listing)
                 except (OSError, NotADirectoryError) as e:
                     self._json({"error": str(e)}, 400)
@@ -213,9 +225,9 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                     return
                 try:
                     body, ctype = render_preview(Path(out))
-                except (OSError, ValueError) as e:
-                    self._json({"error": str(e)}, 415)
-                    return
+                except Exception as e:  # noqa: BLE001 — corrupt/odd output
+                    self._json({"error": str(e)}, 415)      # must not kill
+                    return                                  # the thread
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))

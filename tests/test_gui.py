@@ -259,3 +259,39 @@ def test_preview_endpoint(server, tmp_path):
 
     im = Image.open(_io.BytesIO(png))
     assert im.size == (32, 24)  # 128x96 fixture scene at size 32
+
+
+def test_log_cursor_stale_after_restart_resends(server):
+    """A cursor larger than the server's total (page older than a server
+    restart) must resend the full history, not silently skip events."""
+    import logging
+
+    logging.getLogger("sarpro").setLevel(logging.INFO)
+    logging.getLogger("sarpro").info("restart-probe")
+    d = _get(server, "/api/logs?since=999999")
+    assert d["next"] >= 1
+    assert any(e["message"] == "restart-probe" for e in d["events"])
+
+
+def test_preview_corrupt_output_returns_415(server, tmp_path):
+    """A corrupt output file must produce a JSON 415, not kill the
+    handler thread."""
+    import urllib.error
+
+    base = fixtures.make_safe(tmp_path)
+    out = tmp_path / "c.tiff"
+    _post(server, "/api/state", {
+        "mode": "single", "input_path": str(base), "output_path": str(out),
+        "params": {"autoscale": "standard", "size": 32},
+    })
+    assert _post(server, "/api/process", {})["started"]
+    for _ in range(600):
+        s = _get(server, "/api/state")
+        if not s["running"] and s["last_result"]:
+            break
+        time.sleep(0.1)
+    assert s["last_result"]["ok"]
+    out.write_bytes(b"not a tiff at all")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server + "/api/preview", timeout=10)
+    assert ei.value.code == 415
