@@ -82,14 +82,26 @@ def render_preview(path: Path, max_side: int = 1024) -> tuple[bytes, str]:
 
     reader = TiffReader(path)
     try:
-        # decimated strip reads: memory stays at thumbnail scale even for a
-        # full-resolution multi-hundred-MP output (never the whole raster)
         step = max(1, -(-max(reader.height, reader.width) // max_side))
-        rows = [reader.read_strip_range(r, r + 1)[0, ::step]
-                for r in range(0, reader.height, step)]
+        if reader.tiled:
+            # read_strip_range on tiled layouts falls back to a full read —
+            # do that ONCE and decimate, never per sampled row
+            band = reader.read(1)[::step, ::step]
+        else:
+            # decimated block reads: each strip decodes at most once and
+            # memory stays near thumbnail scale for multi-hundred-MP outputs
+            block = 2048
+            rows = []
+            for r0 in range(0, reader.height, block):
+                r1 = min(r0 + block, reader.height)
+                first = -(-r0 // step) * step  # first sampled row >= r0
+                if first < r1:
+                    rows.append(reader.read_strip_range(r0, r1)
+                                [first - r0::step, ::step])
+            band = np.concatenate(rows)
     finally:
         reader.close()
-    band = np.stack(rows).astype(np.float32)
+    band = np.asarray(band).astype(np.float32)
     lo, hi = float(band.min()), float(band.max())
     u8 = np.zeros(band.shape, np.uint8) if hi <= lo else \
         np.clip((band - lo) / (hi - lo) * 255.0 + 0.5, 0, 255).astype(np.uint8)

@@ -295,3 +295,31 @@ def test_preview_corrupt_output_returns_415(server, tmp_path):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(server + "/api/preview", timeout=10)
     assert ei.value.code == 415
+
+
+def test_preview_decimation_content_exact(tmp_path):
+    """render_preview's block-decimated read must equal a straight
+    [::step, ::step] subsample of the raster (this pinned a bug where the
+    column decimation was dropped), and tiled layouts must render without
+    per-row full-read fallbacks."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from sarpro_tpu.gui.server import render_preview
+    from sarpro_tpu.io.tiffio import TiffWriter
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 65535, (5000, 3000)).astype(np.uint16)
+    p = tmp_path / "big.tiff"
+    TiffWriter(p).write([arr])
+    png, ctype = render_preview(p)
+    assert ctype == "image/png"
+    im = Image.open(_io.BytesIO(png))
+    assert im.size == (600, 1000)  # step = ceil(5000/1024) = 5
+    sub = arr[::5, ::5].astype(np.float32)
+    lo, hi = float(sub.min()), float(sub.max())
+    expect = np.clip((sub - lo) / (hi - lo) * 255.0 + 0.5,
+                     0, 255).astype(np.uint8)
+    assert np.array_equal(np.asarray(im.convert("L")), expect)
