@@ -229,6 +229,9 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                     self._json({"error": str(e)}, 400)
             elif self.path.startswith("/api/preview"):
                 with lock:
+                    done = worker.poll()  # direct API consumers may hit
+                    if done is not None:  # preview before any /api/state poll
+                        gui.last_result = done
                     result = gui.last_result
                 out = (result or {}).get("output") if isinstance(result, dict) \
                     else None
