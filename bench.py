@@ -73,10 +73,19 @@ def run_tpu_validate() -> dict:
         data = json.loads(results_path.read_text())
         prev = data.get("commit")
         if prev and sha != "unknown" and data.get("failed") == 0:
+            kernel_paths = ["sarpro_tpu/ops", "sarpro_tpu/core",
+                            "sarpro_tpu/parallel", "native",
+                            "benchmarks/tpu_validate.py"]
             try:
                 changed = subprocess.run(
                     ["git", "diff", "--name-only", prev, sha, "--",
-                     "sarpro_tpu/ops", "sarpro_tpu/core", "native"],
+                     *kernel_paths],
+                    cwd=REPO, capture_output=True, text=True, check=True,
+                ).stdout.strip()
+                # a dirty working tree over the watched paths invalidates
+                # reuse too — the artifact only vouches for committed code
+                changed += subprocess.run(
+                    ["git", "status", "--porcelain", "--", *kernel_paths],
                     cwd=REPO, capture_output=True, text=True, check=True,
                 ).stdout.strip()
             except Exception:  # noqa: BLE001 — unknown commit etc.

@@ -71,7 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-batch", type=int, default=4, metavar="K",
                    help="Batch+fast mode: stack K same-shape multiband-JPEG "
                         "scenes into one vmapped device dispatch (1 = "
-                        "per-scene)")
+                        "per-scene). On TPU, bucketed scenes may differ "
+                        "from per-scene output by <=1 u8 step (both within "
+                        "the fast-mode contract)")
     p.add_argument("--fast", action="store_true",
                    help="Fused single-program pipeline (benchmark path): one "
                         "device dispatch per band; autoscale windows within "

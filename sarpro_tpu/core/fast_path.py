@@ -225,6 +225,8 @@ def save_multiband_batch_fast(
 
     Caller guarantees: JPEG output, equal dn shapes, non-big scenes.
     """
+    import math
+
     import jax
 
     from ..parallel import sharded
@@ -233,7 +235,12 @@ def save_multiband_batch_fast(
     layout = preferred_synrgb_layout()
     vv = np.stack([np.asarray(it[0]) for it in items])
     vh = np.stack([np.asarray(it[1]) for it in items])
-    mesh = make_mesh(min(len(jax.devices()), len(items)))
+    # pure scene-parallel mesh: the scene axis must divide the bucket (gcd
+    # with the device count) and row=1 sidesteps row/channel divisibility —
+    # bucketed scenes are already downsampled, so intra-scene sharding has
+    # nothing to win here
+    n = math.gcd(len(items), len(jax.devices()))
+    mesh = make_mesh(n, shape=(n, 1))
     out = np.asarray(sharded.synrgb_batch(
         vv, vh, mesh, strategy=strategy, target_size=target_size, pad=pad,
         channel_order=layout,

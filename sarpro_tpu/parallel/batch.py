@@ -85,8 +85,16 @@ def process_directory_pipelined(
     `device_batch > 1` additionally stacks same-shape multiband-JPEG scenes
     into ONE vmapped device program (fast_path.save_multiband_batch_fast):
     one transfer + dispatch + fetch per bucket amortizes per-scene RPC and
-    dispatch overhead and raises device utilization. Partial buckets at
-    end-of-input run per-scene (avoids compiling an extra batch size).
+    dispatch overhead and raises device utilization. Buckets key on the
+    exact post-read (rows, cols); staged scenes are capped at
+    max(8, 2*device_batch) — mixed-shape directories evict the oldest
+    partial bucket per-scene, so memory stays bounded and the device is
+    never starved until end-of-input. Partial buckets at end-of-input run
+    per-scene (avoids compiling an extra batch size). Note: on TPU the
+    vmapped bucket program uses the XLA lowerings while per-scene runs the
+    Pallas kernels — both satisfy the fast-mode contract (≤1 quantization
+    bin vs exact mode), but a scene's bytes may differ by ±1 u8 step
+    depending on whether it filled a bucket.
 
     Returns a BatchReport (same counters as the reference's batch loops).
     """
@@ -245,13 +253,18 @@ def process_directory_pipelined(
                         params.size, params.pad, params.autoscale, op,
                         params.synrgb_mode, write_pool=writer_pool,
                     )
-                    for (path, *_), wfut in zip(items, futs):
-                        record_write(path, wfut)
-                    return
                 except Exception as e:  # noqa: BLE001 — fall back per-scene
                     logger.warning(
                         "device-batched dispatch failed (%s); processing "
                         "bucket per-scene", e)
+                else:
+                    # outside the try: a write-failure abort raised by
+                    # record_write/drain_writes must propagate, not be
+                    # mistaken for a dispatch failure (which would
+                    # reprocess — and re-write — the whole bucket)
+                    for (path, *_), wfut in zip(items, futs):
+                        record_write(path, wfut)
+                    return
             for path, b1, b2, out, meta in items:
                 try:
                     wfut = fast_path.save_multiband_fast(
@@ -308,6 +321,17 @@ def process_directory_pipelined(
                     continue
                 if len(buckets[key]) >= device_batch:
                     flush_bucket(key, per_scene=False)
+                else:
+                    # heterogeneous shapes never fill their buckets (exact
+                    # (rows, cols) keys): bound the staged scenes so a
+                    # mixed-shape directory neither accumulates every
+                    # scene's bands in memory nor starves the device until
+                    # end-of-input — evict the oldest partial bucket
+                    # per-scene once over the cap
+                    cap = max(8, 2 * device_batch)
+                    while sum(len(v) for v in buckets.values()) > cap:
+                        victim = next((k for k in buckets if k != key), key)
+                        flush_bucket(victim, per_scene=True)
                 continue
             try:
                 wfut = run_scene(load, write_pool=writer_pool if fast else None)

@@ -118,9 +118,12 @@ def _synrgb_batch_jit(vv, vh, strategy, target_size, pad, mesh,
         channel_order=channel_order,
     )
     out = jax.vmap(fn)(vv, vh)
-    return jax.lax.with_sharding_constraint(
-        out, NamedSharding(mesh, RGB_OUT_SPEC)
-    )
+    # ycbcr emits PLANAR (scene, 3, rows, cols): rows move to axis 2 and the
+    # 3-length channel axis must stay replicated, or the 'row' mesh axis
+    # would try to split it
+    spec = (P("scene", None, "row", None) if channel_order == "ycbcr"
+            else RGB_OUT_SPEC)
+    return jax.lax.with_sharding_constraint(out, NamedSharding(mesh, spec))
 
 
 @functools.partial(

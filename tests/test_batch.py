@@ -210,3 +210,29 @@ def test_device_batched_partial_bucket_and_mixed_shapes(tmp_path):
     assert report.processed == 3 and report.errors == 0
     for name in ("s1", "s2", "big"):
         assert (tmp_path / "mix" / f"{name}.SAFE.jpg").exists()
+
+
+def test_device_batched_mixed_shape_eviction_bounds_staging(tmp_path):
+    """12 scenes of 12 distinct shapes with device_batch=4: no bucket ever
+    fills, so the staged-scene cap (max(8, 2*K)=8) must evict the oldest
+    partial buckets per-scene mid-run — every scene still processed once,
+    no duplicates, outputs present (review finding: mixed-shape
+    directories previously accumulated every scene until end-of-input)."""
+    indir = tmp_path / "inhet"
+    indir.mkdir()
+    names = []
+    for i in range(12):
+        name = f"h{i}.SAFE"
+        names.append(name)
+        fixtures.make_safe(indir, name=name, seed=40 + i,
+                           shape=(96 + 4 * i, 128))
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.CLAHE, size=32,
+    )
+    report = process_directory_pipelined(indir, tmp_path / "het", params,
+                                         prefetch=2, fast=True,
+                                         device_batch=4)
+    assert report.processed == 12 and report.errors == 0
+    for name in names:
+        assert (tmp_path / "het" / f"{name}.jpg").exists()

@@ -181,3 +181,28 @@ def test_shardmap_tamed_and_equalized(rng, mesh):
             lambda i, s=strat: fused.synrgb_pipeline(
                 vv[i], vh[i], strategy=s, target_size=None),
             exact=True, label=str(strat))
+
+
+def test_gspmd_fallback_ycbcr_planar_sharding(rng, mesh):
+    """channel_order='ycbcr' emits PLANAR (scene, 3, rows, cols): the output
+    sharding constraint must keep the 3-length channel axis replicated and
+    move the 'row' axis to the rows dim (review finding: the interleaved
+    RGB spec tried to split the channel axis across row shards)."""
+    n_scene = mesh.shape["scene"]
+    vv = np.stack([sar_like(rng, (96, 144)) for _ in range(n_scene)])
+    vh = np.stack([sar_like(rng, (96, 144)) for _ in range(n_scene)])
+    out = np.asarray(synrgb_batch(
+        vv, vh, mesh, strategy=AutoscaleStrategy.CLAHE, target_size=96,
+        pad=True, channel_order="ycbcr",
+    ))
+    assert out.shape == (n_scene, 3, 96, 96)
+    rgb = np.asarray(synrgb_batch(
+        vv, vh, mesh, strategy=AutoscaleStrategy.CLAHE, target_size=96,
+        pad=True, channel_order="rgb",
+    ))
+    # same pixels, planar JFIF YCbCr vs interleaved RGB
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    assert np.abs(out[:, 0].astype(np.float64) - y).max() <= 1
