@@ -339,6 +339,7 @@ _ELLPS = {
     "mod_airy": (6377340.189, 1.0 / 299.3249646),
     "bessel": (6377397.155, 1.0 / 299.1528128),
     "clrk66": (6378206.4, 1.0 / 294.978698213898),
+    "clrk80ign": (6378249.2, 1.0 / 293.466021293627),
 }
 
 _TM_SERIES_CACHE: dict = {}
@@ -420,6 +421,9 @@ _DATUM_TO_WGS84 = {
     "sjtsk": dict(t=(572.213, 85.334, 461.94),
                   r=(-4.9732, -1.529, -5.2484),
                   s=3.5378, convention="coordinate_frame", ellps="bessel"),
+    # "NTF to WGS 84 (1)" — geocentric translation only
+    "ntf": dict(t=(-168.0, -60.0, 320.0), r=(0.0, 0.0, 0.0),
+                s=0.0, convention="position_vector", ellps="clrk80ign"),
 }
 
 _ARCSEC = np.pi / (180.0 * 3600.0)
@@ -516,6 +520,12 @@ _LCC_GRIDS = {
     3978: dict(lat0=49.0, lon0=-95.0, lat1=49.0, lat2=77.0, k0=1.0,
                fe=0.0, fn=0.0, ellps="grs80", datum=None,
                name="NAD83 / Canada Atlas Lambert"),
+    # Paris prime meridian expressed as a Greenwich-shifted lon0
+    # (0 grad Paris = 2.33722917 deg E Greenwich); lat0 52 gr = 46.8 deg
+    27572: dict(lat0=46.8, lon0=2.337229166666667, lat1=46.8, lat2=46.8,
+                k0=0.99987742, fe=600000.0, fn=2200000.0,
+                ellps="clrk80ign", datum="ntf",
+                name="NTF (Paris) / Lambert zone II"),
 }
 _SOMERC_GRIDS = {
     2056: dict(lat0=46.95240555555556, lon0=7.439583333333333, k0=1.0,
@@ -867,7 +877,7 @@ SUPPORTED_CRS_FAMILIES = (
     "Lambert), EPSG:3310 (California Albers), "
     "EPSG:25832/25833/25835 (ETRS89 UTM), EPSG:29902 (Irish Grid), "
     "EPSG:2157 (Irish TM), EPSG:2056 (Swiss LV95 oblique Mercator), "
-    "EPSG:5514 (Czech Krovak)"
+    "EPSG:5514 (Czech Krovak), EPSG:27572 (NTF Paris / Lambert II)"
 )
 
 
@@ -975,8 +985,37 @@ _WKT_UNIT_AXES = ('UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
                   'AXIS["Easting",EAST],AXIS["Northing",NORTH]')
 
 
+# grids whose official WKT uses non-degree units / non-Greenwich prime
+# meridians (grad + Paris): emitted as GDAL-matching literals, since the
+# generic emitter formats parameters in degrees
+_WKT_LITERAL = {
+    27572: (
+        'PROJCS["NTF (Paris) / Lambert zone II",GEOGCS["NTF (Paris)",'
+        'DATUM["Nouvelle_Triangulation_Francaise_Paris",'
+        'SPHEROID["Clarke 1880 (IGN)",6378249.2,293.466021293627,'
+        'AUTHORITY["EPSG","7011"]],'
+        'TOWGS84[-168,-60,320,0,0,0,0],'
+        'AUTHORITY["EPSG","6807"]],'
+        'PRIMEM["Paris",2.33722917,AUTHORITY["EPSG","8903"]],'
+        'UNIT["grad",0.0157079632679489,AUTHORITY["EPSG","9105"]],'
+        'AUTHORITY["EPSG","4807"]],'
+        'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+        'PARAMETER["latitude_of_origin",52],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["scale_factor",0.99987742],'
+        'PARAMETER["false_easting",600000],'
+        'PARAMETER["false_northing",2200000],'
+        'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+        'AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+        'AUTHORITY["EPSG","27572"]]'
+    ),
+}
+
+
 def epsg_to_wkt(code: int) -> Optional[str]:
     """WKT1 for the CRS family we emit (EPSG:4326, UTM WGS84, UPS)."""
+    if code in _WKT_LITERAL:
+        return _WKT_LITERAL[code]
     info = epsg_kind(code)
     if info is None:
         return None

@@ -49,6 +49,7 @@ GRIDS = {
     # Czechia-only box (north of Slovakia's EPSG extent) so cs2cs
     # deterministically picks "S-JTSK to WGS 84 (5)", the op we implement
     5514: (49.7, 51.0, 12.2, 18.5),     # S-JTSK / Krovak East North
+    27572: (44.0, 49.5, -2.0, 7.0),     # NTF (Paris) / Lambert zone II
 }
 
 
@@ -156,6 +157,7 @@ def _gcp_raster(tmp_path, code, lon0, lat0, span=0.25, rows=96, cols=128):
     (29902, -7.5, 53.3),    # Ireland
     (2056, 8.2, 46.8),      # Switzerland (oblique Mercator)
     (5514, 14.4, 50.0),     # Czechia (Krovak)
+    (27572, 2.3, 46.8),     # France legacy (Paris meridian Lambert)
 ])
 def test_warp_mapping_to_national_grid(tmp_path, code, lon0, lat0):
     """plan_warp to each new family: the coarse inverse-mapping grid the
