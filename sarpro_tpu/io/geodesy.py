@@ -424,6 +424,13 @@ _DATUM_TO_WGS84 = {
     # "NTF to WGS 84 (1)" — geocentric translation only
     "ntf": dict(t=(-168.0, -60.0, 320.0), r=(0.0, 0.0, 0.0),
                 s=0.0, convention="position_vector", ellps="clrk80ign"),
+    # "DHDN to WGS 84 (4)": the BETA2007 NTv2 distortion grid (what
+    # cs2cs/gdalwarp use when the grid file is installed); the Helmert
+    # parameters are the grid-free "(2)" fallback for points outside the
+    # grid or hosts without it
+    "dhdn": dict(t=(598.1, 73.7, 418.2), r=(0.202, 0.045, -2.455),
+                 s=6.7, convention="position_vector", ellps="bessel",
+                 grid="BETA2007.gsb"),
 }
 
 _ARCSEC = np.pi / (180.0 * 3600.0)
@@ -466,9 +473,26 @@ def _ecef_to_geodetic(x, y, z, ellps: str):
 
 
 def _datum_shift(lon, lat, datum: str, to_wgs84: bool):
-    """Shift geodetic coordinates between WGS84 and a local datum via
-    ECEF Helmert (heights treated as 0 and discarded — PROJ's push/pop v_3)."""
+    """Shift geodetic coordinates between WGS84 and a local datum via an
+    NTv2 distortion grid when the datum declares one and the file is
+    installed (what cs2cs/gdalwarp do), else via ECEF Helmert (heights
+    treated as 0 and discarded — PROJ's push/pop v_3)."""
     d = _DATUM_TO_WGS84[datum]
+    if "grid" in d:
+        from .ntv2 import load_grid
+
+        grid = load_grid(d["grid"])
+        if grid is not None:
+            lon2, lat2, ok = grid.apply(lon, lat, forward=to_wgs84)
+            if bool(np.all(ok)):
+                return lon2, lat2
+            # points outside the grid: Helmert fallback just for those
+            hl, hb = _helmert_shift(lon, lat, d, to_wgs84)
+            return np.where(ok, lon2, hl), np.where(ok, lat2, hb)
+    return _helmert_shift(lon, lat, d, to_wgs84)
+
+
+def _helmert_shift(lon, lat, d: dict, to_wgs84: bool):
     scale = 1.0 + d["s"] * 1e-6
     rot = _helmert_rotation(d["r"], d["convention"])
     t = np.asarray(d["t"])
@@ -502,6 +526,16 @@ _TM_GRIDS = {
                name="NZGD2000 / New Zealand Transverse Mercator 2000"),
     29902: dict(lat0=53.5, lon0=-8.0, k0=1.000035, fe=200000.0, fn=250000.0,
                 ellps="mod_airy", datum="tm65", name="TM65 / Irish Grid"),
+    # German Gauss-Krüger zones (NTv2 BETA2007 grid-shift datum)
+    31466: dict(lat0=0.0, lon0=6.0, k0=1.0, fe=2500000.0, fn=0.0,
+                ellps="bessel", datum="dhdn",
+                name="DHDN / 3-degree Gauss-Kruger zone 2"),
+    31467: dict(lat0=0.0, lon0=9.0, k0=1.0, fe=3500000.0, fn=0.0,
+                ellps="bessel", datum="dhdn",
+                name="DHDN / 3-degree Gauss-Kruger zone 3"),
+    31468: dict(lat0=0.0, lon0=12.0, k0=1.0, fe=4500000.0, fn=0.0,
+                ellps="bessel", datum="dhdn",
+                name="DHDN / 3-degree Gauss-Kruger zone 4"),
     2157: dict(lat0=53.5, lon0=-8.0, k0=0.99982, fe=600000.0, fn=750000.0,
                ellps="grs80", datum=None,
                name="IRENET95 / Irish Transverse Mercator"),
@@ -877,7 +911,8 @@ SUPPORTED_CRS_FAMILIES = (
     "Lambert), EPSG:3310 (California Albers), "
     "EPSG:25832/25833/25835 (ETRS89 UTM), EPSG:29902 (Irish Grid), "
     "EPSG:2157 (Irish TM), EPSG:2056 (Swiss LV95 oblique Mercator), "
-    "EPSG:5514 (Czech Krovak), EPSG:27572 (NTF Paris / Lambert II)"
+    "EPSG:5514 (Czech Krovak), EPSG:27572 (NTF Paris / Lambert II), "
+    "EPSG:31466/31467/31468 (DHDN Gauss-Kruger, NTv2 grid datum)"
 )
 
 
@@ -961,6 +996,16 @@ _WKT_GEOGCS_BY_DATUM = {
         f'AUTHORITY["EPSG","6150"]],{_WKT_ANGULAR},'
         f'AUTHORITY["EPSG","4150"]]'
     ),
+    "dhdn": (
+        # TOWGS84 carries the grid-free Helmert fallback; the NTv2
+        # BETA2007 grid (when installed) supersedes it at transform time
+        f'GEOGCS["DHDN",DATUM["Deutsches_Hauptdreiecksnetz",'
+        f'SPHEROID["Bessel 1841",6377397.155,299.1528128,'
+        f'AUTHORITY["EPSG","7004"]],'
+        f'TOWGS84[598.1,73.7,418.2,0.202,0.045,-2.455,6.7],'
+        f'AUTHORITY["EPSG","6314"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4314"]]'
+    ),
     "sjtsk": (
         # TOWGS84 is position-vector: the EPSG (5) op is coordinate-frame,
         # so its rotations flip sign here
@@ -979,7 +1024,7 @@ _GRID_BASE_DATUM = {
     25835: "etrs89", 2154: "rgf93", 3347: "nad83", 24200: "jad69",
     5070: "nad83", 3577: "gda94", 2193: "nzgd2000", 3978: "nad83",
     3310: "nad83", 29902: "tm65", 2157: "irenet95", 2056: "ch1903plus",
-    5514: "sjtsk",
+    5514: "sjtsk", 31466: "dhdn", 31467: "dhdn", 31468: "dhdn",
 }
 _WKT_UNIT_AXES = ('UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
                   'AXIS["Easting",EAST],AXIS["Northing",NORTH]')

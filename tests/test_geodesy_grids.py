@@ -6,6 +6,7 @@ self-contained projection math for the most common national grids against
 the system PROJ (`cs2cs`) as oracle, check WKT emission round-trips, and
 drive the full warp path to the new families.
 """
+import pathlib
 import shutil
 import subprocess
 
@@ -26,7 +27,7 @@ HAS_PROJINFO = shutil.which("projinfo") is not None
 # CRSs whose OFFICIAL axis order is (northing, easting): cs2cs prints N,E
 # and projinfo cannot match our (traditional GIS, GDAL-style) E,N WKT at
 # 100%. The framework, like GDAL, always works in E,N.
-AXIS_NORTH_EAST = {2193}
+AXIS_NORTH_EAST = {2193, 31466, 31467, 31468}
 
 # (code, in-domain probe lat/lon box: lat_lo, lat_hi, lon_lo, lon_hi)
 GRIDS = {
@@ -50,6 +51,11 @@ GRIDS = {
     # deterministically picks "S-JTSK to WGS 84 (5)", the op we implement
     5514: (49.7, 51.0, 12.2, 18.5),     # S-JTSK / Krovak East North
     27572: (44.0, 49.5, -2.0, 7.0),     # NTF (Paris) / Lambert zone II
+    # Germany box inside the BETA2007 NTv2 grid: the datum leg runs
+    # through the distortion grid, exactly as cs2cs does
+    31466: (47.5, 54.5, 6.5, 9.0),      # DHDN / Gauss-Kruger zone 2
+    31467: (47.5, 54.5, 7.0, 11.0),     # DHDN / Gauss-Kruger zone 3
+    31468: (47.5, 54.5, 10.5, 14.5),    # DHDN / Gauss-Kruger zone 4
 }
 
 
@@ -158,6 +164,7 @@ def _gcp_raster(tmp_path, code, lon0, lat0, span=0.25, rows=96, cols=128):
     (2056, 8.2, 46.8),      # Switzerland (oblique Mercator)
     (5514, 14.4, 50.0),     # Czechia (Krovak)
     (27572, 2.3, 46.8),     # France legacy (Paris meridian Lambert)
+    (31467, 9.5, 50.5),     # Germany (NTv2 grid-shift datum)
 ])
 def test_warp_mapping_to_national_grid(tmp_path, code, lon0, lat0):
     """plan_warp to each new family: the coarse inverse-mapping grid the
@@ -224,3 +231,54 @@ def test_safe_open_warps_to_lambert93(tmp_path):
     # fixture scene sits near lon 11E lat 46N; Lambert-93 coordinates there
     x, y = geodesy.project_forward(11.125, 45.875, 2154)
     assert abs(gt[0] - x) < 100000 and abs(gt[3] - y) < 100000
+
+
+# ---------------------------------------------------------------------------
+# NTv2 grid-shift reader
+# ---------------------------------------------------------------------------
+HAS_BETA2007 = any(
+    (pathlib.Path(d) / "BETA2007.gsb").is_file()
+    for d in ("/usr/share/proj",) if pathlib.Path(d).is_dir()
+)
+
+
+@pytest.mark.skipif(not HAS_BETA2007, reason="BETA2007.gsb not installed")
+def test_ntv2_reader_parses_beta2007():
+    from sarpro_tpu.io.ntv2 import load_grid
+
+    g = load_grid("BETA2007.gsb")
+    assert g is not None
+    assert g.source.startswith("DHDN") and g.target.startswith("ETRS")
+    (sub,) = g.subgrids
+    # 84 x 62 nodes over Germany (47N..55.3N, 5.5E..15.67E)
+    assert sub.shifts.shape == (84, 62, 2)
+    dlat, dwest = g.shift(9.0, 50.0)
+    # DHDN->ETRS89 over Germany is a few arc-seconds
+    assert 0.1 < abs(float(dlat)) < 10 and 0.1 < abs(float(dwest)) < 10
+
+
+@pytest.mark.skipif(not HAS_BETA2007, reason="BETA2007.gsb not installed")
+def test_ntv2_forward_inverse_roundtrip():
+    from sarpro_tpu.io.ntv2 import load_grid
+
+    g = load_grid("BETA2007.gsb")
+    lons = np.linspace(6.5, 14.5, 9)
+    lats = np.linspace(47.5, 54.5, 9)
+    lo, la = np.meshgrid(lons, lats)
+    lon2, lat2, ok = g.apply(lo.ravel(), la.ravel(), forward=True)
+    assert ok.all()
+    lon3, lat3, ok2 = g.apply(lon2, lat2, forward=False)
+    assert ok2.all()
+    # sub-millimeter round trip through the iterative inverse
+    assert np.hypot(lon3 - lo.ravel(), lat3 - la.ravel()).max() * 111000 < 1e-3
+
+
+def test_ntv2_outside_grid_falls_back_to_helmert():
+    """Points outside the BETA2007 extent (or hosts without the file) use
+    the DHDN Helmert fallback — the shift must still produce a plausible
+    (~100 m class) displacement, never NaN/passthrough."""
+    from sarpro_tpu.io.geodesy import _datum_shift
+
+    lon, lat = _datum_shift(-3.0, 40.0, "dhdn", to_wgs84=True)  # Madrid
+    d_m = float(np.hypot(lon - -3.0, lat - 40.0)) * 111000
+    assert np.isfinite(d_m) and 10 < d_m < 500
