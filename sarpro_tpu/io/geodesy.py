@@ -415,6 +415,11 @@ _DATUM_TO_WGS84 = {
     # "CH1903+ to WGS 84 (1)" — geocentric translation only
     "ch1903plus": dict(t=(674.374, 15.056, 405.346), r=(0.0, 0.0, 0.0),
                        s=0.0, convention="position_vector", ellps="bessel"),
+    # "CH1903 to WGS 84 (2)" — same translation (PROJ's grid-free pick;
+    # the CHENyx06 grid op needs a .tif PROJ does not map from the
+    # installed .gsb)
+    "ch1903": dict(t=(674.374, 15.056, 405.346), r=(0.0, 0.0, 0.0),
+                   s=0.0, convention="position_vector", ellps="bessel"),
     # "S-JTSK to WGS 84 (5)" (EPSG:5239, 1.0 m, Czechia) — the op cs2cs
     # late-binding picks for Czech points, NOT the 6 m (3) translation
     # that EPSG:5514's +towgs84 string advertises
@@ -565,6 +570,9 @@ _SOMERC_GRIDS = {
     2056: dict(lat0=46.95240555555556, lon0=7.439583333333333, k0=1.0,
                fe=2600000.0, fn=1200000.0, ellps="bessel",
                datum="ch1903plus", name="CH1903+ / LV95"),
+    21781: dict(lat0=46.95240555555556, lon0=7.439583333333333, k0=1.0,
+                fe=600000.0, fn=200000.0, ellps="bessel",
+                datum="ch1903", name="CH1903 / LV03"),
 }
 _KROVAK_GRIDS = {
     # East-North variant (EPSG 1041): E = -Westing, N = -Southing
@@ -912,7 +920,8 @@ SUPPORTED_CRS_FAMILIES = (
     "EPSG:25832/25833/25835 (ETRS89 UTM), EPSG:29902 (Irish Grid), "
     "EPSG:2157 (Irish TM), EPSG:2056 (Swiss LV95 oblique Mercator), "
     "EPSG:5514 (Czech Krovak), EPSG:27572 (NTF Paris / Lambert II), "
-    "EPSG:31466/31467/31468 (DHDN Gauss-Kruger, NTv2 grid datum)"
+    "EPSG:31466/31467/31468 (DHDN Gauss-Kruger, NTv2 grid datum), "
+    "EPSG:21781 (Swiss LV03)"
 )
 
 
@@ -996,6 +1005,14 @@ _WKT_GEOGCS_BY_DATUM = {
         f'AUTHORITY["EPSG","6150"]],{_WKT_ANGULAR},'
         f'AUTHORITY["EPSG","4150"]]'
     ),
+    "ch1903": (
+        f'GEOGCS["CH1903",DATUM["CH1903",'
+        f'SPHEROID["Bessel 1841",6377397.155,299.1528128,'
+        f'AUTHORITY["EPSG","7004"]],'
+        f'TOWGS84[674.374,15.056,405.346,0,0,0,0],'
+        f'AUTHORITY["EPSG","6149"]],{_WKT_ANGULAR},'
+        f'AUTHORITY["EPSG","4149"]]'
+    ),
     "dhdn": (
         # TOWGS84 carries the grid-free Helmert fallback; the NTv2
         # BETA2007 grid (when installed) supersedes it at transform time
@@ -1025,6 +1042,7 @@ _GRID_BASE_DATUM = {
     5070: "nad83", 3577: "gda94", 2193: "nzgd2000", 3978: "nad83",
     3310: "nad83", 29902: "tm65", 2157: "irenet95", 2056: "ch1903plus",
     5514: "sjtsk", 31466: "dhdn", 31467: "dhdn", 31468: "dhdn",
+    21781: "ch1903",
 }
 _WKT_UNIT_AXES = ('UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
                   'AXIS["Easting",EAST],AXIS["Northing",NORTH]')

@@ -47,6 +47,7 @@ GRIDS = {
     29902: (51.4, 55.4, -10.5, -5.4),   # TM65 / Irish Grid (mod Airy + Helmert)
     2157: (51.4, 55.4, -10.5, -5.4),    # IRENET95 / Irish TM
     2056: (45.8, 47.8, 6.0, 10.5),      # CH1903+ / LV95 (Swiss somerc + datum)
+    21781: (45.8, 47.8, 6.0, 10.5),     # CH1903 / LV03 (legacy Swiss)
     # Czechia-only box (north of Slovakia's EPSG extent) so cs2cs
     # deterministically picks "S-JTSK to WGS 84 (5)", the op we implement
     5514: (49.7, 51.0, 12.2, 18.5),     # S-JTSK / Krovak East North
