@@ -225,8 +225,6 @@ def save_multiband_batch_fast(
 
     Caller guarantees: JPEG output, equal dn shapes, non-big scenes.
     """
-    import math
-
     import jax
 
     from ..parallel import sharded
@@ -235,11 +233,15 @@ def save_multiband_batch_fast(
     layout = preferred_synrgb_layout()
     vv = np.stack([np.asarray(it[0]) for it in items])
     vh = np.stack([np.asarray(it[1]) for it in items])
-    # pure scene-parallel mesh: the scene axis must divide the bucket (gcd
-    # with the device count) and row=1 sidesteps row/channel divisibility —
-    # bucketed scenes are already downsampled, so intra-scene sharding has
-    # nothing to win here
-    n = math.gcd(len(items), len(jax.devices()))
+    # pure scene-parallel mesh: the scene axis must DIVIDE the bucket, and
+    # row=1 sidesteps row/channel divisibility — bucketed scenes are
+    # already downsampled, so intra-scene sharding has nothing to win
+    # here. Pick the LARGEST divisor of the bucket that fits the device
+    # count (gcd would collapse coprime configs, e.g. 3 scenes on 4
+    # devices, to one device).
+    n_dev = len(jax.devices())
+    n = max(d for d in range(1, min(n_dev, len(items)) + 1)
+            if len(items) % d == 0)
     mesh = make_mesh(n, shape=(n, 1))
     out = np.asarray(sharded.synrgb_batch(
         vv, vh, mesh, strategy=strategy, target_size=target_size, pad=pad,

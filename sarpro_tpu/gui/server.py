@@ -137,6 +137,14 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
     wildcard_bind = host in ("0.0.0.0", "::", "")
     allowed_hosts = {"localhost", "127.0.0.1", "[::1]", host.lower()}
 
+    def drain_result():
+        """Move a finished worker result into gui.last_result (call under
+        `lock`); both /api/state and /api/preview need it."""
+        done = worker.poll()
+        if done is not None:
+            gui.last_result = done
+        return gui.last_result
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -176,9 +184,7 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                 self.wfile.write(body)
             elif self.path == "/api/state":
                 with lock:
-                    done = worker.poll()
-                    if done is not None:
-                        gui.last_result = done
+                    drain_result()
                     gui.running = worker.busy()
                     self._json(gui.to_dict())
             elif self.path.startswith("/api/logs"):
@@ -229,10 +235,9 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                     self._json({"error": str(e)}, 400)
             elif self.path.startswith("/api/preview"):
                 with lock:
-                    done = worker.poll()  # direct API consumers may hit
-                    if done is not None:  # preview before any /api/state poll
-                        gui.last_result = done
-                    result = gui.last_result
+                    # direct API consumers may hit preview before any
+                    # /api/state poll
+                    result = drain_result()
                 out = (result or {}).get("output") if isinstance(result, dict) \
                     else None
                 if not out or not Path(out).is_file():

@@ -28,11 +28,13 @@ from typing import Optional
 
 import numpy as np
 
-_SEARCH_DIRS = (
-    os.environ.get("PROJ_DATA") or os.environ.get("PROJ_LIB"),
-    "/usr/share/proj",
-    str(Path.home() / ".local" / "share" / "proj"),
-)
+def _search_dirs():
+    # evaluated per lookup so PROJ_DATA set after import still works
+    return (
+        os.environ.get("PROJ_DATA") or os.environ.get("PROJ_LIB"),
+        "/usr/share/proj",
+        str(Path.home() / ".local" / "share" / "proj"),
+    )
 
 
 @dataclasses.dataclass
@@ -165,20 +167,25 @@ _CACHE: dict = {}
 
 
 def load_grid(filename: str) -> Optional[Ntv2Grid]:
-    """Locate + parse a grid by filename via the PROJ search paths;
-    None (cached) when absent or unreadable."""
-    if filename in _CACHE:
-        return _CACHE[filename]
-    grid = None
-    for d in _SEARCH_DIRS:
+    """Locate + parse a grid by filename via the PROJ search paths; None
+    when absent or unreadable (any parse failure — truncated headers raise
+    KeyError/IndexError, bad node counts ValueError — degrades to the
+    caller's Helmert fallback). Parsed grids are cached by resolved path;
+    misses are NOT cached, so grids installed (or PROJ_DATA set) after
+    first use are picked up."""
+    for d in _search_dirs():
         if not d:
             continue
         p = Path(d) / filename
-        if p.is_file():
-            try:
-                grid = Ntv2Grid(p)
-            except (OSError, ValueError, struct.error):
-                grid = None
-            break
-    _CACHE[filename] = grid
-    return grid
+        if not p.is_file():
+            continue
+        key = str(p)
+        if key in _CACHE:
+            return _CACHE[key]
+        try:
+            grid = Ntv2Grid(p)
+        except Exception:  # noqa: BLE001 — malformed binary, any shape
+            grid = None
+        _CACHE[key] = grid
+        return grid
+    return None

@@ -283,3 +283,24 @@ def test_ntv2_outside_grid_falls_back_to_helmert():
     lon, lat = _datum_shift(-3.0, 40.0, "dhdn", to_wgs84=True)  # Madrid
     d_m = float(np.hypot(lon - -3.0, lat - 40.0)) * 111000
     assert np.isfinite(d_m) and 10 < d_m < 500
+
+
+@pytest.mark.skipif(not HAS_BETA2007, reason="BETA2007.gsb not installed")
+def test_ntv2_truncated_grid_degrades_to_none(tmp_path, monkeypatch):
+    """A truncated/malformed .gsb must load as None (→ Helmert fallback),
+    never crash the transform; and a miss is not cached, so a grid
+    installed later is picked up."""
+    from sarpro_tpu.io import ntv2
+
+    src = pathlib.Path("/usr/share/proj/BETA2007.gsb").read_bytes()
+    monkeypatch.setenv("PROJ_DATA", str(tmp_path))
+    ntv2._CACHE.clear()
+    for n in (100, 180, 250, 2000):
+        (tmp_path / "BETA2007.gsb").write_bytes(src[:n])
+        ntv2._CACHE.clear()
+        assert ntv2.load_grid("BETA2007.gsb") is None, n
+    # now install the real grid at the same path: picked up immediately
+    (tmp_path / "BETA2007.gsb").write_bytes(src)
+    ntv2._CACHE.clear()
+    assert ntv2.load_grid("BETA2007.gsb") is not None
+    ntv2._CACHE.clear()
