@@ -75,9 +75,10 @@ def parse_epsg(wkt: str) -> Optional[int]:
 
 
 class RasterReader:
-    """Opens any (Geo)TIFF raster via the self-contained codec, and common
-    non-TIFF formats (PNG/JPEG/BMP/GIF/PPM/WebP, world-file georeferencing)
-    via the PIL backend — the format breadth of the reference's
+    """Opens any (Geo)TIFF raster via the self-contained codec, common
+    non-TIFF formats (PNG/JPEG/JPEG2000/BMP/GIF/PPM/WebP, world-file
+    georeferencing) via the PIL backend, and CF-convention netCDF classic
+    grids via the scipy backend — the format breadth of the reference's
     GdalSarReader::open (gdal.rs:57-104)."""
 
     def __init__(self, path: str | Path):
@@ -96,6 +97,10 @@ class RasterReader:
                 raise
             except Exception as e:  # pragma: no cover
                 raise RasterError(f"failed to open raster {self.path}: {e}") from e
+        elif magic[:3] == b"CDF" or magic.startswith(b"\x89HDF"):
+            from .ncraster import NetcdfRaster
+
+            self._tiff = NetcdfRaster(self.path)
         else:
             from .pilraster import PIL_EXTENSIONS, PilRaster
 

@@ -756,3 +756,105 @@ def test_jp2_world_file_georeferencing(tmp_path, rng):
     gt = r.metadata.geotransform
     assert gt[0] == pytest.approx(500000.0) and gt[3] == pytest.approx(4000000.0)
     assert gt[1] == 10.0 and gt[5] == -10.0
+
+
+def _write_nc(path, var_name, data, y=None, x=None, var_attrs=None,
+              extra_vars=None, global_attrs=None, dims=("y", "x")):
+    """CF-style classic netCDF writer for the reader tests (scipy backend)."""
+    from scipy.io import netcdf_file
+
+    with netcdf_file(str(path), "w") as nc:
+        for k, v in (global_attrs or {}).items():
+            setattr(nc, k, v)
+        lead = data.shape[:-2]
+        all_dims = tuple(f"d{i}" for i in range(len(lead))) + tuple(dims)
+        for d, n in zip(all_dims, data.shape):
+            nc.createDimension(d, n)
+        if y is not None:
+            vy = nc.createVariable(dims[0], y.dtype, (dims[0],))
+            vy[:] = y
+            vy.units = "m" if dims[0] == "y" else "degrees_north"
+        if x is not None:
+            vx = nc.createVariable(dims[1], x.dtype, (dims[1],))
+            vx[:] = x
+            vx.units = "m" if dims[1] == "x" else "degrees_east"
+        v = nc.createVariable(var_name, data.dtype, all_dims)
+        v[:] = data
+        for k, val in (var_attrs or {}).items():
+            setattr(v, k, val)
+        for name, (vdata, vdims, vattrs) in (extra_vars or {}).items():
+            # scipy's scalar-variable writer breaks on modern numpy; give
+            # grid-mapping variables a 1-length dimension instead
+            if not vdims:
+                nc.createDimension(f"{name}_scalar", 1)
+                vdims = (f"{name}_scalar",)
+                vdata = np.asarray(vdata).reshape(1)
+            ev = nc.createVariable(name, vdata.dtype, vdims)
+            ev[:] = vdata
+            for k, val in vattrs.items():
+                setattr(ev, k, val)
+
+
+def test_netcdf_raster_reads_values_and_geotransform(tmp_path, rng):
+    """netCDF classic grid (format breadth of GdalSarReader::open,
+    gdal.rs:57-104): values read exactly, pixel-center coordinate axes
+    become a GDAL edge-anchored geotransform."""
+    from sarpro_tpu.io.raster import RasterReader
+
+    a = rng.integers(0, 60000, (24, 30)).astype(np.int32)
+    # 10m pixels, y descending from 4000000 (north-up), x from 500000
+    y = (4000000.0 - 5.0 - 10.0 * np.arange(24)).astype(np.float64)
+    x = (500000.0 + 5.0 + 10.0 * np.arange(30)).astype(np.float64)
+    _write_nc(tmp_path / "g.nc", "sigma0", a, y=y, x=x,
+              global_attrs={"title": "test grid"})
+    r = RasterReader(tmp_path / "g.nc")
+    assert (r.metadata.size_x, r.metadata.size_y) == (30, 24)
+    assert r.metadata.bands == 1
+    gt = r.metadata.geotransform
+    assert gt[0] == pytest.approx(500000.0) and gt[3] == pytest.approx(4000000.0)
+    assert gt[1] == pytest.approx(10.0) and gt[5] == pytest.approx(-10.0)
+    np.testing.assert_array_equal(r.read_band(1), a.astype(np.float32))
+    assert r.metadata.metadata.get("NC_GLOBAL#title") == "test grid"
+
+
+def test_netcdf_raster_grid_mapping_epsg_and_bands(tmp_path, rng):
+    """grid_mapping spatial_ref WKT resolves the EPSG code; a 3D variable
+    exposes one band per leading slice."""
+    from sarpro_tpu.io.raster import RasterReader
+
+    a = rng.random((3, 8, 10)).astype(np.float32)
+    wkt = ('PROJCS["WGS 84 / UTM zone 32N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]],PROJECTION['
+           '"Transverse_Mercator"],AUTHORITY["EPSG","32632"]]')
+    _write_nc(tmp_path / "m.nc", "backscatter", a,
+              var_attrs={"grid_mapping": "crs"},
+              extra_vars={"crs": (np.int32(0), (), {"spatial_ref": wkt})})
+    r = RasterReader(tmp_path / "m.nc")
+    assert r.metadata.bands == 3
+    assert r.metadata.epsg == 32632
+    np.testing.assert_allclose(r.read_band(3), a[2], rtol=1e-6)
+
+
+def test_netcdf_raster_lonlat_degrees_is_4326(tmp_path, rng):
+    """degree-unit lon/lat coordinate axes imply EPSG:4326 like GDAL's
+    netCDF driver."""
+    from sarpro_tpu.io.raster import RasterReader
+
+    a = rng.integers(0, 255, (6, 9)).astype(np.int16)
+    lat = (50.0 - 0.25 * np.arange(6)).astype(np.float64)
+    lon = (10.0 + 0.25 * np.arange(9)).astype(np.float64)
+    _write_nc(tmp_path / "ll.nc", "dn", a, y=lat, x=lon, dims=("lat", "lon"))
+    r = RasterReader(tmp_path / "ll.nc")
+    assert r.metadata.epsg == 4326
+
+
+def test_netcdf_hdf5_container_rejected(tmp_path):
+    """netCDF-4 (HDF5) magic gets a clear RasterError, not a parse crash."""
+    from sarpro_tpu.errors import RasterError
+    from sarpro_tpu.io.raster import RasterReader
+
+    p = tmp_path / "v4.nc"
+    p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(RasterError, match="netCDF-4"):
+        RasterReader(p)
