@@ -11,6 +11,9 @@ Checks (PASS/FAIL per line, nonzero exit on any FAIL):
   clahe        — bilinear CDF lookup vs XLA within the hi/lo bf16 split
                  bound (~2e-5), incl. the row_offset shard path
   synrgb       — bit-exact LUT composition vs XLA takes
+  synrgb_formula — ln-table+exp blue formula vs the table oracle, exhaustive
+                 256x256 domain for default + all suppressed floors, plus
+                 the fused in-graph stacked-table selection path
   resample     — banded-DMA kernel vs the tap-loop (box + lanczos, incl.
                  column-split heavy reductions) within f32 matmul bounds
   warp         — tiled sampler vs the XLA gather sampler (near/bilinear/
@@ -86,6 +89,52 @@ def main():
         got = np.asarray(K.synrgb_lookup(b1, b2, lr, lg, lb))
         want = np.asarray(K._synrgb_lookup_xla(b1, b2, lr, lg, lb))
         check(f"synrgb n={n}", np.array_equal(got, want))
+
+    # formulaic synRGB: exhaustive 256x256 domain, default + every
+    # reachable suppressed floor, vs the XLA table oracle (bit-exact)
+    from sarpro_tpu.core import synthetic_rgb as S
+
+    b1d, b2d = np.meshgrid(np.arange(256, dtype=np.uint8),
+                           np.arange(256, dtype=np.uint8), indexing="ij")
+    fb1, fb2 = jnp.asarray(b1d.ravel()), jnp.asarray(b2d.ravel())
+    lut_r, lut_g, lut_b = S.default_luts()
+    want = np.asarray(K._synrgb_lookup_xla(
+        fb1, fb2, jnp.asarray(lut_r), jnp.asarray(lut_g),
+        jnp.asarray(lut_b.reshape(256, 256))))
+    got = np.asarray(K.synrgb_lookup_formula(
+        fb1, fb2, *S.default_formula_tables(), guard_b2=True))
+    check("synrgb_formula default full-domain", np.array_equal(got, want))
+    nbad = 0
+    for fc in range(3, 41):
+        slr, slg, slb = S.suppressed_luts(fc)
+        want = np.asarray(K._synrgb_lookup_xla(
+            fb1, fb2, jnp.asarray(slr), jnp.asarray(slg),
+            jnp.asarray(slb.reshape(256, 256))))
+        got = np.asarray(K.synrgb_lookup_formula(
+            fb1, fb2, *S.suppressed_formula_tables(fc), guard_b2=False))
+        nbad += int((got != want).any(axis=1).sum())
+    check("synrgb_formula suppressed floors 3..40", nbad == 0,
+          f"mismatched pairs={nbad}")
+
+    # fused suppressed path: in-graph stacked-table selection vs an oracle
+    # built from the host floor + XLA table lookup
+    from sarpro_tpu.core import fused as F
+
+    sb1 = jnp.asarray(rng.integers(0, 256, (512, 512)).astype(np.uint8))
+    sb2 = jnp.asarray(rng.integers(0, 64, (512, 512)).astype(np.uint8))
+    got = np.asarray(jax.jit(F._synrgb_suppressed)(sb1, sb2))
+    hist = (np.bincount(np.asarray(sb1).ravel(), minlength=256)
+            + np.bincount(np.asarray(sb2).ravel(), minlength=256))
+    cum = np.cumsum(hist)
+    fv = int(np.argmax(cum >= np.floor(sb1.size * 2 * 0.05 + 0.5)))
+    fc = min(fv + 3, 40)
+    olr, olg, olb = S.suppressed_luts(fc)
+    rgb = np.asarray(K._synrgb_lookup_xla(
+        sb1.ravel(), sb2.ravel(), jnp.asarray(olr), jnp.asarray(olg),
+        jnp.asarray(olb.reshape(256, 256)))).reshape(512, 512, 3)
+    water = ((np.asarray(sb1) <= fc) & (np.asarray(sb2) <= fc))[..., None]
+    want = np.where(water, np.uint8(0), rgb)
+    check("fused suppressed formula-path", np.array_equal(got, want))
 
     # resample: banded kernel vs tap loop
     from sarpro_tpu.core.resize import _build_coeffs, _resample_axis0

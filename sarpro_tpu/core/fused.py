@@ -335,8 +335,15 @@ def _band_u8(dn, strategy: AutoscaleStrategy, tamed_copol: bool | None,
 
 
 def _synrgb_default(b1, b2):
-    from ..ops import synrgb_lookup
+    from ..ops import synrgb_lookup, synrgb_lookup_formula
+    from ..ops.kernels import use_pallas
+    from .synthetic_rgb import default_formula_tables
 
+    tabs = default_formula_tables() if use_pallas() else None
+    if tabs is not None:
+        rgb = synrgb_lookup_formula(b1.ravel(), b2.ravel(), *tabs,
+                                    guard_b2=True)
+        return rgb.reshape(b1.shape + (3,))
     lut_r, lut_g, lut_b = default_luts()
     rgb = synrgb_lookup(b1.ravel(), b2.ravel(), jnp.asarray(lut_r),
                         jnp.asarray(lut_g), jnp.asarray(lut_b))
@@ -381,6 +388,10 @@ def _synrgb_suppressed(b1, b2, row_axis: str | None = None,
     (reference: synthetic_rgb.rs:88-178)."""
     from ..ops import histogram, synrgb_lookup
 
+    from ..ops import synrgb_lookup_formula
+    from ..ops.kernels import use_pallas
+    from .synthetic_rgb import suppressed_formula_tables_stacked
+
     i1 = b1.astype(jnp.int32)
     i2 = b2.astype(jnp.int32)
     hist = histogram(jnp.concatenate([i1.ravel(), i2.ravel()]), 256)
@@ -388,9 +399,16 @@ def _synrgb_suppressed(b1, b2, row_axis: str | None = None,
         hist = jax.lax.psum(hist, row_axis)
     floor_c = _suppressed_floor(hist, (b1.size + b2.size) * row_shards)
 
-    lut_r, lut_g, lut_b = _suppressed_luts(floor_c)
-
-    rgb = synrgb_lookup(i1.ravel(), i2.ravel(), lut_r, lut_g, lut_b)
+    stacked = suppressed_formula_tables_stacked() if use_pallas() else None
+    if stacked is not None:
+        # data-dependent floor selects the per-floor formula tables in-graph
+        idx = floor_c.astype(jnp.int32) - 3  # floor_c is integer-valued >= 3
+        tabs = tuple(jnp.take(a, idx, axis=0) for a in stacked)
+        rgb = synrgb_lookup_formula(i1.ravel(), i2.ravel(), *tabs,
+                                    guard_b2=False)
+    else:
+        lut_r, lut_g, lut_b = _suppressed_luts(floor_c)
+        rgb = synrgb_lookup(i1.ravel(), i2.ravel(), lut_r, lut_g, lut_b)
     rgb = rgb.reshape(b1.shape + (3,))
     water = ((i1.astype(jnp.float32) <= floor_c)
              & (i2.astype(jnp.float32) <= floor_c))[..., None]

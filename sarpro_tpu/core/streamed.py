@@ -319,6 +319,22 @@ def _pass_compose_suppressed(rgb_buf, b1, b2, floor_c, lut_r, lut_g, lut_b,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("n", "fc"))
+def _pass_compose_suppressed_formula(rgb_buf, b1, b2, r0, n: int, fc: int):
+    from ..ops import synrgb_lookup_formula
+    from .synthetic_rgb import suppressed_formula_tables
+
+    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
+    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
+    rgb = synrgb_lookup_formula(
+        c1.ravel(), c2.ravel(), *suppressed_formula_tables(fc),
+        guard_b2=False).reshape(c1.shape + (3,))
+    water = (c1 <= fc) & (c2 <= fc)
+    rgb = jnp.where(water[..., None], jnp.uint8(0), rgb)
+    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("n",))
 def _pass_compose_default(rgb_buf, b1, b2, r0, n: int):
     c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
@@ -376,6 +392,15 @@ def synrgb_streamed(vv_dn, vh_dn,
     # padded 40000^2 dual-band = 3.2e9); semantics match the reference's
     # integer counting (synthetic_rgb.rs:96-110)
     floor_c = _suppressed_floor_host(hist, 2 * rows * cols)
+    from ..ops.kernels import use_pallas
+    from .synthetic_rgb import suppressed_formula_tables
+
+    fc = int(np.asarray(floor_c))
+    tabs = suppressed_formula_tables(fc) if use_pallas() else None
+    if tabs is not None:
+        for r0, n in chunks:
+            rgb = _pass_compose_suppressed_formula(rgb, b1, b2, r0, n, fc)
+        return rgb
     lut_r, lut_g, lut_b = fused._suppressed_luts(floor_c)
     for r0, n in chunks:
         rgb = _pass_compose_suppressed(rgb, b1, b2, floor_c, lut_r, lut_g,

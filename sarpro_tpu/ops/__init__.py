@@ -17,5 +17,6 @@ from .kernels import (  # noqa: F401
     clahe_lookup,
     histogram,
     synrgb_lookup,
+    synrgb_lookup_formula,
     use_pallas,
 )

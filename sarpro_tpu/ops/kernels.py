@@ -346,6 +346,123 @@ def _synrgb_kernel(packed_ref, lutr_ref, lutg_ref, lutbt_ref, out_ref):
     out_ref[2:3, :] = blue
 
 
+# -- formulaic synRGB (no 64K blue table) -----------------------------------
+#
+# The default/suppressed blue channels are round(clip((r')/(g'))^0.1 * gain))
+# with r' = lut_r[b1] (+eps), g' = lut_g[b2] (+eps) — a smooth function of
+# values the kernel already selects. Instead of the (256,256)x(256,K) blue
+# row matmul (65536 MACs/pixel, ~2.8 ms/4Mpx at v5e bf16 peak), this kernel
+# selects ln(r'+eps) / ln(g'+eps) alongside the values and evaluates
+# exp(0.1*(lnr - lng)) on the VPU. Bit-exactness vs the reference's f32 LUT
+# pipeline is restored by a host-precomputed correction list: every (b1,b2)
+# pair whose f64 formula value sits within _SYNF_MARGIN of a rounding
+# boundary (or disagrees with the table outright) carries its exact table
+# value, matched in-kernel by packed id. The one-hot builds are factored
+# 16x16 (hi=v//16, lo=v%16): 64 compare-rows instead of 512, with exact
+# two-stage selection (stage 1 on the MXU, stage 2 a one-nonzero f32 FMA).
+# Exhaustive 256x256-domain equality vs the XLA lowering is asserted in
+# benchmarks/tpu_validate.py each round.
+_SYNF_AMB_PAD = 64  # correction-list capacity (measured sets: <=61 pairs
+# across default + all 38 suppressed floors; the id-match compare is
+# (PAD, K) VPU work per block, so the pad stays tight — table builders
+# fall back to the table kernel if a future LUT change overflows it)
+
+
+def _synrgb_formula_kernel(guard_b2: bool, packed_ref, tr_ref, tg_ref,
+                           ambid_ref, ambval_ref, out_ref):
+    k = _SYNRGB_K
+    packed = packed_ref[:]  # (1, K) i32
+    v1 = packed >> 8
+    v2 = packed & 255
+    io16 = jax.lax.broadcasted_iota(jnp.int32, (16, k), 0)
+    hi1 = ((v1 >> 4) == io16).astype(jnp.float32)  # (16, K)
+    lo1 = ((v1 & 15) == io16).astype(jnp.float32)
+    hi2 = ((v2 >> 4) == io16).astype(jnp.float32)
+    lo2 = ((v2 & 15) == io16).astype(jnp.float32)
+    # stage 1: (32,16)x(16,K) — rows 0:16 select val[a*16+b], rows 16:32
+    # select ln tables; HIGHEST keeps the f32 ln planes exact (6-pass bf16)
+    m_r = jax.lax.dot_general(
+        tr_ref[:], hi1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    m_g = jax.lax.dot_general(
+        tg_ref[:], hi2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # stage 2: one-nonzero f32 FMA over the 16 lo rows — exact selection
+    r = jnp.sum(m_r[0:16] * lo1, axis=0, keepdims=True)
+    lnr = jnp.sum(m_r[16:32] * lo1, axis=0, keepdims=True)
+    g = jnp.sum(m_g[0:16] * lo2, axis=0, keepdims=True)
+    lng = jnp.sum(m_g[16:32] * lo2, axis=0, keepdims=True)
+    # gain is folded into the r ln plane (lnr += 10*ln(gain))
+    bf = jnp.exp((lnr - lng) * jnp.float32(0.1))
+    blue = jnp.floor(jnp.clip(bf, 0.0, 255.0) + jnp.float32(0.5))
+    # exact corrections for boundary-ambiguous pairs: match packed ids
+    # against the (A,1) id column, then select hit/value via tiny matmuls
+    match = (packed.astype(jnp.float32) == ambid_ref[:]).astype(jnp.bfloat16)
+    hit = jax.lax.dot_general(
+        jnp.ones((1, _SYNF_AMB_PAD), jnp.bfloat16), match,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    corr = jax.lax.dot_general(
+        ambval_ref[:].astype(jnp.bfloat16), match,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    blue = jnp.where(hit > 0.5, corr, blue)
+    if guard_b2:
+        blue = jnp.where(v2 == 0, 0.0, blue)
+    out_ref[0:1, :] = r
+    out_ref[1:2, :] = g
+    out_ref[2:3, :] = blue
+
+
+@functools.partial(jax.jit, static_argnames=("guard_b2",))
+def _synrgb_formula_pallas(b1, b2, tr, tg, amb_id, amb_val, guard_b2):
+    n = b1.size
+    packed = (b1.astype(jnp.int32).reshape(-1) * 256
+              + b2.astype(jnp.int32).reshape(-1))
+    pc, g = _pad_row(packed, _SYNRGB_K, 0)
+    out = pl.pallas_call(
+        functools.partial(_synrgb_formula_kernel, guard_b2),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, _SYNRGB_K), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SYNF_AMB_PAD, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SYNF_AMB_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, _SYNRGB_K), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, g * _SYNRGB_K), jnp.float32),
+    )(pc, tr, tg, amb_id, amb_val)
+    return out[:, :n].astype(jnp.uint8).T
+
+
+def synrgb_lookup_formula(b1, b2, tr, tg, amb_id, amb_val, guard_b2: bool):
+    """Formulaic synRGB lookup — TPU pallas only (callers gate on
+    use_pallas()). Tables come from
+    core.synthetic_rgb.formula_tables(); (N,3) u8 output like
+    synrgb_lookup."""
+    f1 = b1.reshape(-1)
+    f2 = b2.reshape(-1)
+    n = f1.size
+    if n <= _MAX_LOOKUP_ELEMS:
+        return _synrgb_formula_pallas(f1, f2, tr, tg, amb_id, amb_val,
+                                      guard_b2)
+    parts = []
+    for start in range(0, n, _MAX_LOOKUP_ELEMS):
+        parts.append(_synrgb_formula_pallas(
+            f1[start:start + _MAX_LOOKUP_ELEMS],
+            f2[start:start + _MAX_LOOKUP_ELEMS],
+            tr, tg, amb_id, amb_val, guard_b2))
+    return jnp.concatenate(parts)
+
+
 @jax.jit
 def _synrgb_lookup_pallas(b1, b2, lut_r, lut_g, lut_b):
     n = b1.size
