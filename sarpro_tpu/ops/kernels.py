@@ -143,8 +143,8 @@ _CLAHE_K = 8192  # VMEM-bound: bf16 one-hot (256,K) + two (n_tiles,K) f32
 
 
 def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
-                  n_bins: int, cols: int, base_ref, off_ref, bin_ref,
-                  cdhi_ref, cdlo_ref, out_ref):
+                  n_bins: int, cols: int, band_ty: int, base_ref, off_ref,
+                  bin_ref, cdhi_ref, cdlo_ref, out_ref):
     k = _CLAHE_K
     i = pl.program_id(0)
     # recover (r, c) from the flat pixel index — saves two stream inputs.
@@ -153,8 +153,9 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
     # row offset so row-sharded shards (shard_map) interpolate with their
     # true raster coordinates.
     gb = base_ref[i % 8, 0]
+    off = off_ref[0, 0]
     flat = gb * k + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-    r = flat // cols + off_ref[0, 0]
+    r = flat // cols + off
     c = flat % cols
     rf = r.astype(jnp.float32) / np.float32(tile_h) - 0.5  # (1,K)
     cf = c.astype(jnp.float32) / np.float32(tile_w) - 0.5
@@ -169,13 +170,34 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
     ty1 = jnp.clip(tyi + 1, 0, tiles_y - 1)
     tx1 = jnp.clip(txi + 1, 0, tiles_x - 1)
 
-    n_tiles = tiles_x * tiles_y
-    tids = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, k), 0)
+    if band_ty < tiles_y:
+        # tile-row banding: one block spans <= tile_h-2 raster rows (host
+        # guard), so every pixel's ty0/ty1 falls in a 3-tile-row window
+        # anchored by the block's FIRST row — the selection matmul then
+        # contracts over band_ty*tiles_x rows instead of all n_tiles
+        # (64 -> 24 for the standard 8x8 grid). The band start is computed
+        # with the SAME f32 expression as the per-pixel path so an exact
+        # tile boundary can't disagree between the two.
+        r0 = gb * k // cols + off
+        rf0 = r0.astype(jnp.float32) / np.float32(tile_h) - 0.5
+        a = jnp.clip(jnp.floor(rf0).astype(jnp.int32), 0, tiles_y - band_ty)
+        start = pl.multiple_of(a * tiles_x, tiles_x)
+        cdhi = cdhi_ref[pl.ds(start, band_ty * tiles_x), :]
+        cdlo = cdlo_ref[pl.ds(start, band_ty * tiles_x), :]
+        ty0 = ty0 - a
+        ty1 = ty1 - a
+        n_rows = band_ty * tiles_x
+    else:
+        cdhi = cdhi_ref[:]
+        cdlo = cdlo_ref[:]
+        n_rows = tiles_x * tiles_y
+
+    tids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, k), 0)
     w00 = (1.0 - dx) * (1.0 - dy)
     w01 = dx * (1.0 - dy)
     w10 = (1.0 - dx) * dy
     w11 = dx * dy
-    # bilinear weights folded into an (n_tiles, K) matrix — columns have <=4
+    # bilinear weights folded into an (n_rows, K) matrix — columns have <=4
     # nonzeros; corners falling on the same tile accumulate, matching the
     # reference's formula exactly.
     wmat = (
@@ -184,19 +206,21 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
         + jnp.where(tids == ty1 * tiles_x + tx0, w10, 0.0)
         + jnp.where(tids == ty1 * tiles_x + tx1, w11, 0.0)
     )
-    # select-bin-first: per-pixel CDF value of EVERY tile at own bin.
-    # The CDF table arrives hi/lo-split into two bf16 planes (the one-hot is
-    # exact in bf16, so selection reconstructs the f32 CDF to ~1e-5).
+    # select-bin-first: per-pixel CDF value of EVERY resident tile at own
+    # bin. The CDF table arrives hi/lo-split into two planes stored f32
+    # (values bf16-rounded; cast here is exact) so the banded dynamic slice
+    # stays on 8-sublane f32 tiling. The one-hot is exact in bf16, so
+    # selection reconstructs the f32 CDF to ~1e-5.
     bins = bin_ref[:]  # (1,K), invalid pixels carry n_bins (all-zero onehot)
     onehot_bin = (
         bins == jax.lax.broadcasted_iota(jnp.int32, (n_bins, k), 0)
     ).astype(jnp.bfloat16)
-    pt = jax.lax.dot_general(  # (n_tiles, K)
-        cdhi_ref[:], onehot_bin,
+    pt = jax.lax.dot_general(  # (n_rows, K)
+        cdhi.astype(jnp.bfloat16), onehot_bin,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     pt = pt + jax.lax.dot_general(
-        cdlo_ref[:], onehot_bin,
+        cdlo.astype(jnp.bfloat16), onehot_bin,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     out_ref[:] = jnp.sum(wmat * pt, axis=0, keepdims=True)
@@ -216,8 +240,13 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
             ).reshape(-1, 1)
     off = jnp.full((1, 1), 0, jnp.int32) if row_offset is None else \
         jnp.asarray(row_offset, jnp.int32).reshape(1, 1)
+    # tile-row banding is sound when one K-block spans at most tile_h-2
+    # raster rows (see the kernel comment); the dynamic-slice start must be
+    # 8-sublane aligned, hence tiles_x % 8.
+    band_ty = 3 if (tiles_y > 3 and tiles_x % 8 == 0
+                    and (_CLAHE_K - 1) // cols + 2 <= tile_h) else tiles_y
     kern = functools.partial(_clahe_kernel, tiles_x, tiles_y, tile_h, tile_w,
-                             n_bins, cols)
+                             n_bins, cols, band_ty)
     out = pl.pallas_call(
         kern,
         grid=(g,),
@@ -240,10 +269,15 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
 def _clahe_lookup_pallas(bin_idx, cdfs, cols, tiles_x, tiles_y, tile_h,
                          tile_w, row_offset=None):
     # hi/lo bf16 split of the f32 CDFs; the barrier stops XLA from folding
-    # convert(convert(x)) back to x, which would zero the lo plane
+    # convert(convert(x)) back to x, which would zero the lo plane. The
+    # planes are STORED f32 (bf16-rounded values) so the banded kernel can
+    # dynamic-slice them on 8-sublane f32 tiling; the kernel casts back to
+    # bf16 exactly.
     cdfs = jnp.asarray(cdfs, jnp.float32)
-    cdhi = jax.lax.optimization_barrier(cdfs.astype(jnp.bfloat16))
-    cdlo = (cdfs - cdhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    cdhi = jax.lax.optimization_barrier(
+        cdfs.astype(jnp.bfloat16)).astype(jnp.float32)
+    cdlo = jax.lax.optimization_barrier(
+        (cdfs - cdhi).astype(jnp.bfloat16)).astype(jnp.float32)
     flat = bin_idx.reshape(-1)
     n = flat.size
     if n <= _MAX_LOOKUP_ELEMS:
