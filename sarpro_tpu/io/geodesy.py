@@ -174,46 +174,54 @@ def mercator_inverse(x, y):
     return np.degrees(np.asarray(x, np.float64) / _A), np.degrees(lat)
 
 
-def polar_stereo_forward(lon_deg, lat_deg, lat_ts: float, lon0: float,
-                         fe: float, fn: float, north: bool):
-    """Polar Stereographic variant B (EPSG method 9829): scale defined by a
-    standard parallel `lat_ts` instead of k0. Covers the polar-science grids
-    (EPSG:3413/3976 NSIDC, EPSG:3031 Antarctic)."""
+def _polar_stereo_scale(lat_ts, k0, a, e, e2):
+    """ρ/t multiplier for variant B (lat_ts) or variant A (k0 at the pole,
+    EPSG method 9810)."""
+    if lat_ts is not None and abs(abs(lat_ts) - 90.0) > 1e-9:
+        lat_c = abs(np.radians(lat_ts))
+        sc = np.sin(lat_c)
+        t_c = np.tan(np.pi / 4 - lat_c / 2) * (
+            (1 + e * sc) / (1 - e * sc)) ** (e / 2)
+        m_c = np.cos(lat_c) / np.sqrt(1 - e2 * sc * sc)
+        return a * m_c / t_c
+    return (2.0 * a * (k0 if k0 is not None else 1.0)
+            / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)))
+
+
+def polar_stereo_forward(lon_deg, lat_deg, lat_ts, lon0: float,
+                         fe: float, fn: float, north: bool,
+                         k0=None, a: float = _A, e: float = _E,
+                         e2: float = _E2):
+    """Polar Stereographic variant B (EPSG method 9829, scale defined by a
+    standard parallel `lat_ts`) or variant A (9810, `k0` at the pole when
+    `lat_ts` is None). Covers the polar-science grids (EPSG:3413/3976
+    NSIDC, EPSG:3031 Antarctic) and the dynamic `+proj=stere` family."""
     sign = 1.0 if north else -1.0
     # easting uses λ−λ0 unmirrored for both aspects (EPSG method 9829; cf.
     # the ups_forward note on the round-1 south-aspect mirror bug)
     lon = np.radians(np.asarray(lon_deg, np.float64) - lon0)
     lat = sign * np.radians(np.asarray(lat_deg, np.float64))
-    lat_c = abs(np.radians(lat_ts))
     s = np.sin(lat)
-    t = np.tan(np.pi / 4 - lat / 2) * ((1 + _E * s) / (1 - _E * s)) ** (_E / 2)
-    sc = np.sin(lat_c)
-    t_c = np.tan(np.pi / 4 - lat_c / 2) * (
-        (1 + _E * sc) / (1 - _E * sc)) ** (_E / 2)
-    m_c = np.cos(lat_c) / np.sqrt(1 - _E2 * sc * sc)
-    rho = _A * m_c * t / t_c
+    t = np.tan(np.pi / 4 - lat / 2) * ((1 + e * s) / (1 - e * s)) ** (e / 2)
+    rho = _polar_stereo_scale(lat_ts, k0, a, e, e2) * t
     x = fe + rho * np.sin(lon)
     y = fn - sign * rho * np.cos(lon)
     return x, y
 
 
-def polar_stereo_inverse(x, y, lat_ts: float, lon0: float, fe: float,
-                         fn: float, north: bool):
+def polar_stereo_inverse(x, y, lat_ts, lon0: float, fe: float,
+                         fn: float, north: bool, k0=None, a: float = _A,
+                         e: float = _E, e2: float = _E2):
     sign = 1.0 if north else -1.0
     dx = np.asarray(x, np.float64) - fe
     dy = sign * (fn - np.asarray(y, np.float64))
     rho = np.hypot(dx, dy)
-    lat_c = abs(np.radians(lat_ts))
-    sc = np.sin(lat_c)
-    t_c = np.tan(np.pi / 4 - lat_c / 2) * (
-        (1 + _E * sc) / (1 - _E * sc)) ** (_E / 2)
-    m_c = np.cos(lat_c) / np.sqrt(1 - _E2 * sc * sc)
-    t = rho * t_c / (_A * m_c)
+    t = rho / _polar_stereo_scale(lat_ts, k0, a, e, e2)
     lat = np.pi / 2 - 2 * np.arctan(t)
     for _ in range(8):
         s = np.sin(lat)
         lat = np.pi / 2 - 2 * np.arctan(
-            t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2)
+            t * ((1 - e * s) / (1 + e * s)) ** (e / 2)
         )
     lon = np.degrees(np.arctan2(dx, dy)) + lon0
     lon = (lon + 180.0) % 360.0 - 180.0  # wrap for nonzero lon0
@@ -245,6 +253,12 @@ def laea_forward(lon_deg, lat_deg, lat0: float, lon0: float, fe: float,
     q = _authalic_q(lat, e, e2)
     q0 = _authalic_q(phi0, e, e2)
     qp = _authalic_q(np.pi / 2, e, e2)
+    if abs(lat0) >= 90.0 - 1e-9:
+        # polar aspect (EPSG 9820 / Snyder 24-23..24-25): the oblique D
+        # constant degenerates at the pole
+        sign = 1.0 if lat0 > 0 else -1.0
+        rho = a * np.sqrt(np.maximum(qp - sign * q, 0.0))
+        return (fe + rho * np.sin(lon), fn - sign * rho * np.cos(lon))
     beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
     beta0 = np.arcsin(np.clip(q0 / qp, -1.0, 1.0))
     rq = a * np.sqrt(qp / 2.0)
@@ -265,6 +279,21 @@ def laea_inverse(x, y, lat0: float, lon0: float, fe: float, fn: float,
     phi0 = np.radians(lat0)
     q0 = _authalic_q(phi0, e, e2)
     qp = _authalic_q(np.pi / 2, e, e2)
+    if abs(lat0) >= 90.0 - 1e-9:
+        sign = 1.0 if lat0 > 0 else -1.0
+        dx = np.asarray(x, np.float64) - fe
+        dy = np.asarray(y, np.float64) - fn
+        rho = np.hypot(dx, dy)
+        q = sign * (qp - (rho / a) ** 2)
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        lat = (beta
+               + (e2 / 3 + 31 * e2**2 / 180 + 517 * e2**3 / 5040)
+               * np.sin(2 * beta)
+               + (23 * e2**2 / 360 + 251 * e2**3 / 3780) * np.sin(4 * beta)
+               + (761 * e2**3 / 45360) * np.sin(6 * beta))
+        lon = np.degrees(np.arctan2(dx, -sign * dy)) + lon0
+        lon = (lon + 180.0) % 360.0 - 180.0
+        return lon, np.degrees(lat)
     beta0 = np.arcsin(np.clip(q0 / qp, -1.0, 1.0))
     rq = a * np.sqrt(qp / 2.0)
     s0 = np.sin(phi0)
@@ -340,6 +369,16 @@ _ELLPS = {
     "bessel": (6377397.155, 1.0 / 299.1528128),
     "clrk66": (6378206.4, 1.0 / 294.978698213898),
     "clrk80ign": (6378249.2, 1.0 / 293.466021293627),
+    # additional PROJ-named ellipsoids reachable through the dynamic
+    # projinfo resolver (values = PROJ's ellps registry)
+    "intl": (6378388.0, 1.0 / 297.0),
+    "krass": (6378245.0, 1.0 / 298.3),
+    "grs67": (6378160.0, 1.0 / 298.247167427),
+    "aust_sa": (6378160.0, 1.0 / 298.25),
+    "clrk80": (6378249.145, 1.0 / 293.465),
+    "wgs72": (6378135.0, 1.0 / 298.26),
+    "helmert": (6378200.0, 1.0 / 298.3),
+    "evrst30": (6377276.345, 1.0 / 300.8017),
 }
 
 _TM_SERIES_CACHE: dict = {}
@@ -477,16 +516,23 @@ def _ecef_to_geodetic(x, y, z, ellps: str):
     return np.degrees(np.arctan2(y, x)), np.degrees(lat)
 
 
-def _datum_shift(lon, lat, datum: str, to_wgs84: bool):
+def _datum_shift(lon, lat, datum, to_wgs84: bool):
     """Shift geodetic coordinates between WGS84 and a local datum via an
     NTv2 distortion grid when the datum declares one and the file is
     installed (what cs2cs/gdalwarp do), else via ECEF Helmert (heights
-    treated as 0 and discarded — PROJ's push/pop v_3)."""
-    d = _DATUM_TO_WGS84[datum]
+    treated as 0 and discarded — PROJ's push/pop v_3). `datum` is a name
+    into _DATUM_TO_WGS84 or an inline parameter dict (dynamic CRSs)."""
+    d = datum if isinstance(datum, dict) else _DATUM_TO_WGS84[datum]
     if "grid" in d:
         from .ntv2 import load_grid
 
-        grid = load_grid(d["grid"])
+        names = d["grid"] if isinstance(d["grid"], (list, tuple)) \
+            else [d["grid"]]
+        grid = None
+        for name in names:
+            grid = load_grid(name)
+            if grid is not None:
+                break
         if grid is not None:
             lon2, lat2, ok = grid.apply(lon, lat, forward=to_wgs84)
             if bool(np.all(ok)):
@@ -498,17 +544,22 @@ def _datum_shift(lon, lat, datum: str, to_wgs84: bool):
 
 
 def _helmert_shift(lon, lat, d: dict, to_wgs84: bool):
+    """`d["sense"]` says which direction the stored parameters express:
+    "to_wgs84" (default, like every _DATUM_TO_WGS84 entry) or "from_wgs84"
+    (pipeline-extracted dynamic datums); the opposite direction applies the
+    exact inverse via solve."""
     scale = 1.0 + d["s"] * 1e-6
     rot = _helmert_rotation(d["r"], d["convention"])
     t = np.asarray(d["t"])
-    if to_wgs84:
-        xyz = np.stack(_geodetic_to_ecef(lon, lat, d["ellps"]), axis=0)
-        out = scale * (rot @ xyz.reshape(3, -1)) + t[:, None]
-        lon2, lat2 = _ecef_to_geodetic(*out, ellps="wgs84")
+    params_to_wgs84 = d.get("sense", "to_wgs84") == "to_wgs84"
+    src = d["ellps"] if to_wgs84 else "wgs84"
+    dst = "wgs84" if to_wgs84 else d["ellps"]
+    xyz = np.stack(_geodetic_to_ecef(lon, lat, src), axis=0).reshape(3, -1)
+    if to_wgs84 == params_to_wgs84:
+        out = scale * (rot @ xyz) + t[:, None]
     else:
-        xyz = np.stack(_geodetic_to_ecef(lon, lat, "wgs84"), axis=0)
-        out = np.linalg.solve(rot, (xyz.reshape(3, -1) - t[:, None]) / scale)
-        lon2, lat2 = _ecef_to_geodetic(*out, ellps=d["ellps"])
+        out = np.linalg.solve(rot, (xyz - t[:, None]) / scale)
+    lon2, lat2 = _ecef_to_geodetic(*out, ellps=dst)
     shape = np.shape(np.asarray(lon, np.float64))
     return lon2.reshape(shape), lat2.reshape(shape)
 
@@ -904,7 +955,7 @@ def epsg_kind(code: int) -> Optional[dict]:
         return {"kind": "somerc", "code": code, **_SOMERC_GRIDS[code]}
     if code in _KROVAK_GRIDS:
         return {"kind": "krovak", "code": code, **_KROVAK_GRIDS[code]}
-    return None
+    return _resolve_epsg_dynamic(code)
 
 
 SUPPORTED_CRS_FAMILIES = (
@@ -921,8 +972,328 @@ SUPPORTED_CRS_FAMILIES = (
     "EPSG:2157 (Irish TM), EPSG:2056 (Swiss LV95 oblique Mercator), "
     "EPSG:5514 (Czech Krovak), EPSG:27572 (NTF Paris / Lambert II), "
     "EPSG:31466/31467/31468 (DHDN Gauss-Kruger, NTv2 grid datum), "
-    "EPSG:21781 (Swiss LV03)"
+    "EPSG:21781 (Swiss LV03); plus ANY other EPSG code PROJ's `projinfo` "
+    "resolves to an implemented method (tmerc/utm/lcc/aea/laea/"
+    "polar stere/somerc/merc/longlat), incl. Helmert and NTv2 datum legs"
 )
+
+
+# ---------------------------------------------------------------------------
+# dynamic EPSG resolution via PROJ's `projinfo` — host tooling, the same
+# pattern as the reference's gdalinfo/gdalwarp subprocesses
+# (sentinel1.rs:988-1003 accepts any PROJ-known -t_srs; this closes that
+# breadth gap for every code whose projection method we implement natively)
+# ---------------------------------------------------------------------------
+_DYN_KIND_CACHE: dict = {}
+_DYN_WKT_CACHE: dict = {}
+_DYN_UNSUPPORTED: dict = {}
+
+_PROJ_UNITS = {"m": 1.0, "us-ft": 1200.0 / 3937.0, "ft": 0.3048,
+               "km": 1000.0}
+
+
+def _run_projinfo(args) -> Optional[str]:
+    import subprocess
+
+    try:
+        out = subprocess.run(["projinfo", *args], capture_output=True,
+                             text=True, timeout=30)
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return out.stdout if out.returncode == 0 else None
+
+
+def _proj_tokens(s: str) -> dict:
+    d = {}
+    for tok in s.split():
+        if tok.startswith("+"):
+            k, _, v = tok[1:].partition("=")
+            d[k] = v if v else True
+    return d
+
+
+def _ellps_from_tokens(p: dict) -> str:
+    name = p.get("ellps")
+    if isinstance(name, str):
+        key = name.lower().replace("-", "_")
+        if key not in _ELLPS:
+            raise ValueError(f"unknown ellipsoid +ellps={name}")
+        return key
+    if p.get("datum") == "WGS84":
+        return "wgs84"
+    if "a" in p:
+        a = float(p["a"])
+        if "rf" in p:
+            f = 1.0 / float(p["rf"])
+        elif "b" in p:
+            f = (a - float(p["b"])) / a
+        else:
+            f = 0.0
+        if f <= 0.0:
+            raise ValueError("spherical/degenerate +a ellipsoid unsupported")
+        key = f"dyn_{a:.6f}_{f:.12e}"
+        _ELLPS[key] = (a, f)
+        return key
+    return "wgs84"  # PROJ's default when nothing is given
+
+
+def _advertised_datum(p: dict, ellps: str) -> Optional[dict]:
+    """Inline datum dict from a +towgs84 clause (PROJ's position-vector
+    convention), None when absent or all-zero."""
+    tw = p.get("towgs84")
+    if not isinstance(tw, str):
+        return None
+    vals = [float(v) for v in tw.split(",")]
+    if not any(vals):
+        return None
+    vals += [0.0] * (7 - len(vals))
+    return dict(t=tuple(vals[:3]), r=tuple(vals[3:6]), s=vals[6],
+                convention="position_vector", ellps=ellps)
+
+
+def _first_pipeline(text: str) -> Optional[str]:
+    idx = text.find("+proj=pipeline")
+    if idx < 0:
+        return None
+    lines = []
+    for line in text[idx:].splitlines():
+        if lines and not line.strip().startswith("+"):
+            break
+        lines.append(line.strip())
+    return " ".join(lines)
+
+
+def _grid_name_candidates(name: str) -> list:
+    """PROJ pipelines name modern .tif grids; our reader parses the classic
+    NTv2 .gsb files PROJ also ships. Try the name as-is, its .gsb twin, and
+    the agency-prefix-stripped .gsb (de_adv_BETA2007.tif -> BETA2007.gsb)."""
+    from pathlib import PurePosixPath
+
+    base = PurePosixPath(name).name
+    cands = [base]
+    if base.endswith(".tif"):
+        stem = base[:-4]
+        cands.append(stem + ".gsb")
+        parts = stem.split("_")
+        if len(parts) > 2:
+            cands.append("_".join(parts[2:]) + ".gsb")
+    return cands
+
+
+def _datum_from_pipeline(text: str, advert: Optional[dict],
+                         ellps: str) -> Optional[dict]:
+    """Extract the geodetic datum leg (Helmert and/or grid shift) from the
+    first candidate operation of a `projinfo -s EPSG:4326 -t <crs>` listing.
+    This reproduces PROJ's own late-bound pick — the op cs2cs/gdalwarp
+    would apply — instead of trusting the CRS string's advertised +towgs84
+    (see the S-JTSK/DHDN notes on _DATUM_TO_WGS84)."""
+    pipe = _first_pipeline(text)
+    if not pipe:
+        return advert
+    steps = [_proj_tokens(s) for s in pipe.split("+step")[1:]]
+    local = ellps
+    for s in steps:
+        if s.get("proj") == "cart":
+            k = str(s.get("ellps", "WGS84")).lower().replace("-", "_")
+            if k != "wgs84" and k in _ELLPS:
+                local = k
+    helm = next((s for s in steps if s.get("proj") == "helmert"), None)
+    grid = next((s for s in steps if s.get("proj") == "hgridshift"), None)
+    d = None
+    if helm is not None:
+        d = dict(
+            t=(float(helm.get("x", 0)), float(helm.get("y", 0)),
+               float(helm.get("z", 0))),
+            r=(float(helm.get("rx", 0)), float(helm.get("ry", 0)),
+               float(helm.get("rz", 0))),
+            s=float(helm.get("s", 0)),
+            convention=helm.get("convention", "position_vector"),
+            ellps=local,
+            # a forward step in the 4326->target pipeline maps WGS84->local;
+            # +inv flips it to the to_wgs84 sense our tables use
+            sense="to_wgs84" if helm.get("inv") else "from_wgs84",
+        )
+    elif advert is not None:
+        d = dict(advert)
+    if grid is not None and isinstance(grid.get("grids"), str):
+        if d is None:
+            d = dict(t=(0.0, 0.0, 0.0), r=(0.0, 0.0, 0.0), s=0.0,
+                     convention="position_vector", ellps=local)
+        d["grid"] = _grid_name_candidates(grid["grids"])
+    return d
+
+
+_WGS84_COMPATIBLE_ELLPS = ("wgs84", "grs80")
+
+
+def _dynamic_datum(code: int, p: dict, ellps: str) -> Optional[dict]:
+    advert = _advertised_datum(p, ellps)
+    if (advert is None and "nadgrids" not in p
+            and ellps in _WGS84_COMPATIBLE_ELLPS):
+        return None
+    out = _run_projinfo(["-s", "EPSG:4326", "-t", f"EPSG:{code}",
+                         "--spatial-test", "intersects", "-o", "PROJ"])
+    if out:
+        return _datum_from_pipeline(out, advert, ellps)
+    return advert
+
+
+def _kind_from_proj_tokens(p: dict, code: int) -> dict:
+    proj = p.get("proj")
+    if not isinstance(proj, str):
+        raise ValueError("no +proj method in PROJ string")
+    if "pm" in p:
+        raise ValueError("non-Greenwich prime meridian not supported "
+                         "dynamically")
+    to_m = 1.0
+    if "to_meter" in p:
+        to_m = float(p["to_meter"])
+    elif isinstance(p.get("units"), str):
+        if p["units"] not in _PROJ_UNITS:
+            raise ValueError(f"unsupported unit +units={p['units']}")
+        to_m = _PROJ_UNITS[p["units"]]
+
+    def f(key, dflt=0.0):
+        return float(p.get(key, dflt))
+
+    base = {"dynamic": True, "code": code}
+    if to_m != 1.0:
+        base["to_meter"] = to_m
+
+    if proj == "longlat":
+        ellps = _ellps_from_tokens(p)
+        return {**base, "kind": "geographic",
+                "datum": _dynamic_datum(code, p, ellps)}
+    if proj == "webmerc":
+        return {**base, "kind": "webmercator", "datum": None}
+    if proj == "merc":
+        if "a" in p and "b" in p and p["a"] == p["b"]:
+            return {**base, "kind": "webmercator", "datum": None}
+        ellps = _ellps_from_tokens(p)
+        if (ellps in _WGS84_COMPATIBLE_ELLPS and f("lat_ts") == 0.0
+                and f("k", f("k_0", 1.0)) == 1.0 and f("x_0") == 0.0
+                and f("y_0") == 0.0 and f("lon_0") == 0.0):
+            return {**base, "kind": "mercator",
+                    "datum": _dynamic_datum(code, p, ellps)}
+        raise ValueError("general ellipsoidal Mercator variants not "
+                         "implemented (only EPSG:3395-style)")
+    ellps = _ellps_from_tokens(p)
+    datum = _dynamic_datum(code, p, ellps)
+    if proj == "utm":
+        zone = int(p["zone"])
+        return {**base, "kind": "tm_grid", "lat0": 0.0,
+                "lon0": float(zone * 6 - 183), "k0": 0.9996, "fe": 500000.0,
+                "fn": 10000000.0 if "south" in p else 0.0, "ellps": ellps,
+                "datum": datum}
+    if proj == "tmerc":
+        return {**base, "kind": "tm_grid", "lat0": f("lat_0"),
+                "lon0": f("lon_0"), "k0": f("k", f("k_0", 1.0)),
+                "fe": f("x_0"), "fn": f("y_0"), "ellps": ellps,
+                "datum": datum}
+    if proj == "lcc":
+        lat1 = f("lat_1", f("lat_0"))
+        return {**base, "kind": "lcc", "lat0": f("lat_0"), "lon0": f("lon_0"),
+                "lat1": lat1, "lat2": f("lat_2", lat1),
+                "k0": f("k", f("k_0", 1.0)), "fe": f("x_0"), "fn": f("y_0"),
+                "ellps": ellps, "datum": datum}
+    if proj == "aea":
+        return {**base, "kind": "albers", "lat0": f("lat_0"),
+                "lon0": f("lon_0"), "lat1": f("lat_1"), "lat2": f("lat_2"),
+                "fe": f("x_0"), "fn": f("y_0"), "ellps": ellps,
+                "datum": datum}
+    if proj == "laea":
+        return {**base, "kind": "laea", "lat0": f("lat_0"),
+                "lon0": f("lon_0"), "fe": f("x_0"), "fn": f("y_0"),
+                "ellps": ellps, "datum": datum}
+    if proj == "stere":
+        lat0 = f("lat_0")
+        if abs(lat0) < 90.0 - 1e-9:
+            raise ValueError("oblique stereographic (+proj=stere away from "
+                             "the poles) not implemented")
+        lat_ts = float(p["lat_ts"]) if "lat_ts" in p else None
+        return {**base, "kind": "polar_stereo", "lat_ts": lat_ts,
+                "k0": f("k", f("k_0", 1.0)), "lon0": f("lon_0"),
+                "fe": f("x_0"), "fn": f("y_0"), "north": lat0 > 0,
+                "ellps": ellps, "datum": datum}
+    if proj == "somerc":
+        return {**base, "kind": "somerc", "lat0": f("lat_0"),
+                "lon0": f("lon_0"), "k0": f("k", f("k_0", 1.0)),
+                "fe": f("x_0"), "fn": f("y_0"), "ellps": ellps,
+                "datum": datum}
+    raise ValueError(
+        f"projection method '+proj={proj}' not implemented (implemented: "
+        f"tmerc/utm/lcc/aea/laea/stere(polar)/somerc/merc/webmerc/longlat)")
+
+
+def _resolve_epsg_dynamic(code: int) -> Optional[dict]:
+    if code in _DYN_KIND_CACHE:
+        return _DYN_KIND_CACHE[code]
+    kind = None
+    try:
+        out = _run_projinfo(["-o", "PROJ", "-q", f"EPSG:{code}"])
+        proj_line = None
+        for line in (out or "").splitlines():
+            line = line.strip()
+            if line.startswith("+proj="):
+                proj_line = line
+                break
+        if proj_line is None:
+            raise ValueError(f"EPSG:{code} not known to PROJ")
+        kind = _kind_from_proj_tokens(_proj_tokens(proj_line), code)
+        wkt_out = _run_projinfo(["-o", "WKT1_GDAL", "--single-line", "-q",
+                                 f"EPSG:{code}"])
+        wkt = None
+        for line in (wkt_out or "").splitlines():
+            line = line.strip()
+            if line.startswith(("PROJCS[", "GEOGCS[")):
+                wkt = line
+                break
+        _DYN_WKT_CACHE[code] = wkt
+        if wkt:
+            name_end = wkt.find('"', wkt.find('"') + 1)
+            kind["name"] = wkt[wkt.find('"') + 1:name_end]
+        logger.info("dynamic CRS EPSG:%d resolved via projinfo: %s",
+                    code, kind.get("name", kind["kind"]))
+    except ValueError as exc:
+        _DYN_UNSUPPORTED[code] = str(exc)
+        logger.info("dynamic CRS EPSG:%d unsupported: %s", code, exc)
+        kind = None
+    except Exception as exc:  # noqa: BLE001 — subprocess/parse breakage
+        _DYN_UNSUPPORTED[code] = f"projinfo resolution failed: {exc}"
+        logger.warning("dynamic CRS EPSG:%d resolution failed: %s",
+                       code, exc)
+        kind = None
+    _DYN_KIND_CACHE[code] = kind
+    return kind
+
+
+def unsupported_reason(code: int) -> Optional[str]:
+    """Why a dynamic EPSG code could not be resolved (for error messages)."""
+    return _DYN_UNSUPPORTED.get(code)
+
+
+def refine_dynamic_crs_area(code: int, lon: float, lat: float) -> None:
+    """Re-resolve a dynamic CRS's datum leg with the scene's area of
+    interest so PROJ late-binds the area-specific transformation — the
+    same per-point op choice cs2cs/gdalwarp make (PROJ's default listing
+    without an area can pick a ballpark or wide-area op instead)."""
+    info = _DYN_KIND_CACHE.get(code)
+    if not info or info.get("_area_refined"):
+        return
+    info["_area_refined"] = True
+    ellps = info.get("ellps", "wgs84")
+    if info.get("datum") is None and ellps in _WGS84_COMPATIBLE_ELLPS:
+        return
+    out = _run_projinfo([
+        "-s", "EPSG:4326", "-t", f"EPSG:{code}",
+        "--spatial-test", "intersects", "-o", "PROJ",
+        "--bbox", f"{lon - 0.5:.4f},{lat - 0.5:.4f},"
+                  f"{lon + 0.5:.4f},{lat + 0.5:.4f}",
+    ])
+    if out:
+        d = _datum_from_pipeline(out, info.get("datum"), ellps)
+        if d is not None:
+            info["datum"] = d
 
 
 _WKT_GEOGCS = (
@@ -1082,6 +1453,10 @@ def epsg_to_wkt(code: int) -> Optional[str]:
     info = epsg_kind(code)
     if info is None:
         return None
+    if info.get("dynamic"):
+        # dynamically resolved CRS: emit projinfo's own WKT1_GDAL (cached
+        # during resolution) — exact GDAL parity incl. units/axis clauses
+        return _DYN_WKT_CACHE.get(code)
     if info["kind"] == "geographic":
         return _WKT_GEOGCS
     if info["kind"] == "utm":
@@ -1241,13 +1616,21 @@ def epsg_to_wkt(code: int) -> Optional[str]:
     )
 
 
-def project_forward(lon, lat, code: int):
-    """(lon, lat)° → target CRS coordinates for any supported EPSG code."""
-    info = epsg_kind(code)
-    if info is None:
-        raise ValueError(
-            f"unsupported target CRS EPSG:{code}; supported: {SUPPORTED_CRS_FAMILIES}"
-        )
+def _unsupported_crs_error(code: int) -> ValueError:
+    reason = _DYN_UNSUPPORTED.get(code)
+    why = f" ({reason})" if reason else ""
+    return ValueError(
+        f"unsupported target CRS EPSG:{code}{why}; supported: "
+        f"{SUPPORTED_CRS_FAMILIES}")
+
+
+# kinds whose projection functions do NOT apply p["datum"] internally —
+# the dispatch wrappers handle the (dynamic-CRS-only) datum leg for them
+_DISPATCH_DATUM_KINDS = ("geographic", "webmercator", "mercator",
+                         "polar_stereo", "laea")
+
+
+def _project_forward_core(lon, lat, info: dict):
     if info["kind"] == "geographic":
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
     if info["kind"] == "utm":
@@ -1257,11 +1640,20 @@ def project_forward(lon, lat, code: int):
     if info["kind"] == "mercator":
         return mercator_forward(lon, lat)
     if info["kind"] == "polar_stereo":
+        extra = {}
+        if "ellps" in info:
+            a, e, e2, *_ = _tm_series(info["ellps"])
+            extra = dict(a=a, e=e, e2=e2)
         return polar_stereo_forward(lon, lat, info["lat_ts"], info["lon0"],
-                                    info["fe"], info["fn"], info["north"])
+                                    info["fe"], info["fn"], info["north"],
+                                    k0=info.get("k0"), **extra)
     if info["kind"] == "laea":
+        extra = {}
+        if "ellps" in info:
+            a, e, e2, *_ = _tm_series(info["ellps"])
+            extra = dict(a=a, e=e, e2=e2)
         return laea_forward(lon, lat, info["lat0"], info["lon0"],
-                            info["fe"], info["fn"])
+                            info["fe"], info["fn"], **extra)
     if info["kind"] == "tm_grid":
         return tmerc_grid_forward(lon, lat, info)
     if info["kind"] == "lcc":
@@ -1275,13 +1667,21 @@ def project_forward(lon, lat, code: int):
     return ups_forward(lon, lat, info["north"])
 
 
-def project_inverse(x, y, code: int):
-    """Target CRS coordinates → (lon, lat)°."""
+def project_forward(lon, lat, code: int):
+    """(lon, lat)° → target CRS coordinates for any supported EPSG code."""
     info = epsg_kind(code)
     if info is None:
-        raise ValueError(
-            f"unsupported target CRS EPSG:{code}; supported: {SUPPORTED_CRS_FAMILIES}"
-        )
+        raise _unsupported_crs_error(code)
+    if info.get("datum") and info["kind"] in _DISPATCH_DATUM_KINDS:
+        lon, lat = _datum_shift(lon, lat, info["datum"], to_wgs84=False)
+    x, y = _project_forward_core(lon, lat, info)
+    tm = info.get("to_meter")
+    if tm:
+        x, y = np.asarray(x) / tm, np.asarray(y) / tm
+    return x, y
+
+
+def _project_inverse_core(x, y, info: dict):
     if info["kind"] == "geographic":
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
     if info["kind"] == "utm":
@@ -1291,11 +1691,20 @@ def project_inverse(x, y, code: int):
     if info["kind"] == "mercator":
         return mercator_inverse(x, y)
     if info["kind"] == "polar_stereo":
+        extra = {}
+        if "ellps" in info:
+            a, e, e2, *_ = _tm_series(info["ellps"])
+            extra = dict(a=a, e=e, e2=e2)
         return polar_stereo_inverse(x, y, info["lat_ts"], info["lon0"],
-                                    info["fe"], info["fn"], info["north"])
+                                    info["fe"], info["fn"], info["north"],
+                                    k0=info.get("k0"), **extra)
     if info["kind"] == "laea":
+        extra = {}
+        if "ellps" in info:
+            a, e, e2, *_ = _tm_series(info["ellps"])
+            extra = dict(a=a, e=e, e2=e2)
         return laea_inverse(x, y, info["lat0"], info["lon0"],
-                            info["fe"], info["fn"])
+                            info["fe"], info["fn"], **extra)
     if info["kind"] == "tm_grid":
         return tmerc_grid_inverse(x, y, info)
     if info["kind"] == "lcc":
@@ -1307,6 +1716,20 @@ def project_inverse(x, y, code: int):
     if info["kind"] == "krovak":
         return krovak_inverse(x, y, info)
     return ups_inverse(x, y, info["north"])
+
+
+def project_inverse(x, y, code: int):
+    """Target CRS coordinates → (lon, lat)°."""
+    info = epsg_kind(code)
+    if info is None:
+        raise _unsupported_crs_error(code)
+    tm = info.get("to_meter")
+    if tm:
+        x, y = np.asarray(x, np.float64) * tm, np.asarray(y, np.float64) * tm
+    lon, lat = _project_inverse_core(x, y, info)
+    if info.get("datum") and info["kind"] in _DISPATCH_DATUM_KINDS:
+        lon, lat = _datum_shift(lon, lat, info["datum"], to_wgs84=True)
+    return lon, lat
 
 
 # ---------------------------------------------------------------------------

@@ -315,14 +315,26 @@ def plan_warp(reader, target_crs: str, resample_alg: Optional[str] = None,
               geolocation_grid: Optional[np.ndarray] = None) -> WarpPlan:
     """Host planning half of the warp (steps 1-3 of the module docstring)."""
     dst_epsg = geodesy.parse_epsg_code(target_crs)
-    if dst_epsg is None or geodesy.epsg_kind(dst_epsg) is None:
+    dst_kind = None if dst_epsg is None else geodesy.epsg_kind(dst_epsg)
+    if dst_kind is None:
+        reason = (geodesy.unsupported_reason(dst_epsg)
+                  if dst_epsg is not None else None)
+        why = f" ({reason})" if reason else ""
         raise ProcessingError(
-            f"unsupported target CRS: {target_crs}; supported: "
+            f"unsupported target CRS: {target_crs}{why}; supported: "
             f"{geodesy.SUPPORTED_CRS_FAMILIES}"
         )
     method = _resample_name(resample_alg)
 
     mapping = _SourceMapping(reader, geolocation_grid)
+    if dst_kind.get("dynamic"):
+        # late-bind the area-specific datum op for the scene's location,
+        # like cs2cs/gdalwarp do per point
+        clon, clat = mapping.pixels_to_lonlat(
+            np.asarray([reader.metadata.size_x / 2.0]),
+            np.asarray([reader.metadata.size_y / 2.0]))
+        geodesy.refine_dynamic_crs_area(
+            dst_epsg, float(np.ravel(clon)[0]), float(np.ravel(clat)[0]))
     src_cols = reader.metadata.size_x
     src_rows = reader.metadata.size_y
     out_cols, out_rows, gt = _suggest_output_grid(
