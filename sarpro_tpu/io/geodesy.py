@@ -721,6 +721,74 @@ def somerc_inverse(easting, northing, p: dict):
     return lon, lat
 
 
+def _sterea_consts(p: dict):
+    """Oblique (double) Stereographic constants (EPSG method 9809, PROJ
+    `sterea`): conformal sphere at φ0, then equatorial stereographic on
+    the sphere (EPSG Guidance Note 7-2 formulation). Covers RD New
+    (EPSG:28992) and the Pulkovo sterea grids."""
+    a, e, e2, *_ = _tm_series(p["ellps"])
+    phi0 = np.radians(p["lat0"])
+    s0 = np.sin(phi0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a / np.sqrt(1 - e2 * s0 * s0)
+    r = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1 + e2 * np.cos(phi0) ** 4 / (1 - e2))
+    s1 = (1 + s0) / (1 - s0)
+    s2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (s1 * s2**e) ** n
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    c = ((n + s0) * (1 - sin_chi00)) / ((n - s0) * (1 + sin_chi00))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1) / (w2 + 1))
+    return a, e, e2, r, n, c, chi0
+
+
+def sterea_forward(lon_deg, lat_deg, p: dict):
+    lon, lat = lon_deg, lat_deg
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=False)
+    _, e, _, r, n, c, chi0 = _sterea_consts(p)
+    k0 = p["k0"]
+    phi = np.radians(np.asarray(lat, np.float64))
+    s = np.sin(phi)
+    w = c * (((1 + s) / (1 - s)) * ((1 - e * s) / (1 + e * s)) ** e) ** n
+    chi = np.arcsin((w - 1) / (w + 1))
+    dlam = n * np.radians(np.asarray(lon, np.float64) - p["lon0"])
+    b = 1 + np.sin(chi) * np.sin(chi0) + np.cos(chi) * np.cos(chi0) \
+        * np.cos(dlam)
+    x = p["fe"] + 2 * r * k0 * np.cos(chi) * np.sin(dlam) / b
+    y = p["fn"] + 2 * r * k0 * (np.sin(chi) * np.cos(chi0)
+                                - np.cos(chi) * np.sin(chi0)
+                                * np.cos(dlam)) / b
+    return x, y
+
+
+def sterea_inverse(easting, northing, p: dict):
+    _, e, e2, r, n, c, chi0 = _sterea_consts(p)
+    k0 = p["k0"]
+    de = np.asarray(easting, np.float64) - p["fe"]
+    dn = np.asarray(northing, np.float64) - p["fn"]
+    g = 2 * r * k0 * np.tan(np.pi / 4 - chi0 / 2)
+    h = 4 * r * k0 * np.tan(chi0) + g
+    i = np.arctan2(de, h + dn)
+    j = np.arctan2(de, g - dn) - i
+    chi = chi0 + 2 * np.arctan((dn - de * np.tan(j / 2)) / (2 * r * k0))
+    dlam = j + 2 * i
+    lon = np.degrees(dlam / n) + p["lon0"]
+    # conformal-sphere isometric latitude back to geodetic (iterative)
+    psi = 0.5 * np.log((1 + np.sin(chi)) / (c * (1 - np.sin(chi)))) / n
+    phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(8):
+        s = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                       * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2 * s * s) / (1 - e2)
+    lat = np.degrees(phi)
+    if p["datum"]:
+        lon, lat = _datum_shift(lon, lat, p["datum"], to_wgs84=True)
+    return lon, lat
+
+
 def _krovak_consts(p: dict):
     """Krovak constants (EPSG method 9819): conformal sphere + oblique cone
     through the pseudo standard parallel (EPSG Guidance Note 7-2)."""
@@ -1220,9 +1288,15 @@ def _kind_from_proj_tokens(p: dict, code: int) -> dict:
                 "lon0": f("lon_0"), "k0": f("k", f("k_0", 1.0)),
                 "fe": f("x_0"), "fn": f("y_0"), "ellps": ellps,
                 "datum": datum}
+    if proj == "sterea":
+        return {**base, "kind": "sterea", "lat0": f("lat_0"),
+                "lon0": f("lon_0"), "k0": f("k", f("k_0", 1.0)),
+                "fe": f("x_0"), "fn": f("y_0"), "ellps": ellps,
+                "datum": datum}
     raise ValueError(
         f"projection method '+proj={proj}' not implemented (implemented: "
-        f"tmerc/utm/lcc/aea/laea/stere(polar)/somerc/merc/webmerc/longlat)")
+        f"tmerc/utm/lcc/aea/laea/stere(polar)/sterea/somerc/merc/webmerc/"
+        f"longlat)")
 
 
 def _resolve_epsg_dynamic(code: int) -> Optional[dict]:
@@ -1662,6 +1736,8 @@ def _project_forward_core(lon, lat, info: dict):
         return albers_forward(lon, lat, info)
     if info["kind"] == "somerc":
         return somerc_forward(lon, lat, info)
+    if info["kind"] == "sterea":
+        return sterea_forward(lon, lat, info)
     if info["kind"] == "krovak":
         return krovak_forward(lon, lat, info)
     return ups_forward(lon, lat, info["north"])
@@ -1713,6 +1789,8 @@ def _project_inverse_core(x, y, info: dict):
         return albers_inverse(x, y, info)
     if info["kind"] == "somerc":
         return somerc_inverse(x, y, info)
+    if info["kind"] == "sterea":
+        return sterea_inverse(x, y, info)
     if info["kind"] == "krovak":
         return krovak_inverse(x, y, info)
     return ups_inverse(x, y, info["north"])

@@ -30,6 +30,7 @@ DYNAMIC = {
     3572: (60.0, 85.0, -170.0, -130.0, False, 0.02),  # Alaska polar LAEA
     5041: (70.0, 88.0, -120.0, 60.0, False, 0.02),  # UPS via stere +k
     3995: (66.0, 88.0, -60.0, 60.0, False, 0.02),   # Arctic stere lat_ts=71
+    28992: (50.8, 53.5, 3.4, 7.2, False, 0.02),     # RD New (sterea 9809)
 }
 # legacy datum: ops are 1-10 m accuracy and cs2cs/projinfo may rank
 # overlapping area ops differently — pin to the accuracy class instead
@@ -108,7 +109,6 @@ def test_dynamic_wkt_is_projinfo_gdal_wkt(code):
 
 @pytest.mark.parametrize("code,frag", [
     (6933, "+proj=cea"),       # equal-area cylindrical: not implemented
-    (28992, "+proj=sterea"),   # oblique stereographic: not implemented
     (999999, "not known"),     # nonsense code
 ])
 def test_unimplemented_methods_reject_cleanly(code, frag):
