@@ -59,7 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pad", action="store_true",
                    help="Zero-pad to square (centered)")
     p.add_argument("--target-crs",
-                   help="Target CRS (e.g. EPSG:4326, EPSG:32633, 'auto', 'none')")
+                   help="Target CRS: any EPSG code (e.g. EPSG:4326, "
+                        "EPSG:32633), a raw '+proj=...' string, 'auto', "
+                        "or 'none'")
     p.add_argument("--resample-alg",
                    help="Resampling algorithm (nearest, bilinear, cubic, lanczos)")
     p.add_argument("--synrgb-mode", choices=[m.value for m in SyntheticRgbMode],

@@ -976,6 +976,8 @@ def albers_inverse(easting, northing, p: dict):
 # ---------------------------------------------------------------------------
 def parse_epsg_code(crs: str) -> Optional[int]:
     crs = (crs or "").strip()
+    if crs.startswith("+") and "+proj=" in crs:
+        return register_proj_string(crs)
     if crs.upper().startswith("EPSG:"):
         try:
             return int(crs.split(":")[1])
@@ -1193,17 +1195,73 @@ def _datum_from_pipeline(text: str, advert: Optional[dict],
 
 _WGS84_COMPATIBLE_ELLPS = ("wgs84", "grs80")
 
+# synthetic code namespace for raw +proj= target strings (gdalwarp accepts
+# non-EPSG -t_srs; we register each distinct string under a pseudo-code so
+# the code-keyed dispatch works unchanged)
+_PROJ_STRING_BASE = 990000
+_PROJ_STRING_CODES: dict = {}
+
 
 def _dynamic_datum(code: int, p: dict, ellps: str) -> Optional[dict]:
     advert = _advertised_datum(p, ellps)
-    if (advert is None and "nadgrids" not in p
-            and ellps in _WGS84_COMPATIBLE_ELLPS):
+    ng = p.get("nadgrids")
+    if isinstance(ng, str) and ng != "@null":
+        base = advert or dict(t=(0.0, 0.0, 0.0), r=(0.0, 0.0, 0.0), s=0.0,
+                              convention="position_vector", ellps=ellps)
+        cands = []
+        for nm in ng.split(","):
+            nm = nm.lstrip("@")
+            if nm and nm != "null":
+                cands.extend(_grid_name_candidates(nm))
+        if cands:
+            base["grid"] = cands
+        advert = base
+    if code >= _PROJ_STRING_BASE:
+        # raw proj-string CRS: only the string's own datum info applies
+        # (gdalwarp behaves the same for a proj4 -t_srs)
+        return advert
+    if advert is None and ellps in _WGS84_COMPATIBLE_ELLPS:
         return None
     out = _run_projinfo(["-s", "EPSG:4326", "-t", f"EPSG:{code}",
                          "--spatial-test", "intersects", "-o", "PROJ"])
     if out:
         return _datum_from_pipeline(out, advert, ellps)
     return advert
+
+
+def register_proj_string(s: str) -> int:
+    """Register a raw PROJ string as a target CRS under a synthetic code
+    (gdalwarp parity for non-EPSG `-t_srs`). Resolution failures are
+    recorded like any dynamic code — epsg_kind returns None and the
+    unsupported_reason explains why."""
+    norm = " ".join(sorted(t for t in s.split() if t.startswith("+")
+                           and not t.startswith("+type=")))
+    if norm in _PROJ_STRING_CODES:
+        return _PROJ_STRING_CODES[norm]
+    code = _PROJ_STRING_BASE + len(_PROJ_STRING_CODES) + 1
+    _PROJ_STRING_CODES[norm] = code
+    try:
+        kind = _kind_from_proj_tokens(_proj_tokens(s), code)
+        wkt_out = _run_projinfo(["--single-line", "-o", "WKT1_GDAL", "-q",
+                                 norm + " +type=crs"])
+        wkt = None
+        for line in (wkt_out or "").splitlines():
+            line = line.strip()
+            if line.startswith(("PROJCS[", "GEOGCS[")):
+                wkt = line
+                break
+        # last resort the string itself — GDAL also understands proj4 text
+        _DYN_WKT_CACHE[code] = wkt or norm
+        if wkt:
+            name_end = wkt.find('"', wkt.find('"') + 1)
+            kind["name"] = wkt[wkt.find('"') + 1:name_end]
+        logger.info("registered proj-string CRS as code %d: %s", code, norm)
+    except ValueError as exc:
+        _DYN_UNSUPPORTED[code] = str(exc)
+        logger.info("proj-string CRS unsupported: %s", exc)
+        kind = None
+    _DYN_KIND_CACHE[code] = kind
+    return code
 
 
 def _kind_from_proj_tokens(p: dict, code: int) -> dict:

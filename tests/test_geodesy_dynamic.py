@@ -174,3 +174,46 @@ def test_warp_mapping_to_dynamic_grid(tmp_path, code, lon0, lat0):
     gt = plan.geotransform
     assert gt[1] > 0 and -gt[5] > 0
     reader.close()
+
+
+# --- raw +proj= strings as target CRS (gdalwarp non-EPSG -t_srs parity) -----
+def test_proj_string_target_matches_proj_binary():
+    """A raw proj4 string registers under a pseudo-code and projects
+    identically to the system `proj` binary (cs2cs mishandles proj-string
+    CRS targets, so the lower-level binary is the oracle here)."""
+    s = ("+proj=lcc +lat_0=40.75 +lon_0=-74 +lat_1=41.03333333 "
+         "+lat_2=40.66666667 +x_0=300000 +y_0=0 +ellps=GRS80 +units=m")
+    code = geodesy.parse_epsg_code(s)
+    assert code is not None and geodesy.epsg_kind(code)["kind"] == "lcc"
+    lon = np.array([-74.0, -73.5, -72.9])
+    lat = np.array([40.7, 41.0, 40.5])
+    x, y = geodesy.project_forward(lon, lat, code)
+    inp = "\n".join(f"{lo:.10f} {la:.10f}" for lo, la in zip(lon, lat))
+    r = subprocess.run(["proj"] + s.split() + ["-f", "%.6f"],
+                       input=inp + "\n", capture_output=True, text=True,
+                       check=True)
+    oracle = np.array([[float(v) for v in ln.split()[:2]]
+                       for ln in r.stdout.strip().splitlines()])
+    assert np.hypot(x - oracle[:, 0], y - oracle[:, 1]).max() < 0.01
+    # same string registers idempotently; WKT text exists for sidecars
+    assert geodesy.parse_epsg_code(s) == code
+    assert geodesy.epsg_to_wkt(code)
+
+
+def test_proj_string_unsupported_method_rejects():
+    code = geodesy.parse_epsg_code("+proj=cea +lat_ts=30 +units=m")
+    assert geodesy.epsg_kind(code) is None
+    assert "+proj=cea" in geodesy.unsupported_reason(code)
+
+
+def test_warp_plan_accepts_proj_string(tmp_path):
+    s = "+proj=utm +zone=33 +ellps=WGS84 +units=m"
+    reader = _gcp_raster(tmp_path, 990777, 15.0, 52.0)
+    plan = warp_mod.plan_warp(reader, s, target_size=None)
+    ys = np.linspace(0.0, plan.out_rows - 1.0, 21)
+    xs = np.linspace(0.0, plan.out_cols - 1.0, 21)
+    xx, yy = np.meshgrid(xs, ys)
+    ex, ey = plan.exact_source_pixels(xx.ravel(), yy.ravel())
+    ix, iy = plan.interp_source_pixels(xx.ravel(), yy.ravel())
+    assert np.hypot(ix - ex, iy - ey).max() < 0.1
+    reader.close()
