@@ -992,6 +992,14 @@ def parse_epsg_code(crs: str) -> Optional[int]:
             return int(crs[start:end])
         except ValueError:
             return None
+    if crs.startswith(("PROJCS[", "GEOGCS[", "PROJCRS[", "GEOGCRS[")):
+        # authority-less WKT (gdalwarp accepts any CRS text): convert to a
+        # PROJ string via projinfo and register like a +proj target
+        out = _run_projinfo(["-o", "PROJ", "--single-line", "-q", crs])
+        for line in (out or "").splitlines():
+            line = line.strip()
+            if line.startswith("+proj="):
+                return register_proj_string(line)
     return None
 
 

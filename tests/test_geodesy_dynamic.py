@@ -217,3 +217,25 @@ def test_warp_plan_accepts_proj_string(tmp_path):
     ix, iy = plan.interp_source_pixels(xx.ravel(), yy.ravel())
     assert np.hypot(ix - ex, iy - ey).max() < 0.1
     reader.close()
+
+
+def test_authorityless_wkt_target_registers():
+    """gdalwarp accepts raw WKT text as -t_srs; WKT without an EPSG
+    AUTHORITY routes through projinfo -> proj string -> registry."""
+    wkt = (
+        'PROJCS["custom",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+        'PARAMETER["standard_parallel_1",41],'
+        'PARAMETER["standard_parallel_2",40.5],'
+        'PARAMETER["latitude_of_origin",40.75],'
+        'PARAMETER["central_meridian",-74],'
+        'PARAMETER["false_easting",300000],PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]')
+    code = geodesy.parse_epsg_code(wkt)
+    assert code is not None
+    info = geodesy.epsg_kind(code)
+    assert info["kind"] == "lcc" and info["lat1"] == 41.0
+    x, y = geodesy.project_forward(np.array([-74.0]), np.array([40.75]), code)
+    assert abs(x[0] - 300000.0) < 1e-6 and abs(y[0]) < 1e-6
