@@ -285,8 +285,12 @@ def scene_skip_reason(path, params: ProcessingParams) -> Optional[str]:
 def process_directory_to_path(
     input_dir, output_dir, params: ProcessingParams,
     continue_on_error: bool = True, fast: bool = False, resume: bool = False,
+    progress=None,
 ) -> BatchReport:
     """Batch all SAFE subdirectories (reference: api/mod.rs:474-536).
+
+    `progress(done, total, current_name)` (optional) is called as scenes
+    finish — the GUI's live batch progress hook.
 
     Note: the reference opens each product twice (viability check + process,
     api/mod.rs:502-518) — a known inefficiency deliberately NOT replicated;
@@ -295,7 +299,18 @@ def process_directory_to_path(
     output_dir.mkdir(parents=True, exist_ok=True)
     report = BatchReport()
     target_arg, resample = _resolve_target_args(params)
-    for path in iterate_safe_products(input_dir):
+    products = list(iterate_safe_products(input_dir))
+
+    def tick(current=None):
+        if progress is not None:
+            try:
+                progress(report.processed + report.skipped + report.errors,
+                         len(products), current)
+            except Exception:  # noqa: BLE001 — observer must not break batch
+                pass
+
+    for path in products:
+        tick(path.name)
         # viability: parse metadata + check product type / pol availability
         # (reference: api/mod.rs:502-533 — skip, don't error)
         try:
@@ -305,12 +320,14 @@ def process_directory_to_path(
         if reason is not None:
             logger.warning("Skipping %s: %s", path, reason)
             report.skipped += 1
+            tick()
             continue
         ext = params.format.extension
         output_path = output_dir / f"{path.name}.{ext}"
         if resume and output_path.exists():
             logger.info("Resume: output exists, skipping %s", path)
             report.skipped += 1
+            tick()
             continue
         try:
             process_safe_to_path(path, output_path, params, fast=fast)
@@ -320,6 +337,7 @@ def process_directory_to_path(
             report.errors += 1
             if not continue_on_error:
                 raise
+        tick()
     return report
 
 

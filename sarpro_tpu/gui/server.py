@@ -186,7 +186,9 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                 with lock:
                     drain_result()
                     gui.running = worker.busy()
-                    self._json(gui.to_dict())
+                    d = gui.to_dict()
+                    d["progress"] = worker.progress if gui.running else None
+                    self._json(d)
             elif self.path.startswith("/api/logs"):
                 with lock:
                     events = worker.ring.drain()

@@ -72,6 +72,7 @@ def process_directory_pipelined(
     resume: bool = False,
     fast: bool = False,
     device_batch: int = 4,
+    progress=None,
 ):
     """Batch all SAFE subdirectories with `prefetch` scenes loading ahead.
 
@@ -109,6 +110,21 @@ def process_directory_pipelined(
     output_dir.mkdir(parents=True, exist_ok=True)
     report = BatchReport()
     paths = list(iterate_safe_products(input_dir))
+    total_scenes = len(paths)
+    current_scene = [None]
+
+    def tick(current=None):
+        """`progress(done, total, current_name)` — live batch progress for
+        the GUI; exceptions in the observer must not affect the batch."""
+        if current is not None:
+            current_scene[0] = current
+        if progress is not None:
+            try:
+                progress(report.processed + report.skipped + report.errors,
+                         total_scenes, current_scene[0])
+            except Exception:  # noqa: BLE001
+                pass
+
     if resume:
         ext = params.format.extension
         kept = []
@@ -116,6 +132,7 @@ def process_directory_pipelined(
             if (output_dir / f"{p.name}.{ext}").exists():
                 logger.info("Resume: output exists, skipping %s", p)
                 report.skipped += 1
+                tick()
             else:
                 kept.append(p)
         paths = kept
@@ -209,6 +226,8 @@ def process_directory_pipelined(
                 report.errors += 1
                 if not continue_on_error:
                     raise
+            finally:
+                tick()
 
     with concurrent.futures.ThreadPoolExecutor(
             max_workers=max(prefetch, 1)) as pool, \
@@ -228,6 +247,7 @@ def process_directory_pipelined(
             if wfut is None:
                 report.processed += 1
                 logger.info("Processed: %s", path)
+                tick()
             else:
                 write_futs.append((path, wfut))
                 drain_writes()
@@ -276,6 +296,7 @@ def process_directory_pipelined(
                 except Exception as e:  # noqa: BLE001 — isolation boundary
                     logger.warning("Error processing %s: %s", path, e)
                     report.errors += 1
+                    tick()
                     if not continue_on_error:
                         raise
 
@@ -287,6 +308,7 @@ def process_directory_pipelined(
             except Exception as e:  # noqa: BLE001 — loader thread crashed
                 logger.warning("Scene loader failed: %s", e)
                 report.errors += 1
+                tick()
                 refill()
                 if not continue_on_error:
                     raise
@@ -295,16 +317,19 @@ def process_directory_pipelined(
             if load.skipped:
                 logger.warning("Skipping unsupported product: %s", load.path)
                 report.skipped += 1
+                tick()
                 continue
             if load.error is not None:
                 logger.warning("Error loading %s: %s", load.path, load.error)
                 report.errors += 1
+                tick()
                 if not continue_on_error:
                     raise load.error
                 continue
             if bucketing:
                 from ..api import _band_pair
 
+                tick(load.path.name)
                 try:
                     b1, b2, is_vvvh = _band_pair(load.reader, "Multiband")
                     ext = params.format.extension
@@ -316,6 +341,7 @@ def process_directory_pipelined(
                 except Exception as e:  # noqa: BLE001 — isolation boundary
                     logger.warning("Error staging %s: %s", load.path, e)
                     report.errors += 1
+                    tick()
                     if not continue_on_error:
                         raise
                     continue
@@ -333,11 +359,13 @@ def process_directory_pipelined(
                         victim = next((k for k in buckets if k != key), key)
                         flush_bucket(victim, per_scene=True)
                 continue
+            tick(load.path.name)
             try:
                 wfut = run_scene(load, write_pool=writer_pool if fast else None)
             except Exception as e:  # noqa: BLE001 — batch isolation boundary
                 logger.warning("Error processing %s: %s", load.path, e)
                 report.errors += 1
+                tick()
                 if not continue_on_error:
                     raise
                 continue

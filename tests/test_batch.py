@@ -236,3 +236,44 @@ def test_device_batched_mixed_shape_eviction_bounds_staging(tmp_path):
     assert report.processed == 12 and report.errors == 0
     for name in names:
         assert (tmp_path / "het" / f"{name}.jpg").exists()
+
+
+def test_progress_callback_counts_every_scene(tmp_path):
+    """GUI live-progress hook: done is monotonic, ends at total, and the
+    current-scene name is surfaced (both batch drivers)."""
+    from sarpro_tpu import api
+
+    indir = _setup(tmp_path)
+    params = ProcessingParams(size=32, autoscale=AutoscaleStrategy.STANDARD)
+    for driver in ("pipelined", "serial"):
+        events = []
+
+        def cb(done, total, current):
+            events.append((done, total, current))
+
+        if driver == "pipelined":
+            report = process_directory_pipelined(
+                indir, tmp_path / f"o_{driver}", params, prefetch=2,
+                progress=cb)
+        else:
+            report = api.process_directory_to_path(
+                indir, tmp_path / f"o_{driver}", params, progress=cb)
+        total = report.processed + report.skipped + report.errors
+        assert events, driver
+        dones = [e[0] for e in events]
+        assert dones == sorted(dones), driver          # monotonic
+        assert events[-1][0] == total == 5, driver     # 3 ok + 2 skipped
+        assert all(e[1] == 5 for e in events), driver
+        assert any(e[2] and e[2].endswith(".SAFE") for e in events), driver
+
+
+def test_progress_callback_exceptions_do_not_break_batch(tmp_path):
+    indir = _setup(tmp_path)
+    params = ProcessingParams(size=32, autoscale=AutoscaleStrategy.STANDARD)
+
+    def bad_cb(done, total, current):
+        raise RuntimeError("observer crash")
+
+    report = process_directory_pipelined(indir, tmp_path / "o_bad", params,
+                                         prefetch=2, progress=bad_cb)
+    assert report.processed == 3 and report.errors == 0
