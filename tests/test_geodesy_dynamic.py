@@ -239,3 +239,24 @@ def test_authorityless_wkt_target_registers():
     assert info["kind"] == "lcc" and info["lat1"] == 41.0
     x, y = geodesy.project_forward(np.array([-74.0]), np.array([40.75]), code)
     assert abs(x[0] - 300000.0) < 1e-6 and abs(y[0]) < 1e-6
+
+
+def test_cli_warp_to_dynamic_crs_sidecars(tmp_path):
+    """CLI end-to-end with a dynamic EPSG target: .prj carries projinfo's
+    GDAL WKT and the JSON sidecar records the same CRS."""
+    import json
+
+    import fixtures
+    from sarpro_tpu import cli
+
+    safe = fixtures.make_safe(tmp_path, name="S1A_DYN.SAFE")
+    out = tmp_path / "dyn.jpg"
+    rc = cli.run(["-i", str(safe), "-o", str(out), "-f", "jpeg",
+                  "--target-crs", "EPSG:26915", "--resample-alg", "cubic",
+                  "--size", "64"])
+    assert rc == 0 and out.exists()
+    prj = (tmp_path / "dyn.prj").read_text()
+    assert prj.startswith('PROJCS["NAD83 / UTM zone 15N"')
+    assert 'AUTHORITY["EPSG","26915"]' in prj
+    side = json.loads((tmp_path / "dyn.json").read_text())
+    assert side["crs"] == prj
