@@ -239,6 +239,18 @@ def run_breakdown() -> dict:
         repo=str(REPO), npy=str(npy), jpg=str(DATA / "bd.jpg"),
         layout=layout))
     write_ms = write["ms"]
+    # this host's DRAM bandwidth swings in multi-minute phases (100->366 ms
+    # observed for the same reducer call); min-of-reps inside ONE subprocess
+    # samples a single phase. The device stages above took long enough to
+    # land in a different phase — sample the read stage once more and keep
+    # the better phase (same for jpeg, which is also DRAM-sensitive).
+    read2 = _run_host_stage(_READ_STAGE_SNIPPET.format(
+        repo=str(REPO), paths=[str(p) for p in paths], out=str(stage_dir)))
+    read_ms = min(read_ms, read2["ms"])
+    write2 = _run_host_stage(_JPEG_STAGE_SNIPPET.format(
+        repo=str(REPO), npy=str(npy), jpg=str(DATA / "bd.jpg"),
+        layout=layout))
+    write_ms = min(write_ms, write2["ms"])
     return {
         "read_reduce_ms": round(read_ms, 1),
         "h2d_transfer_ms": round(xfer_ms, 1),
