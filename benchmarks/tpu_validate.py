@@ -80,6 +80,23 @@ def main():
             err = float(np.abs(got - want).max())
             check(f"clahe n={n} off={off}", err < 2e-5, f"maxerr={err:.2e}")
 
+        # tile histograms: banded (wide cols), full-fallback (narrow tile_h),
+        # row_offset shard path, and odd row counts (partial bottom tile)
+        for cols, rows_g, off in ((2048, n // 2048, None),
+                                  (2048, 999, 512),
+                                  (512, 128, None)):
+            tile_h = -(-rows_g // 8)
+            tile_w = -(-cols // 8)
+            m = rows_g * cols if rows_g * cols <= n else n
+            bt = jnp.asarray(rng.integers(0, 257, m).astype(np.int32))
+            got = np.asarray(K.tile_histogram(bt, cols, 8, 8, tile_h, tile_w,
+                                              row_offset=off))
+            want = np.asarray(K._tile_histogram_xla(bt, cols, 8, 8, tile_h,
+                                                    tile_w, 256,
+                                                    row_offset=off))
+            check(f"tile_histogram n={m} cols={cols} off={off}",
+                  np.array_equal(got, want))
+
         b1 = jnp.asarray(rng.integers(0, 256, n).astype(np.uint8))
         b2 = jnp.asarray(rng.integers(0, 256, n).astype(np.uint8))
         lr, lg = (jnp.asarray(rng.integers(0, 256, 256).astype(np.uint8))

@@ -46,19 +46,15 @@ def _normalize_and_tile_hists(db, mask, low, high, rng, tile_h: int, tile_w: int
     norm = jnp.where(mask, (clipped - low) / rng, 0.0)
 
     rows, cols = norm.shape
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    ty = jnp.minimum(r // tile_h, TILES_Y - 1)
-    tx = jnp.minimum(c // tile_w, TILES_X - 1)
     # bin = round(clamp(v,0,1) * 255), round half away (reference: :262-265)
     v = jnp.clip(norm, 0.0, 1.0)
     bin_ = round_half_up_nonneg(v * np.float32(CLAHE_BINS - 1)).astype(jnp.int32)
     bin_ = jnp.clip(bin_, 0, CLAHE_BINS - 1)
-    from ..ops import histogram
+    from ..ops import tile_histogram
 
-    n_bins = TILES_Y * TILES_X * CLAHE_BINS
-    flat = jnp.where(mask, (ty * TILES_X + tx) * CLAHE_BINS + bin_, n_bins)
-    hists = histogram(flat, n_bins)
+    bin_m = jnp.where(mask, bin_, CLAHE_BINS)
+    hists = tile_histogram(bin_m.ravel(), cols, TILES_X, TILES_Y, tile_h,
+                           tile_w, n_bins=CLAHE_BINS)
     return norm, hists
 
 

@@ -216,22 +216,15 @@ def _scale_u16_to_u8(q, row_axis: str | None = None):
 
 def _clahe_bins(norm, mask, rows: int, cols: int, tile_h: int, tile_w: int,
                 row_axis: str | None = None, row_offset=None):
-    """Per-pixel CLAHE bin + flat tile-hist index (bin_, flat). `row_offset`
-    (static int or traced scalar) shifts pixel rows to global raster
-    coordinates for row chunks/shards."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-    if row_axis is not None:
-        r = r + jax.lax.axis_index(row_axis).astype(jnp.int32) * rows
-    elif row_offset is not None:
-        r = r + jnp.asarray(row_offset, jnp.int32)
-    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    ty = jnp.minimum(r // tile_h, TILES_Y - 1)
-    tx = jnp.minimum(c // tile_w, TILES_X - 1)
+    """Per-pixel CLAHE bin, masked pixels carrying CLAHE_BINS (the kernels'
+    invalid convention). Tile membership is derived from pixel coordinates
+    inside ops.tile_histogram / ops.clahe_lookup, so this stays a pure
+    value→bin map (rows/cols/tile args kept for signature stability across
+    the fused/streamed/sharded callers)."""
+    del rows, cols, tile_h, tile_w, row_axis, row_offset
     bin_ = round_half_up_nonneg(jnp.clip(norm, 0, 1) * np.float32(CLAHE_BINS - 1))
     bin_ = jnp.clip(bin_, 0, CLAHE_BINS - 1).astype(jnp.int32)
-    n_hist_bins = TILES_Y * TILES_X * CLAHE_BINS
-    flat = jnp.where(mask, (ty * TILES_X + tx) * CLAHE_BINS + bin_, n_hist_bins)
-    return bin_, flat
+    return jnp.where(mask, bin_, CLAHE_BINS)
 
 
 def _clahe_cdfs(hists, rows_global: int, cols: int, tile_h: int, tile_w: int):
@@ -274,21 +267,21 @@ def _clahe(db, mask, low, high, max_val, rows: int, cols: int,
     tile_w = -(-cols // TILES_X)
     norm = _clahe_norm(db, mask, low, high)
 
-    bin_, flat = _clahe_bins(norm, mask, rows, cols, tile_h, tile_w,
-                             row_axis=row_axis)
-    from ..ops import clahe_lookup, histogram
+    bin_m = _clahe_bins(norm, mask, rows, cols, tile_h, tile_w,
+                        row_axis=row_axis)
+    from ..ops import clahe_lookup, tile_histogram
 
     if row_axis is not None:
         row_off = jax.lax.axis_index(row_axis).astype(jnp.int32) * rows
     else:
         row_off = None
-    n_hist_bins = TILES_Y * TILES_X * CLAHE_BINS
-    hists = histogram(flat, n_hist_bins)
+    bin_flat = bin_m.ravel()
+    hists = tile_histogram(bin_flat, cols, TILES_X, TILES_Y, tile_h, tile_w,
+                           row_offset=row_off, n_bins=CLAHE_BINS)
     if row_axis is not None:
         hists = jax.lax.psum(hists, row_axis)
     cdfs = _clahe_cdfs(hists, rows_global, cols, tile_h, tile_w)
 
-    bin_flat = jnp.where(mask, bin_, CLAHE_BINS).ravel()
     eq = clahe_lookup(
         bin_flat, cdfs, cols, TILES_X, TILES_Y, tile_h, tile_w,
         row_offset=row_off,

@@ -78,13 +78,14 @@ def _pass_hist(dn, mn, mx, r0, n: int):
                                              "cols"))
 def _pass_tile_hist(dn, low, high, r0, n: int, cols: int,
                     tile_h: int, tile_w: int):
-    from ..ops import histogram
+    from ..ops import tile_histogram
 
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
     norm = fused._clahe_norm(db, mask, low, high)
-    _, flat = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
-                                row_offset=r0)
-    return histogram(flat, TILES_Y * TILES_X * CLAHE_BINS)
+    bin_m = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
+                              row_offset=r0)
+    return tile_histogram(bin_m.ravel(), cols, TILES_X, TILES_Y, tile_h,
+                          tile_w, row_offset=r0, n_bins=CLAHE_BINS)
 
 
 @functools.partial(jax.jit, static_argnames=("rows_global", "cols", "tile_h",
@@ -103,9 +104,8 @@ def _pass_apply_clahe(q16_buf, dn, low, high, max_val, cdfs, r0, n: int,
 
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
     norm = fused._clahe_norm(db, mask, low, high)
-    bin_, _ = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
-                                row_offset=r0)
-    bin_flat = jnp.where(mask, bin_, CLAHE_BINS).ravel()
+    bin_flat = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
+                                 row_offset=r0).ravel()
     eq = clahe_lookup(bin_flat, cdfs, cols, TILES_X, TILES_Y, tile_h,
                       tile_w, row_offset=r0).reshape(n, cols)
     q = jnp.trunc(jnp.clip(eq, 0.0, 1.0) * max_val)

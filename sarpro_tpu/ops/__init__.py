@@ -7,6 +7,9 @@ they are reformulated as one-hot matmuls on the MXU:
 
   * histogram:  idx -> (hi, lo) decomposition; counts = onehot(hi)^T @
     onehot(lo) accumulated in int32 across grid steps (exact);
+  * tile_histogram: CLAHE per-tile counts as the natural (tile, bin)
+    outer product onehot(tile) @ onehot(bin)^T with tile-row banding —
+    4096 MACs/px vs 16512 for the generic flat-index histogram;
   * table lookups: value = onehot(idx) @ table, with the bilinear CLAHE
     blend folded into the weight matrix.
 
@@ -18,5 +21,6 @@ from .kernels import (  # noqa: F401
     histogram,
     synrgb_lookup,
     synrgb_lookup_formula,
+    tile_histogram,
     use_pallas,
 )

@@ -137,6 +137,149 @@ def histogram(idx, num_bins: int):
 
 
 # ---------------------------------------------------------------------------
+# CLAHE tile histograms
+# ---------------------------------------------------------------------------
+# The generic `histogram` over the flat (tile*256 + bin) index pays
+# (n_tiles*n_bins) MACs/pixel on the MXU (hi/lo split: 129x128 = 16512 for
+# the 64-tile 256-bin grid — 0.85 ms/4M measured). Factoring the index into
+# its natural (tile, bin) pair turns the histogram into an outer-product
+# contraction (tiles, K)·(bins, K)ᵀ — and tile-row banding (same argument
+# as the lookup kernel below, but only 2 tile-rows since no +1 bilinear
+# neighbor) cuts the tile side to band_ty*tiles_x = 16 rows: 16*256 = 4096
+# MACs/pixel, 4x fewer. Masked pixels carry bin == n_bins (all-zero one-hot
+# column). Counts accumulate in int32 across grid steps like `histogram`.
+_TILEHIST_K = 8192
+
+
+def _tile_hist_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
+                      n_bins: int, cols: int, band_ty: int,
+                      base_ref, off_ref, bin_ref, out_ref):
+    k = _TILEHIST_K
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    gb = base_ref[i % 8, 0]
+    off = off_ref[0, 0]
+    flat = gb * k + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    r = flat // cols + off
+    c = flat % cols
+    ty = jnp.minimum(r // tile_h, tiles_y - 1)
+    tx = jnp.minimum(c // tile_w, tiles_x - 1)
+    if band_ty < tiles_y:
+        # one block spans <= tile_h raster rows (host guard), so ty takes at
+        # most 2 consecutive values anchored by the block's FIRST row; the
+        # bottom clamp keeps clipped anchors consistent with the min() above
+        a = jnp.clip((gb * k // cols + off) // tile_h, 0, tiles_y - band_ty)
+        start = pl.multiple_of(a * tiles_x, tiles_x)
+        ty = ty - a
+        n_rows = band_ty * tiles_x
+    else:
+        start = 0
+        n_rows = tiles_y * tiles_x
+    tid = ty * tiles_x + tx  # (1, K)
+    oh_t = (tid == jax.lax.broadcasted_iota(jnp.int32, (n_rows, k), 0)
+            ).astype(jnp.bfloat16)
+    oh_b = (bin_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (n_bins, k), 0)
+            ).astype(jnp.bfloat16)
+    part = jax.lax.dot_general(  # (n_rows, n_bins)
+        oh_t, oh_b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if band_ty < tiles_y:
+        out_ref[pl.ds(start, n_rows), :] += part.astype(jnp.int32)
+    else:
+        out_ref[:] += part.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cols", "tiles_x", "tiles_y", "tile_h", "tile_w",
+                     "n_bins", "block_base"))
+def _tile_histogram_pallas_chunk(bin_flat, cols, tiles_x, tiles_y, tile_h,
+                                 tile_w, n_bins: int, block_base: int,
+                                 row_offset=None):
+    b2, g = _pad_row(bin_flat.astype(jnp.int32), _TILEHIST_K, n_bins)
+    base = (jnp.arange(-(-g // 8) * 8, dtype=jnp.int32) + block_base
+            ).reshape(-1, 1)
+    off = jnp.full((1, 1), 0, jnp.int32) if row_offset is None else \
+        jnp.asarray(row_offset, jnp.int32).reshape(1, 1)
+    n_tiles = tiles_y * tiles_x
+    # banding is sound when one K-block spans at most tile_h raster rows;
+    # the accumulate's dynamic row start must be 8-sublane aligned
+    band_ty = 2 if (tiles_y > 2 and tiles_x % 8 == 0
+                    and (_TILEHIST_K - 1) // cols + 2 <= tile_h) else tiles_y
+    kern = functools.partial(_tile_hist_kernel, tiles_x, tiles_y, tile_h,
+                             tile_w, n_bins, cols, band_ty)
+    out = pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _TILEHIST_K), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_tiles, n_bins), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_bins), jnp.int32),
+    )(base, off, b2)
+    return out.reshape(-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cols", "tiles_x", "tiles_y", "tile_h", "tile_w",
+                     "n_bins"))
+def _tile_histogram_xla(bin_flat, cols, tiles_x, tiles_y, tile_h, tile_w,
+                        n_bins: int, row_offset=None):
+    flat_idx = jnp.arange(bin_flat.size, dtype=jnp.int32)
+    r = flat_idx // cols
+    if row_offset is not None:
+        r = r + jnp.asarray(row_offset, jnp.int32)
+    c = flat_idx % cols
+    ty = jnp.minimum(r // tile_h, tiles_y - 1)
+    tx = jnp.minimum(c // tile_w, tiles_x - 1)
+    n_hist = tiles_y * tiles_x * n_bins
+    valid = bin_flat < n_bins
+    flat = jnp.where(valid,
+                     (ty * tiles_x + tx) * n_bins
+                     + jnp.minimum(bin_flat, n_bins - 1), 0)
+    return jnp.zeros((n_hist,), jnp.int32).at[flat].add(valid.astype(jnp.int32))
+
+
+def tile_histogram(bin_flat, cols, tiles_x, tiles_y, tile_h, tile_w,
+                   row_offset=None, n_bins: int = 256):
+    """Per-tile histograms for CLAHE (reference: autoscale.rs:258-269).
+
+    `bin_flat` is the flat row-major (N,) bin array for a (N/cols, cols)
+    image; `bin_flat == n_bins` marks invalid pixels (not counted).
+    `row_offset` (static int or traced scalar) shifts pixel rows to global
+    raster coordinates for row chunks/shards. Returns the flat
+    (tiles_y*tiles_x*n_bins,) i32 counts, tile-major."""
+    assert n_bins % LANE == 0, n_bins
+    flat = bin_flat.reshape(-1)
+    if not use_pallas():
+        return _tile_histogram_xla(flat, cols, tiles_x, tiles_y, tile_h,
+                                   tile_w, n_bins, row_offset)
+    n = flat.size
+    if n <= _MAX_LOOKUP_ELEMS:
+        return _tile_histogram_pallas_chunk(flat, cols, tiles_x, tiles_y,
+                                            tile_h, tile_w, n_bins, 0,
+                                            row_offset)
+    assert _MAX_LOOKUP_ELEMS % _TILEHIST_K == 0
+    out = None
+    for s in range(0, n, _MAX_LOOKUP_ELEMS):
+        part = _tile_histogram_pallas_chunk(
+            flat[s:s + _MAX_LOOKUP_ELEMS], cols, tiles_x, tiles_y, tile_h,
+            tile_w, n_bins, s // _TILEHIST_K, row_offset)
+        out = part if out is None else out + part
+    return out
+
+
+# ---------------------------------------------------------------------------
 # CLAHE bilinear CDF lookup
 # ---------------------------------------------------------------------------
 _CLAHE_K = 8192  # VMEM-bound: bf16 one-hot (256,K) + two (n_tiles,K) f32
