@@ -417,13 +417,32 @@ def _process_safe_to_path_fast(input, output, params: ProcessingParams) -> None:
     bit_depth = params.bit_depth.to_bit_depth()
     target_arg, resample = _resolve_target_args(params)
     warping = params.target_crs is not None and params.target_crs.lower() != "none"
-    reader = SafeReader.open_with_options(
-        input, _pol_to_reader_hint(params.polarization), target_arg, resample,
-        params.size,
-    )
     size = params.size
     pol = params.polarization
-    alg = None if warping else resample  # warp already consumed the filter
+    alg0 = None if warping else resample  # warp already consumed the filter
+
+    band_stage = None
+    if pol.kind == "multiband" and params.format is OutputFormat.JPEG:
+        # overlapped pair load: band 1's device program (resample → dB/stats
+        # → autoscale → u8 [+pad]) dispatches while band 2 streams off disk;
+        # the combine program below consumes the resident result. Big scenes
+        # route through the streamed path instead — skip staging for them.
+        from .core.fast_path import _is_big_scene
+
+        def band_stage(dn1):
+            from .core import fused
+
+            if _is_big_scene(*dn1.shape, size):
+                return None
+            return fused.synrgb_band_stage(
+                dn1, strategy=params.autoscale, copol=True, target_size=size,
+                pad=params.pad, resample_alg=alg0)
+
+    reader = SafeReader.open_with_options(
+        input, _pol_to_reader_hint(params.polarization), target_arg, resample,
+        params.size, band_stage=band_stage,
+    )
+    alg = alg0
     if pol.kind in ("vv", "vh", "hh", "hv"):
         fast_path.save_single_band_fast(
             _single_band(reader, pol), output, params.format, bit_depth, size,
@@ -438,6 +457,7 @@ def _process_safe_to_path_fast(input, output, params: ProcessingParams) -> None:
             ProcessingOperation.MULTIBAND_VV_VH if is_vvvh
             else ProcessingOperation.MULTIBAND_HH_HV,
             params.synrgb_mode, resample_alg=alg,
+            staged_b1=reader.staged_band1,
         )
     else:
         fast_path.save_single_band_fast(

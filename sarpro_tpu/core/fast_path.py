@@ -133,12 +133,15 @@ def save_multiband_fast(
     metadata=None, pad: bool = False, strategy=None,
     operation: ProcessingOperation = ProcessingOperation.MULTIBAND_VV_VH,
     syn_mode: SyntheticRgbMode = SyntheticRgbMode.DEFAULT,
-    resample_alg=None, write_pool=None,
+    resample_alg=None, write_pool=None, staged_b1=None,
 ):
     """Dual-band DN → multiband TIFF or synRGB JPEG through fused programs.
 
     `write_pool` defers the encode+write stage to the given Executor and
-    returns its Future (see save_single_band_fast)."""
+    returns its Future (see save_single_band_fast). `staged_b1` is band 1's
+    already-dispatched device program output (the reader's overlapped pair
+    load, api.py fast mode) — when present the synRGB path runs only band
+    2's program plus the combine, identical math cut at the u8 boundary."""
     output = Path(output)
     in_rows, in_cols = dn1.shape
     rows, cols, final_cols, final_rows, pad_left, pad_top = _final_dims(
@@ -186,9 +189,18 @@ def save_multiband_fast(
             # the native encoder (color conversion fused in-graph), else
             # BGR for cv2 — no host-side channel work either way
             order = preferred_synrgb_layout()
-            rgb = np.asarray(fused.synrgb_pipeline(
-                dn1, dn2, strategy=strategy, target_size=target_size,
-                pad=pad, resample_alg=resample_alg, channel_order=order))
+            if staged_b1 is not None:
+                b2_dev = fused.synrgb_band_stage(
+                    dn2, strategy=strategy, copol=False,
+                    target_size=target_size, pad=pad,
+                    resample_alg=resample_alg)
+                rgb = np.asarray(fused.synrgb_combine_stage(
+                    staged_b1, b2_dev, strategy=strategy, suppressed=None,
+                    channel_order=order))
+            else:
+                rgb = np.asarray(fused.synrgb_pipeline(
+                    dn1, dn2, strategy=strategy, target_size=target_size,
+                    pad=pad, resample_alg=resample_alg, channel_order=order))
 
         def _write():
             write_synrgb_jpeg(output, final_cols, final_rows, rgb,

@@ -462,7 +462,21 @@ def synrgb_pipeline(
     and the Pallas kernels run per shard (parallel/sharded.py). Resampling
     and padding are whole-raster ops and unsupported in that mode.
     """
-    in_rows, in_cols = vv_dn.shape
+    b1 = _synrgb_band(vv_dn, strategy, True, target_size, pad, resample_alg,
+                      row_axis, row_shards)
+    b2 = _synrgb_band(vh_dn, strategy, False, target_size, pad, resample_alg,
+                      row_axis, row_shards)
+    return _synrgb_combine(b1, b2, strategy, suppressed, channel_order,
+                           row_axis, row_shards)
+
+
+def _synrgb_band(dn, strategy, copol: bool, target_size, pad: bool,
+                 resample_alg=None, row_axis=None, row_shards: int = 1):
+    """One band of the synRGB pipeline: resample → dB/stats/autoscale → u8
+    (+ pad). Everything up to the dual-band composition — the per-band cut
+    the overlapped file path dispatches while the other band is still being
+    read from disk (api.py fast mode)."""
+    in_rows, in_cols = dn.shape
     if row_axis is not None:
         assert target_size is None and not pad, \
             "row-sharded mode processes full-res unpadded rasters"
@@ -470,25 +484,21 @@ def synrgb_pipeline(
     else:
         rows, cols, filt = _plan_read_dims(in_rows, in_cols, target_size,
                                            resample_alg)
-    if filt is not None:
-        vv = _resample_dn(vv_dn, rows, cols, filt)
-        vh = _resample_dn(vh_dn, rows, cols, filt)
-    else:
-        vv = vv_dn.astype(jnp.float32)
-        vh = vh_dn.astype(jnp.float32)
-
+    x = (_resample_dn(dn, rows, cols, filt) if filt is not None
+         else dn.astype(jnp.float32))
     tamed = strategy is AutoscaleStrategy.TAMED
-    b1 = _band_u8(vv, strategy, True if tamed else None, rows, cols,
-                  row_axis, row_shards)
-    b2 = _band_u8(vh, strategy, False if tamed else None, rows, cols,
-                  row_axis, row_shards)
-
+    b = _band_u8(x, strategy, copol if tamed else None, rows, cols,
+                 row_axis, row_shards)
     if pad:
         # padding precedes composition (save.rs:332-361): the pad zeros take
         # part in the suppressed mode's combined histogram
-        b1 = _pad_square(b1, rows, cols)
-        b2 = _pad_square(b2, rows, cols)
+        b = _pad_square(b, rows, cols)
+    return b
 
+
+def _synrgb_combine(b1, b2, strategy, suppressed, channel_order: str,
+                    row_axis=None, row_shards: int = 1):
+    """Dual-band u8 → composed synRGB in the writer's channel order."""
     if suppressed is None:
         suppressed = strategy in (AutoscaleStrategy.TAMED, AutoscaleStrategy.CLAHE)
     out = (_synrgb_suppressed(b1, b2, row_axis, row_shards) if suppressed
@@ -510,6 +520,18 @@ def synrgb_pipeline(
         planes = jnp.stack([y, cb, cr])
         return jnp.clip(jnp.round(planes), 0.0, 255.0).astype(jnp.uint8)
     return out
+
+
+# jitted per-stage entry points for the overlapped file path: band 1's
+# program runs on device while band 2 is still streaming off disk, then the
+# second program consumes the resident b1 — identical math to the single
+# synrgb_pipeline program cut at the (exact, u8) band boundary
+synrgb_band_stage = functools.partial(jax.jit, static_argnames=(
+    "strategy", "copol", "target_size", "pad", "resample_alg", "row_axis",
+    "row_shards"))(_synrgb_band)
+synrgb_combine_stage = functools.partial(jax.jit, static_argnames=(
+    "strategy", "suppressed", "channel_order", "row_axis", "row_shards"))(
+        _synrgb_combine)
 
 
 @functools.partial(

@@ -124,3 +124,40 @@ def test_fast_path_big_scene_gate_routes_to_streamed(tmp_path, monkeypatch, rng)
         dn1, dn2, out, OutputFormat.JPEG, BitDepth.U8, None,
         strategy=AutoscaleStrategy.CLAHE)
     assert out.exists() and calls.get("hit")
+
+
+def test_overlapped_band_staging_byte_identical(safe_dir, tmp_path,
+                                                monkeypatch):
+    """The overlapped pair load (band-1 program dispatched during band-2's
+    read, then the split combine program) must produce the exact bytes of
+    the single fused program — the cut sits at the deterministic u8 band
+    boundary."""
+    from sarpro_tpu.io.safe import SafeReader
+
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.CLAHE, size=64, pad=True,
+    )
+    staged = tmp_path / "staged.jpg"
+    plain = tmp_path / "plain.jpg"
+
+    seen = {}
+    orig_open = SafeReader.open_with_options.__func__
+
+    def spy_open(cls, *a, **kw):
+        seen["band_stage"] = kw.get("band_stage")
+        return orig_open(cls, *a, **kw)
+
+    monkeypatch.setattr(SafeReader, "open_with_options",
+                        classmethod(spy_open))
+    api.process_safe_to_path(safe_dir, staged, params, fast=True)
+    assert seen["band_stage"] is not None  # overlap path actually engaged
+
+    def no_stage_open(cls, *a, **kw):
+        kw["band_stage"] = None
+        return orig_open(cls, *a, **kw)
+
+    monkeypatch.setattr(SafeReader, "open_with_options",
+                        classmethod(no_stage_open))
+    api.process_safe_to_path(safe_dir, plain, params, fast=True)
+    assert staged.read_bytes() == plain.read_bytes()
