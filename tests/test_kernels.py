@@ -84,3 +84,41 @@ def test_pallas_parity_on_tpu(rng):
     got = np.asarray(K._histogram_pallas(bins, 4096))
     want = np.asarray(K._histogram_xla(bins, 4096))
     np.testing.assert_array_equal(got, want)
+
+
+def test_tile_histogram_fallback_matches_numpy(rng):
+    """tile_histogram vs a direct numpy per-tile bincount, incl. masked
+    pixels, partial bottom/right tiles, and the row_offset chunk path."""
+    rows, cols, tiles = 37, 53, 8
+    tile_h = -(-rows // tiles)
+    tile_w = -(-cols // tiles)
+    bins = rng.integers(0, 257, rows * cols).astype(np.int32)  # 256 = masked
+
+    def oracle(b, row_off=0):
+        hist = np.zeros((tiles * tiles, 256), np.int64)
+        for i, v in enumerate(b):
+            if v >= 256:
+                continue
+            r, c = divmod(i, cols)
+            ty = min((r + row_off) // tile_h, tiles - 1)
+            tx = min(c // tile_w, tiles - 1)
+            hist[ty * tiles + tx, v] += 1
+        return hist.reshape(-1)
+
+    got = np.asarray(K.tile_histogram(jnp.asarray(bins), cols, tiles, tiles,
+                                      tile_h, tile_w))
+    np.testing.assert_array_equal(got, oracle(bins))
+    # chunked/sharded offset: rows 16.. of a taller global raster
+    got = np.asarray(K.tile_histogram(jnp.asarray(bins), cols, tiles, tiles,
+                                      tile_h * 2, tile_w, row_offset=16))
+    hist = np.zeros((tiles * tiles, 256), np.int64)
+    for i, v in enumerate(bins):
+        if v >= 256:
+            continue
+        r, c = divmod(i, cols)
+        ty = min((r + 16) // (tile_h * 2), tiles - 1)
+        tx = min(c // tile_w, tiles - 1)
+        hist[ty * tiles + tx, v] += 1
+    np.testing.assert_array_equal(got, hist.reshape(-1))
+    # total count conservation: every unmasked pixel lands in exactly one cell
+    assert got.sum() == int((bins < 256).sum())
