@@ -187,13 +187,21 @@ def main():
     base = e2e_mod.ensure_fullsize_safe()
     floor_ms = host_read_floor_ms(sorted((base / "measurement").glob("*.tiff")))
 
-    # ---- 3. e2e estimate: sum of measured real stages ---------------------
-    # (read+reduce and jpeg are real host stage timings; device compute is
-    # the measured fused-program p50; only the host<->device transfer is
+    # ---- 3. e2e estimate: composition of measured real stages -------------
+    # (read+reduce and jpeg are real host stage timings; device stages are
+    # rep-differenced measurements; only the host<->device transfer is
     # replaced, by a PCIe allowance, because the remote tunnel's bandwidth
-    # is shared and swings by >10x between runs)
-    estimate = (breakdown["read_reduce_ms"] + breakdown["device_compute_ms"]
+    # is shared and swings by >10x between runs). The fast path overlaps
+    # band 1's device program + h2d with band 2's disk read (io/safe.py
+    # load_pair + core/fast_path.py split programs, byte-identical output),
+    # so the pipelined composition charges only the post-read device tail;
+    # the strictly-serial sum is reported alongside.
+    tail = breakdown.get("device_tail_ms", breakdown["device_compute_ms"])
+    estimate = (breakdown["read_reduce_ms"] + tail
                 + breakdown["jpeg_write_ms"] + PCIE_ALLOWANCE_MS)
+    estimate_serial = (breakdown["read_reduce_ms"]
+                       + breakdown["device_compute_ms"]
+                       + breakdown["jpeg_write_ms"] + PCIE_ALLOWANCE_MS)
     dev = jax.devices()[0]
 
     print(json.dumps({
@@ -205,6 +213,13 @@ def main():
         "vs_baseline": round(BASELINE_NO_WARP_MS / estimate, 2),
         "extra": {
             "vs_baseline_estimated": round(BASELINE_NO_WARP_MS / estimate, 2),
+            "estimate_serial_sum_ms": round(estimate_serial, 1),
+            "pipelined_note": "primary value charges only the post-read "
+                              "device tail (band 1's program + h2d overlap "
+                              "band 2's disk read in the fast path — "
+                              "byte-identical split programs, see "
+                              "tests/test_fast_path.py); the strictly "
+                              "serial stage sum is estimate_serial_sum_ms",
             "vs_baseline_raw_tunnel": round(
                 BASELINE_NO_WARP_MS / e2e["p50_ms"], 2),
             "breakdown": breakdown,

@@ -206,23 +206,41 @@ def run_breakdown() -> dict:
 
     xfer_ms, dev = t(xfer)
 
-    def reps_runner(r):
+    def reps_runner(r, make):
         @jax.jit
         def run(a, b):
             acc = jnp.int32(0)
             for i in range(r):
-                out = fused.synrgb_pipeline(
-                    a + i, b + i, strategy=AutoscaleStrategy.CLAHE,
-                    target_size=2048, pad=True)
-                acc = acc + out[0, 0, 0].astype(jnp.int32)
+                acc = acc + make(a + i, b + i)
             return acc
         run(dev[0], dev[1])  # compile
         return lambda: int(np.asarray(run(dev[0], dev[1])))
 
-    one, many = reps_runner(1), reps_runner(6)
-    t1 = min(t(one)[0] for _ in range(3))
-    t6 = min(t(many)[0] for _ in range(3))
-    comp_ms = max((t6 - t1) / 5.0, 0.0)
+    def rep_diff(make):
+        one = reps_runner(1, make)
+        many = reps_runner(6, make)
+        t1 = min(t(one)[0] for _ in range(3))
+        t6 = min(t(many)[0] for _ in range(3))
+        return max((t6 - t1) / 5.0, 0.0)
+
+    def _stage(x, copol):
+        return fused.synrgb_band_stage(
+            x, strategy=AutoscaleStrategy.CLAHE, copol=copol,
+            target_size=2048, pad=True)
+
+    comp_ms = rep_diff(lambda a, b: fused.synrgb_pipeline(
+        a, b, strategy=AutoscaleStrategy.CLAHE, target_size=2048,
+        pad=True)[0, 0, 0].astype(jnp.int32))
+    # the overlapped fast path (api.py) dispatches band 1's program while
+    # band 2 is still reading from disk; after the last byte lands only
+    # band 2's stage + the combine remain on the critical path — measure
+    # the split-program total and band 1's share separately
+    split_ms = rep_diff(lambda a, b: fused.synrgb_combine_stage(
+        _stage(a, True), _stage(b, False), strategy=AutoscaleStrategy.CLAHE,
+        suppressed=None, channel_order="rgb")[0, 0, 0].astype(jnp.int32))
+    stage1_ms = rep_diff(
+        lambda a, b: _stage(a, True)[0, 0].astype(jnp.int32))
+    tail_ms = max(split_ms - stage1_ms, 0.0)
 
     from sarpro_tpu.io.writers.jpeg import preferred_synrgb_layout
 
@@ -255,6 +273,9 @@ def run_breakdown() -> dict:
         "read_reduce_ms": round(read_ms, 1),
         "h2d_transfer_ms": round(xfer_ms, 1),
         "device_compute_ms": round(comp_ms, 1),
+        "device_split_total_ms": round(split_ms, 1),
+        "device_band1_hidden_ms": round(stage1_ms, 1),
+        "device_tail_ms": round(tail_ms, 1),
         "d2h_fetch_ms": round(fetch_ms, 1),
         "jpeg_write_ms": round(write_ms, 1),
         "note": "read (dual-band single-pass native box reduce from disk) "
@@ -262,7 +283,10 @@ def run_breakdown() -> dict:
                 "subprocesses (idle-core stage time); device compute is "
                 "rep-differenced inside one dispatch; transfer/fetch ride "
                 "the axon RPC tunnel (~27ms/dispatch) and are replaced by "
-                "the PCIe allowance in the component sum",
+                "the PCIe allowance in the component sum. The overlapped "
+                "fast path hides band 1's program (device_band1_hidden_ms) "
+                "and its h2d under band 2's disk read, leaving "
+                "device_tail_ms on the critical path",
     }
 
 
