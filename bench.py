@@ -4,10 +4,11 @@ Reference baseline (BASELINE.md row 2): the same scene end-to-end from disk
 in ~348.21 ms on a 12-core Apple M4 Pro (`--target-crs none`). The headline
 value is an ESTIMATE — the sum of the real, individually measured pipeline
 stages (disk read + single-pass native box reduce, the fused device
-program, JPEG encode) plus a 3 ms PCIe allowance replacing the host↔device
-transfer, which here rides a shared RPC tunnel whose bandwidth swings
-2–40 MB/s minute to minute. Both the raw tunnel e2e ratio and the
-estimated ratio are reported side by side in `extra` (ADVICE r2 item 5).
+program ending in the in-graph JPEG front-end, entropy-only JPEG encode)
+plus a 3-4 ms PCIe allowance replacing the host↔device transfer, which
+here rides a shared RPC tunnel whose bandwidth swings 2–40 MB/s minute to
+minute. Both the raw tunnel e2e ratio and the estimated ratio are reported
+side by side in `extra` (ADVICE r2 item 5).
 
 Also reported:
   * **host_read_floor_ms** — the measured time to merely TRAVERSE the same
@@ -39,7 +40,9 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent
 BASELINE_NO_WARP_MS = 348.21  # reference README.md:63, --target-crs none
-PCIE_ALLOWANCE_MS = 3.0       # 32 MB h2d + 12.6 MB d2h at ~16 GB/s
+# 32 MB h2d + d2h at ~16 GB/s; the 'dct' layout fetches int16 coefficient
+# blocks (25 MB) instead of u8 YCbCr planes (12.6 MB) — charge for it
+PCIE_ALLOWANCE_MS = {"dct": 4.0}  # default 3.0 for u8-image layouts
 
 
 def _p50(fn, n, warmup=1):
@@ -197,11 +200,12 @@ def main():
     # so the pipelined composition charges only the post-read device tail;
     # the strictly-serial sum is reported alongside.
     tail = breakdown.get("device_tail_ms", breakdown["device_compute_ms"])
+    pcie_ms = PCIE_ALLOWANCE_MS.get(breakdown.get("jpeg_layout", ""), 3.0)
     estimate = (breakdown["read_reduce_ms"] + tail
-                + breakdown["jpeg_write_ms"] + PCIE_ALLOWANCE_MS)
+                + breakdown["jpeg_write_ms"] + pcie_ms)
     estimate_serial = (breakdown["read_reduce_ms"]
                        + breakdown["device_compute_ms"]
-                       + breakdown["jpeg_write_ms"] + PCIE_ALLOWANCE_MS)
+                       + breakdown["jpeg_write_ms"] + pcie_ms)
     dev = jax.devices()[0]
 
     print(json.dumps({
@@ -223,7 +227,7 @@ def main():
             "vs_baseline_raw_tunnel": round(
                 BASELINE_NO_WARP_MS / e2e["p50_ms"], 2),
             "breakdown": breakdown,
-            "pcie_allowance_ms": PCIE_ALLOWANCE_MS,
+            "pcie_allowance_ms": pcie_ms,
             "host_read_floor_ms": round(floor_ms, 1),
             "read_reduce_vs_floor": round(
                 breakdown["read_reduce_ms"] / floor_ms, 2)

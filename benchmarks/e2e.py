@@ -228,23 +228,32 @@ def run_breakdown() -> dict:
             x, strategy=AutoscaleStrategy.CLAHE, copol=copol,
             target_size=2048, pad=True)
 
-    comp_ms = rep_diff(lambda a, b: fused.synrgb_pipeline(
+    # measure the PRODUCTION co-located layout: with the native encoder
+    # built, the fused program ends in the in-graph JPEG front-end (DCT
+    # layout) and the host pays entropy coding only. (The transport-aware
+    # preferred_synrgb_layout() picks u8 planes on the axon tunnel where
+    # fetch bytes dominate — but the component sum models a PCIe host.)
+    from sarpro_tpu import _native
+    from sarpro_tpu.io.writers.jpeg import preferred_synrgb_layout
+
+    layout = "dct" if _native.available() else preferred_synrgb_layout()
+
+    # max-reduce (not a single-element read) so XLA cannot dead-code the
+    # per-block DCT work outside the fetched element
+    comp_ms = rep_diff(lambda a, b: jnp.max(fused.synrgb_pipeline(
         a, b, strategy=AutoscaleStrategy.CLAHE, target_size=2048,
-        pad=True)[0, 0, 0].astype(jnp.int32))
+        pad=True, channel_order=layout).astype(jnp.int32)))
     # the overlapped fast path (api.py) dispatches band 1's program while
     # band 2 is still reading from disk; after the last byte lands only
     # band 2's stage + the combine remain on the critical path — measure
     # the split-program total and band 1's share separately
-    split_ms = rep_diff(lambda a, b: fused.synrgb_combine_stage(
+    split_ms = rep_diff(lambda a, b: jnp.max(fused.synrgb_combine_stage(
         _stage(a, True), _stage(b, False), strategy=AutoscaleStrategy.CLAHE,
-        suppressed=None, channel_order="rgb")[0, 0, 0].astype(jnp.int32))
+        suppressed=None, channel_order=layout).astype(jnp.int32)))
     stage1_ms = rep_diff(
         lambda a, b: _stage(a, True)[0, 0].astype(jnp.int32))
     tail_ms = max(split_ms - stage1_ms, 0.0)
 
-    from sarpro_tpu.io.writers.jpeg import preferred_synrgb_layout
-
-    layout = preferred_synrgb_layout()
     out = fused.synrgb_pipeline(dev[0], dev[1],
                                 strategy=AutoscaleStrategy.CLAHE,
                                 target_size=2048, pad=True,
@@ -278,15 +287,19 @@ def run_breakdown() -> dict:
         "device_tail_ms": round(tail_ms, 1),
         "d2h_fetch_ms": round(fetch_ms, 1),
         "jpeg_write_ms": round(write_ms, 1),
+        "jpeg_layout": layout,
         "note": "read (dual-band single-pass native box reduce from disk) "
                 "and jpeg encode are min-of-reps in clean no-JAX "
                 "subprocesses (idle-core stage time); device compute is "
                 "rep-differenced inside one dispatch; transfer/fetch ride "
                 "the axon RPC tunnel (~27ms/dispatch) and are replaced by "
-                "the PCIe allowance in the component sum. The overlapped "
-                "fast path hides band 1's program (device_band1_hidden_ms) "
-                "and its h2d under band 2's disk read, leaving "
-                "device_tail_ms on the critical path",
+                "the PCIe allowance in the component sum. jpeg_layout 'dct' "
+                "= the JPEG front-end (level shift + FDCT + q100 quantize) "
+                "runs inside the device program and jpeg_write_ms is the "
+                "entropy-only host encode. The overlapped fast path hides "
+                "band 1's program (device_band1_hidden_ms) and its h2d "
+                "under band 2's disk read, leaving device_tail_ms on the "
+                "critical path",
     }
 
 

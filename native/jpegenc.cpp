@@ -432,20 +432,43 @@ static void emit_headers(BitWriter& bw, int w, int h, int ncomp,
     bw.byte(0); bw.byte(63); bw.byte(0);
 }
 
+// Block sources: where the quantized (q100: just rounded) coefficients come
+// from. PixelSource runs the host DCT on u8 planes; CoeffSource consumes
+// pre-quantized int16 blocks the device DCT emitted (transposed 8x8 layout,
+// block raster order) — the TPU computes the JPEG front-end (level shift +
+// FDCT + quantize) in-graph and the host pays entropy coding only.
+struct PixelSource {
+    const uint8_t* const* planes;
+    int64_t w, h;
+    inline void get(int64_t bx, int64_t by, int c, int32_t out[64]) const {
+        float fblock[64];
+        load_block(planes[c], w, h, bx, by, fblock);
+        fdct8x8(fblock, out);
+    }
+};
+
+struct CoeffSource {
+    const int16_t* const* comps;  // per-component (bh_n*bw_n*64) int16
+    int64_t bw_n;
+    inline void get(int64_t bx, int64_t by, int c, int32_t out[64]) const {
+        const int16_t* p = comps[c] + (by * bw_n + bx) * 64;
+        for (int i = 0; i < 64; ++i) out[i] = p[i];
+    }
+};
+
 // Encode MCU rows [by0, by1) of all components into `bw` (DC predictors
 // reset at band start — JPEG restart-interval semantics), byte-padded.
-static bool encode_band(const uint8_t* const planes[3], int ncomp,
+template <typename Source>
+static bool encode_band(const Source& src, int ncomp,
                         int64_t w, int64_t h, int64_t by0, int64_t by1,
                         BitWriter& bw) {
     const int64_t bw_n = (w + 7) / 8;
     int dc[3] = {0, 0, 0};
-    float fblock[64];
     int32_t coeffs[64];
     for (int64_t by = by0; by < by1; ++by) {
         for (int64_t bx = 0; bx < bw_n; ++bx) {
             for (int c = 0; c < ncomp; ++c) {
-                load_block(planes[c], w, h, bx, by, fblock);
-                fdct8x8(fblock, coeffs);
+                src.get(bx, by, c, coeffs);
                 encode_block(bw, coeffs, dc[c],
                              c == 0 ? gDcLum : gDcChr,
                              c == 0 ? gAcLum : gAcChr,
@@ -464,7 +487,8 @@ static bool encode_band(const uint8_t* const planes[3], int ncomp,
 // way to parallelize baseline entropy coding. Single-core hosts see no
 // change; multi-core production hosts scale the dominant q100 entropy
 // stage nearly linearly.
-static int64_t encode_multi(const uint8_t* const planes[3], int ncomp,
+template <typename Source>
+static int64_t encode_multi(const Source& src, int ncomp,
                             int64_t w, int64_t h, uint8_t* out, int64_t cap,
                             int n_threads) {
     init_tables();
@@ -481,7 +505,7 @@ static int64_t encode_multi(const uint8_t* const planes[3], int ncomp,
     if (bands <= 1) {
         BitWriter bw{out, cap};
         emit_headers(bw, static_cast<int>(w), static_cast<int>(h), ncomp, 0);
-        if (!encode_band(planes, ncomp, w, h, 0, bh_n, bw)) return -1;
+        if (!encode_band(src, ncomp, w, h, 0, bh_n, bw)) return -1;
         bw.byte(0xFF); bw.byte(0xD9);  // EOI
         return bw.ok ? bw.pos : -1;
     }
@@ -498,7 +522,7 @@ static int64_t encode_multi(const uint8_t* const planes[3], int ncomp,
             // worst case ~27 bits/coeff + stuffing: 5 bytes/px/comp is safe
             bufs[b].resize((by1 - by0) * 8 * w * ncomp * 5 + (1 << 16));
             BitWriter bw{bufs[b].data(), static_cast<int64_t>(bufs[b].size())};
-            lens[b] = encode_band(planes, ncomp, w, h, by0, by1, bw)
+            lens[b] = encode_band(src, ncomp, w, h, by0, by1, bw)
                           ? bw.pos : -1;
         }
     };
@@ -534,14 +558,36 @@ int64_t jpeg_encode_ycbcr444(const uint8_t* y, const uint8_t* cb,
                              const uint8_t* cr, int64_t w, int64_t h,
                              uint8_t* out, int64_t cap, int32_t n_threads) {
     const uint8_t* planes[3] = {y, cb, cr};
-    return encode_multi(planes, 3, w, h, out, cap, n_threads);
+    const PixelSource src{planes, w, h};
+    return encode_multi(src, 3, w, h, out, cap, n_threads);
 }
 
 // Grayscale u8 → baseline JPEG q100.
 int64_t jpeg_encode_gray(const uint8_t* y, int64_t w, int64_t h,
                          uint8_t* out, int64_t cap, int32_t n_threads) {
     const uint8_t* planes[3] = {y, nullptr, nullptr};
-    return encode_multi(planes, 1, w, h, out, cap, n_threads);
+    const PixelSource src{planes, w, h};
+    return encode_multi(src, 1, w, h, out, cap, n_threads);
+}
+
+// Pre-quantized DCT coefficients → baseline JPEG q100 (entropy-only host
+// path: the device computes level shift + FDCT + rounding in the fused XLA
+// program). Each component is (ceil(h/8)*ceil(w/8)) consecutive 64-coeff
+// int16 blocks in block raster order, each block the TRANSPOSED 8x8
+// coefficient matrix row-major (the same layout fdct8x8 emits).
+int64_t jpeg_encode_coeffs444(const int16_t* y, const int16_t* cb,
+                              const int16_t* cr, int64_t w, int64_t h,
+                              uint8_t* out, int64_t cap, int32_t n_threads) {
+    const int16_t* comps[3] = {y, cb, cr};
+    const CoeffSource src{comps, (w + 7) / 8};
+    return encode_multi(src, 3, w, h, out, cap, n_threads);
+}
+
+int64_t jpeg_encode_coeffs_gray(const int16_t* y, int64_t w, int64_t h,
+                                uint8_t* out, int64_t cap, int32_t n_threads) {
+    const int16_t* comps[3] = {y, nullptr, nullptr};
+    const CoeffSource src{comps, (w + 7) / 8};
+    return encode_multi(src, 1, w, h, out, cap, n_threads);
 }
 
 }  // extern "C"

@@ -57,6 +57,13 @@ def _load() -> Optional[ctypes.CDLL]:
                                          ctypes.c_int32]
     lib.jpeg_encode_gray.restype = i64
     lib.jpeg_encode_gray.argtypes = [u8p, i64, i64, u8p, i64, ctypes.c_int32]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.jpeg_encode_coeffs444.restype = i64
+    lib.jpeg_encode_coeffs444.argtypes = [i16p, i16p, i16p, i64, i64, u8p,
+                                          i64, ctypes.c_int32]
+    lib.jpeg_encode_coeffs_gray.restype = i64
+    lib.jpeg_encode_coeffs_gray.argtypes = [i16p, i64, i64, u8p, i64,
+                                            ctypes.c_int32]
     _LIB = lib
     return _LIB
 
@@ -163,6 +170,53 @@ def jpeg_encode_ycbcr444(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     out = np.empty(cap, np.uint8)
     n = lib.jpeg_encode_ycbcr444(_u8p(y), _u8p(cb), _u8p(cr), w, h,
                                  _u8p(out), cap, n_threads)
+    if n < 0:
+        raise ValueError("jpeg encode overflow")
+    return out[:n].tobytes()
+
+
+def jpeg_encode_coeffs444(cy: np.ndarray, ccb: np.ndarray, ccr: np.ndarray,
+                          w: int, h: int, n_threads: int = 0) -> bytes:
+    """Pre-quantized device DCT coefficients → baseline JPEG q100 4:4:4.
+
+    Each component is an int16 array of ceil(h/8)*ceil(w/8) consecutive
+    64-coeff blocks in block raster order (transposed 8x8 per block — the
+    layout the fused program's in-graph FDCT emits). The host pays entropy
+    coding only."""
+    lib = _load()
+    nblocks = ((h + 7) // 8) * ((w + 7) // 8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    comps = []
+    for p in (cy, ccb, ccr):
+        p = np.ascontiguousarray(p, np.int16).reshape(-1)
+        assert p.size == nblocks * 64
+        comps.append(p)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    cap = w * h * 3 * 5 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.jpeg_encode_coeffs444(
+        comps[0].ctypes.data_as(i16p), comps[1].ctypes.data_as(i16p),
+        comps[2].ctypes.data_as(i16p), w, h, _u8p(out), cap, n_threads)
+    if n < 0:
+        raise ValueError("jpeg encode overflow")
+    return out[:n].tobytes()
+
+
+def jpeg_encode_coeffs_gray(cy: np.ndarray, w: int, h: int,
+                            n_threads: int = 0) -> bytes:
+    """Pre-quantized device DCT coefficients → baseline grayscale JPEG q100."""
+    lib = _load()
+    nblocks = ((h + 7) // 8) * ((w + 7) // 8)
+    cy = np.ascontiguousarray(cy, np.int16).reshape(-1)
+    assert cy.size == nblocks * 64
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    cap = w * h * 5 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.jpeg_encode_coeffs_gray(
+        cy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), w, h,
+        _u8p(out), cap, n_threads)
     if n < 0:
         raise ValueError("jpeg encode overflow")
     return out[:n].tobytes()

@@ -496,6 +496,40 @@ def _synrgb_band(dn, strategy, copol: bool, target_size, pad: bool,
     return b
 
 
+@functools.lru_cache(maxsize=1)
+def _dct8_basis():
+    """Orthonormal 8x8 DCT-II basis — the JPEG FDCT (matches the host
+    encoder's gDctT table, native/jpegenc.cpp). NumPy (not jnp): device
+    constants must not be cached across traces (tracer leak)."""
+    u = np.arange(8, dtype=np.float64)
+    s = np.where(u == 0, np.sqrt(1.0 / 8.0), np.sqrt(2.0 / 8.0))
+    t = s[:, None] * np.cos((2.0 * u[None, :] + 1.0) * u[:, None] * np.pi / 16.0)
+    return t.astype(np.float32)
+
+
+def jpeg_dct_planes(planes_u8):
+    """u8 image planes (c, rows, cols) → quantized q100 JPEG DCT blocks
+    (c, ceil(rows/8), ceil(cols/8), 8, 8) int16 — the JPEG front-end (level
+    shift, 8x8 FDCT, q100 quantize) as two tiny in-graph contractions, so
+    the host encoder pays entropy coding only. Per-block layout is the
+    TRANSPOSED coefficient matrix, matching the native encoder's fdct8x8
+    (native/jpegenc.cpp) and its zigzag table."""
+    c, rows, cols = planes_u8.shape
+    rh, rw = -(-rows // 8) * 8, -(-cols // 8) * 8
+    x = planes_u8
+    if (rh, rw) != (rows, cols):
+        # the host encoder edge-replicates partial border blocks
+        x = jnp.pad(x, ((0, 0), (0, rh - rows), (0, rw - cols)), mode="edge")
+    x = x.astype(jnp.float32) - 128.0
+    b = x.reshape(c, rh // 8, 8, rw // 8, 8).transpose(0, 1, 3, 2, 4)
+    t = _dct8_basis()
+    # host layout: C = (T·B·Tᵀ)ᵀ → C[i,j] = Σ_{k,l} T[i,k]·B[l,k]·T[j,l]
+    out = jnp.einsum("ik,...lk,jl->...ij", t, b, t,
+                     precision=jax.lax.Precision.HIGHEST)
+    # q100: all-ones quantizers — just round (ties-to-even like lrintf)
+    return jnp.clip(jnp.round(out), -32767.0, 32767.0).astype(jnp.int16)
+
+
 def _synrgb_combine(b1, b2, strategy, suppressed, channel_order: str,
                     row_axis=None, row_shards: int = 1):
     """Dual-band u8 → composed synRGB in the writer's channel order."""
@@ -507,7 +541,7 @@ def _synrgb_combine(b1, b2, strategy, suppressed, channel_order: str,
         # free interleave reverse in-graph: the cv2 JPEG writer consumes it
         # without a host swap
         return out[..., ::-1]
-    if channel_order == "ycbcr":
+    if channel_order in ("ycbcr", "dct"):
         # planar full-range JFIF YCbCr for the native JPEG encoder — the
         # color conversion fuses into the program (free on device), so the
         # host encoder pays neither color convert nor deinterleave
@@ -518,7 +552,12 @@ def _synrgb_combine(b1, b2, strategy, suppressed, channel_order: str,
         cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
         planes = jnp.stack([y, cb, cr])
-        return jnp.clip(jnp.round(planes), 0.0, 255.0).astype(jnp.uint8)
+        planes = jnp.clip(jnp.round(planes), 0.0, 255.0).astype(jnp.uint8)
+        if channel_order == "dct":
+            # JPEG front-end on device: emit quantized DCT coefficient
+            # blocks; the host runs the entropy-only encoder entry
+            return jpeg_dct_planes(planes)
+        return planes
     return out
 
 

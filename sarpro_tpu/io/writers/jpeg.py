@@ -63,16 +63,36 @@ def write_rgb_jpeg(output, cols: int, rows: int, rgb_data,
 
 
 def preferred_synrgb_layout() -> str:
-    """Fastest device→file layout for the fused fast path: planar YCbCr for
-    the native encoder (device does the color conversion in-graph), BGR for
-    cv2 otherwise."""
-    return "ycbcr" if _native.available() else "bgr"
+    """Fastest device→file layout for the fused fast path.
+
+    'dct' — the fused program emits quantized q100 DCT coefficient blocks
+    (the JPEG front-end runs on the MXU) and the host pays entropy coding
+    only (~20% less host JPEG time). The coefficient fetch is 2x the u8
+    image bytes: free on a co-located PCIe host, but a regression through
+    the axon development tunnel (~MB/s RPC link), so that transport keeps
+    the u8 'ycbcr' planes. 'bgr' when the native encoder isn't built."""
+    if not _native.available():
+        return "bgr"
+    try:
+        import jax
+
+        if jax.default_backend() == "axon":
+            return "ycbcr"
+    except Exception:  # pragma: no cover — jax is a hard dep in practice
+        pass
+    return "dct"
 
 
 def write_synrgb_jpeg(output, cols: int, rows: int, arr,
                       layout: str = "rgb") -> None:
     """Write the fused program's synRGB output in whatever layout it was
-    produced ('ycbcr' planar (3,rows,cols), 'bgr' or 'rgb' interleaved)."""
+    produced ('dct' quantized coefficient blocks (3,bh,bw,8,8) int16,
+    'ycbcr' planar (3,rows,cols), 'bgr' or 'rgb' interleaved)."""
+    if layout == "dct":
+        co = np.asarray(arr)
+        blob = _native.jpeg_encode_coeffs444(co[0], co[1], co[2], cols, rows)
+        Path(output).write_bytes(blob)
+        return
     if layout == "ycbcr":
         planes = np.asarray(arr).reshape(3, rows, cols)
         blob = _native.jpeg_encode_ycbcr444(

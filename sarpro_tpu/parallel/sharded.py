@@ -121,8 +121,14 @@ def _synrgb_batch_jit(vv, vh, strategy, target_size, pad, mesh,
     # ycbcr emits PLANAR (scene, 3, rows, cols): rows move to axis 2 and the
     # 3-length channel axis must stay replicated, or the 'row' mesh axis
     # would try to split it
-    spec = (P("scene", None, "row", None) if channel_order == "ycbcr"
-            else RGB_OUT_SPEC)
+    if channel_order == "ycbcr":
+        spec = P("scene", None, "row", None)
+    elif channel_order == "dct":
+        # quantized DCT blocks (scene, 3, bh, bw, 8, 8): shard scenes only —
+        # bh = rows/8 need not divide the 'row' axis
+        spec = P("scene")
+    else:
+        spec = RGB_OUT_SPEC
     return jax.lax.with_sharding_constraint(out, NamedSharding(mesh, spec))
 
 

@@ -230,6 +230,101 @@ def test_fused_ycbcr_matches_host_conversion(rng):
     assert np.abs(ycbcr.astype(np.int64) - np.clip(want, 0, 255)).max() <= 1
 
 
+def _dct_oracle(planes_u8):
+    """f64 oracle of the JPEG front-end: level shift + orthonormal FDCT +
+    q100 rint, emitted in the native encoder's transposed block layout."""
+    u = np.arange(8, dtype=np.float64)
+    s = np.where(u == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    T = s[:, None] * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    c, h, w = planes_u8.shape
+    bh, bw = h // 8, w // 8
+    x = planes_u8.astype(np.float64) - 128.0
+    b = x.reshape(c, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4)
+    out = np.einsum("ik,cyxkl,jl->cyxji", T, b, T)  # (T·B·Tᵀ)ᵀ
+    return np.rint(out).astype(np.int16)
+
+
+@needs_native
+def test_jpeg_coeffs_entry_byte_identical_on_exact_blocks(rng):
+    """Constant 8x8 blocks have exactly representable DCTs (DC only), so the
+    pixel path and the coefficient path must produce byte-identical streams
+    — validates the entropy-only entry incl. DC prediction, EOB, and the
+    multithread restart-band split."""
+    h, w = 96, 104
+    vals = rng.integers(0, 256, (3, h // 8, w // 8)).astype(np.uint8)
+    planes = np.ascontiguousarray(
+        np.repeat(np.repeat(vals, 8, axis=1), 8, axis=2))
+    coeffs = _dct_oracle(planes)
+    for nt in (1, 4):
+        ref = _native.jpeg_encode_ycbcr444(*planes, n_threads=nt)
+        got = _native.jpeg_encode_coeffs444(
+            coeffs[0], coeffs[1], coeffs[2], w, h, n_threads=nt)
+        assert got == ref
+    gref = _native.jpeg_encode_gray(planes[0], n_threads=1)
+    ggot = _native.jpeg_encode_coeffs_gray(coeffs[0], w, h, n_threads=1)
+    assert ggot == gref
+
+
+@needs_native
+def test_jpeg_coeffs_entry_decodes_like_pixel_path(rng):
+    """On arbitrary content the coefficient entry (fed the f64 DCT oracle)
+    must decode within a hair of the pixel path's stream (both are q100
+    round-trips of the same planes; DCTs differ only in rounding)."""
+    import io
+
+    h, w = 72, 56
+    planes = np.ascontiguousarray(
+        rng.integers(0, 256, (3, h, w)).astype(np.uint8))
+    coeffs = _dct_oracle(planes)
+    a = np.asarray(Image.open(io.BytesIO(_native.jpeg_encode_ycbcr444(
+        *planes))).convert("RGB")).astype(int)
+    b = np.asarray(Image.open(io.BytesIO(_native.jpeg_encode_coeffs444(
+        coeffs[0], coeffs[1], coeffs[2], w, h))).convert("RGB")).astype(int)
+    assert np.abs(a - b).max() <= 2
+
+
+@needs_native
+def test_fused_dct_planes_match_oracle(rng):
+    """Device JPEG front-end (fused.jpeg_dct_planes): coefficients within ±1
+    of the f64 oracle (f32 contraction rounding), edge replication on
+    non-multiple-of-8 sizes identical to the host encoder's load_block."""
+    from sarpro_tpu.core import fused
+
+    planes = np.ascontiguousarray(
+        rng.integers(0, 256, (3, 40, 48)).astype(np.uint8))
+    got = np.asarray(fused.jpeg_dct_planes(planes))
+    assert got.shape == (3, 5, 6, 8, 8) and got.dtype == np.int16
+    assert np.abs(got.astype(int) - _dct_oracle(planes).astype(int)).max() <= 1
+    # odd size: replicate edges like load_block (jpegenc.cpp)
+    odd = planes[:, :37, :42]
+    rep = np.ascontiguousarray(
+        np.pad(odd, ((0, 0), (0, 3), (0, 6)), mode="edge"))
+    got = np.asarray(fused.jpeg_dct_planes(odd))
+    assert got.shape == (3, 5, 6, 8, 8)
+    assert np.abs(got.astype(int) - _dct_oracle(rep).astype(int)).max() <= 1
+
+
+@needs_native
+def test_write_synrgb_jpeg_dct_matches_ycbcr_pixels(rng, tmp_path):
+    """End-to-end: the device-DCT layout must produce a file visually
+    identical to the planar-YCbCr path from the same fused inputs."""
+    from sarpro_tpu.core import fused
+    from sarpro_tpu.io.writers.jpeg import write_synrgb_jpeg
+    from sarpro_tpu.types import AutoscaleStrategy
+
+    vv = rng.integers(0, 60000, (96, 80)).astype(np.uint16)
+    vh = rng.integers(0, 30000, (96, 80)).astype(np.uint16)
+    kw = dict(strategy=AutoscaleStrategy.CLAHE, target_size=64, pad=True)
+    dct = np.asarray(fused.synrgb_pipeline(vv, vh, channel_order="dct", **kw))
+    assert dct.shape == (3, 8, 8, 8, 8) and dct.dtype == np.int16
+    ycbcr = np.asarray(fused.synrgb_pipeline(vv, vh, channel_order="ycbcr", **kw))
+    write_synrgb_jpeg(tmp_path / "d.jpg", 64, 64, dct, layout="dct")
+    write_synrgb_jpeg(tmp_path / "y.jpg", 64, 64, ycbcr, layout="ycbcr")
+    a = np.asarray(Image.open(tmp_path / "d.jpg").convert("RGB")).astype(int)
+    b = np.asarray(Image.open(tmp_path / "y.jpg").convert("RGB")).astype(int)
+    assert np.abs(a - b).max() <= 2
+
+
 @needs_native
 def test_jpeg_multithread_restart_intervals(rng):
     """n_threads > 1 splits MCU rows into restart-interval bands (DRI +
