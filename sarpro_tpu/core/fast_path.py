@@ -21,8 +21,10 @@ from pathlib import Path
 import numpy as np
 
 from ..io.writers.jpeg import (
+    preferred_gray_layout,
     preferred_synrgb_layout,
     write_gray_jpeg,
+    write_gray_jpeg_dct,
     write_rgb_jpeg,
     write_synrgb_jpeg,
 )
@@ -81,15 +83,21 @@ def save_single_band_fast(
     output = Path(output)
     in_rows, in_cols = dn.shape
     depth = bit_depth if format is OutputFormat.TIFF else BitDepth.U8
+    gray_layout = "u8"
     if _is_big_scene(in_rows, in_cols, target_size):
         from .streamed import grayscale_streamed
 
         out = grayscale_streamed(dn, strategy=strategy, bit_depth=depth,
                                  pad=pad)
     else:
+        if format is OutputFormat.JPEG:
+            # device JPEG front-end on co-located hosts (see
+            # preferred_gray_layout): program ends in quantized DCT blocks
+            gray_layout = preferred_gray_layout()
         out = fused.grayscale_pipeline(
             dn, strategy=strategy, bit_depth=depth,
             target_size=target_size, pad=pad, resample_alg=resample_alg,
+            jpeg_dct=gray_layout == "dct",
         )
     arr = np.asarray(out)
     rows, cols, final_cols, final_rows, pad_left, pad_top = _final_dims(
@@ -111,7 +119,10 @@ def save_single_band_fast(
                                     proj_override)
             ds.flush()
         else:
-            write_gray_jpeg(output, final_cols, final_rows, arr)
+            if gray_layout == "dct":
+                write_gray_jpeg_dct(output, final_cols, final_rows, arr)
+            else:
+                write_gray_jpeg(output, final_cols, final_rows, arr)
             if meta_snapshot is not None:
                 if gt_override is not None:
                     write_world_file(output, gt_override)

@@ -576,7 +576,7 @@ synrgb_combine_stage = functools.partial(jax.jit, static_argnames=(
 @functools.partial(
     jax.jit,
     static_argnames=("strategy", "bit_depth", "target_size", "pad",
-                     "resample_alg", "row_axis", "row_shards"),
+                     "resample_alg", "row_axis", "row_shards", "jpeg_dct"),
 )
 def grayscale_pipeline(
     dn,
@@ -587,8 +587,13 @@ def grayscale_pipeline(
     resample_alg: str | None = None,
     row_axis: str | None = None,
     row_shards: int = 1,
+    jpeg_dct: bool = False,
 ):
-    """Fused single-band program: DN raster → u8/u16 grayscale."""
+    """Fused single-band program: DN raster → u8/u16 grayscale.
+
+    `jpeg_dct` (U8 only) appends the in-graph JPEG front-end and returns
+    quantized q100 coefficient blocks (bh, bw, 8, 8) int16 for the
+    entropy-only host encoder (writers/jpeg.py write_gray_jpeg_dct)."""
     in_rows, in_cols = dn.shape
     if row_axis is not None:
         assert target_size is None and not pad, \
@@ -610,4 +615,7 @@ def grayscale_pipeline(
     out = _scale_u16_to_u8(q16, row_axis) if bit_depth is BitDepth.U8 else q16
     if pad:
         out = _pad_square(out, rows, cols)
+    if jpeg_dct:
+        assert bit_depth is BitDepth.U8, "JPEG front-end is u8-only"
+        return jpeg_dct_planes(out[None])[0]
     return out

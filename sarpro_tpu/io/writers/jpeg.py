@@ -34,12 +34,23 @@ JPEG_QUALITY = 100
 def write_gray_jpeg(output, cols: int, rows: int, data) -> None:
     """reference: jpeg.rs:6-17."""
     arr = np.asarray(data).reshape(rows, cols).astype(np.uint8, copy=False)
+    if _native.available():
+        Path(output).write_bytes(
+            _native.jpeg_encode_gray(np.ascontiguousarray(arr)))
+        return
     if cv2 is not None and Path(output).suffix.lower() in (".jpg", ".jpeg"):
         if cv2.imwrite(str(output), arr, _CV2_FLAGS):
             return
     Image.fromarray(arr, mode="L").save(
         Path(output), format="JPEG", quality=JPEG_QUALITY, subsampling=0
     )
+
+
+def write_gray_jpeg_dct(output, cols: int, rows: int, coeffs) -> None:
+    """Grayscale q100 JPEG from the device JPEG front-end's quantized
+    coefficient blocks ((bh,bw,8,8) int16) — entropy-only host encode."""
+    blob = _native.jpeg_encode_coeffs_gray(np.asarray(coeffs), cols, rows)
+    Path(output).write_bytes(blob)
 
 
 def write_rgb_jpeg(output, cols: int, rows: int, rgb_data,
@@ -81,6 +92,13 @@ def preferred_synrgb_layout() -> str:
     except Exception:  # pragma: no cover — jax is a hard dep in practice
         pass
     return "dct"
+
+
+def preferred_gray_layout() -> str:
+    """Same transport logic for single-band JPEG: 'dct' (device JPEG
+    front-end, entropy-only host) on co-located hosts, 'u8' otherwise."""
+    layout = preferred_synrgb_layout()
+    return "dct" if layout == "dct" else "u8"
 
 
 def write_synrgb_jpeg(output, cols: int, rows: int, arr,

@@ -326,6 +326,29 @@ def test_write_synrgb_jpeg_dct_matches_ycbcr_pixels(rng, tmp_path):
 
 
 @needs_native
+def test_gray_jpeg_dct_path_matches_u8_path(rng, tmp_path):
+    """grayscale_pipeline(jpeg_dct=True) + the entropy-only gray entry must
+    write a file visually identical to the u8-plane native encode."""
+    from sarpro_tpu.core import fused
+    from sarpro_tpu.io.writers.jpeg import write_gray_jpeg, write_gray_jpeg_dct
+    from sarpro_tpu.types import AutoscaleStrategy, BitDepth
+
+    dn = rng.integers(0, 60000, (96, 80)).astype(np.uint16)
+    kw = dict(strategy=AutoscaleStrategy.ROBUST, bit_depth=BitDepth.U8,
+              target_size=64, pad=True)
+    u8 = np.asarray(fused.grayscale_pipeline(dn, **kw))
+    co = np.asarray(fused.grayscale_pipeline(dn, jpeg_dct=True, **kw))
+    assert co.shape == (8, 8, 8, 8) and co.dtype == np.int16
+    assert np.abs(co.astype(int)
+                  - _dct_oracle(u8[None]).astype(int)[0]).max() <= 1
+    write_gray_jpeg(tmp_path / "u.jpg", 64, 64, u8)
+    write_gray_jpeg_dct(tmp_path / "d.jpg", 64, 64, co)
+    a = np.asarray(Image.open(tmp_path / "u.jpg").convert("L")).astype(int)
+    b = np.asarray(Image.open(tmp_path / "d.jpg").convert("L")).astype(int)
+    assert np.abs(a - b).max() <= 2
+
+
+@needs_native
 def test_jpeg_multithread_restart_intervals(rng):
     """n_threads > 1 splits MCU rows into restart-interval bands (DRI +
     RST markers) encoded in parallel; decoded pixels must be identical to
