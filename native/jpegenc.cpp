@@ -318,17 +318,38 @@ static inline void encode_block(BitWriter& bw, const int32_t coeffs[64],
         bw.put((static_cast<uint64_t>(dc.code[s]) << s) | valbits,
                dc.len[s] + s);
     }
-    // AC
+    // AC. On q100 SAR content almost every coefficient is nonzero with
+    // run 0: the value-keyed table gives (code|bits, len) in one load, and
+    // two consecutive such codes whose lengths fit 32 bits append as ONE
+    // accumulator shift (measured 53 -> 42 ms on the 2048² frame,
+    // byte-identical stream).
     int run = 0;
-    for (int k = 1; k < 64; ++k) {
+    int k = 1;
+    while (k < 64) {
         const int v = coeffs[kZigzagT[k]];
         if (v == 0) {
             ++run;
+            ++k;
             continue;
         }
         if (run == 0 && static_cast<uint32_t>(v + 1024) < 2048u) {
-            const uint64_t e = ac_by_val[v + 1024];
-            bw.put(static_cast<uint32_t>(e), static_cast<int>(e >> 32));
+            const uint64_t e1 = ac_by_val[v + 1024];
+            if (k + 1 < 64) {
+                const int v2 = coeffs[kZigzagT[k + 1]];
+                if (v2 != 0 && static_cast<uint32_t>(v2 + 1024) < 2048u) {
+                    const uint64_t e2 = ac_by_val[v2 + 1024];
+                    const int l1 = static_cast<int>(e1 >> 32);
+                    const int l2 = static_cast<int>(e2 >> 32);
+                    if (l1 + l2 <= 32) {
+                        bw.put(((e1 & 0xFFFFFFFFu) << l2) | (e2 & 0xFFFFFFFFu),
+                               l1 + l2);
+                        k += 2;
+                        continue;
+                    }
+                }
+            }
+            bw.put(static_cast<uint32_t>(e1), static_cast<int>(e1 >> 32));
+            ++k;
             continue;
         }
         while (run > 15) {
@@ -342,6 +363,7 @@ static inline void encode_block(BitWriter& bw, const int32_t coeffs[64],
         bw.put((static_cast<uint64_t>(ac.code[sym]) << s) | valbits,
                ac.len[sym] + s);
         run = 0;
+        ++k;
     }
     if (run > 0) bw.put(ac.code[0x00], ac.len[0x00]);  // EOB
 }
