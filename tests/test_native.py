@@ -349,6 +349,23 @@ def test_gray_jpeg_dct_path_matches_u8_path(rng, tmp_path):
 
 
 @needs_native
+def test_preferred_jpeg_layouts_are_transport_aware(monkeypatch):
+    """On a co-located backend the fused program ends in the JPEG front-end
+    ('dct'); through the remote axon tunnel the 2x coefficient fetch loses,
+    so u8 planes win."""
+    import jax
+
+    from sarpro_tpu.io.writers import jpeg as jw
+
+    assert jax.default_backend() != "axon"  # test env pins cpu
+    assert jw.preferred_synrgb_layout() == "dct"
+    assert jw.preferred_gray_layout() == "dct"
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    assert jw.preferred_synrgb_layout() == "ycbcr"
+    assert jw.preferred_gray_layout() == "u8"
+
+
+@needs_native
 def test_jpeg_multithread_restart_intervals(rng):
     """n_threads > 1 splits MCU rows into restart-interval bands (DRI +
     RST markers) encoded in parallel; decoded pixels must be identical to
