@@ -65,6 +65,29 @@ def _head_sha() -> str:
         return "unknown"
 
 
+def probe_device(timeout_s: int = 600) -> None:
+    """Fail fast (instead of hanging forever) when the TPU tunnel is down.
+
+    jax.devices() blocks indefinitely while the axon backend is
+    unreachable; a bounded subprocess probe turns an infra outage into a
+    loud nonzero exit the driver can record."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"FATAL: TPU backend unreachable (no response to "
+              f"jax.devices() within {timeout_s}s) — infra outage, not a "
+              f"framework failure", file=sys.stderr)
+        raise SystemExit(1)
+    except subprocess.CalledProcessError as e:
+        print("FATAL: TPU backend failed to initialize:\n"
+              f"{e.stderr.decode(errors='replace')[-2000:]}", file=sys.stderr)
+        raise SystemExit(1)
+
+
 def run_tpu_validate() -> dict:
     """Validate every Pallas kernel on the real chip; persist + gate.
 
@@ -146,6 +169,7 @@ def host_read_floor_ms(paths) -> float:
 
 
 def main():
+    probe_device()
     validate = run_tpu_validate()
 
     import jax
