@@ -340,6 +340,45 @@ static void vertical_acc_scalar(const uint16_t* rows0, int64_t src_cols,
 
 }  // namespace
 
+extern "C++" {  // the template needs C++ linkage inside the C-ABI block
+template <int B>
+static void hsum_row_b(const uint32_t* acc, const int32_t* xs,
+                       const int32_t* xc, int64_t out_cols, double inv_n,
+                       const double* inv_m, float* orow) {
+    for (int64_t ox = 0; ox < out_cols; ++ox) {
+        const uint32_t* p = acc + xs[ox];
+        uint32_t s = 0;
+        for (int j = 0; j < B; ++j) s += p[j];  // unrolled: B is constexpr
+        if (xc[ox] > B) s += p[B];
+        orow[ox] = static_cast<float>(
+            static_cast<double>(s) * (inv_n * inv_m[ox]));
+    }
+}
+
+static void hsum_unrolled(const uint32_t* acc, const int32_t* xs,
+                          const int32_t* xc, int b, int64_t out_cols,
+                          double inv_n, const double* inv_m, float* orow) {
+    switch (b) {
+        case 1: hsum_row_b<1>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 2: hsum_row_b<2>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 3: hsum_row_b<3>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 4: hsum_row_b<4>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 5: hsum_row_b<5>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 6: hsum_row_b<6>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 7: hsum_row_b<7>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 8: hsum_row_b<8>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 9: hsum_row_b<9>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 10: hsum_row_b<10>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 11: hsum_row_b<11>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 12: hsum_row_b<12>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 13: hsum_row_b<13>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 14: hsum_row_b<14>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        case 15: hsum_row_b<15>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+        default: hsum_row_b<16>(acc, xs, xc, out_cols, inv_n, inv_m, orow); break;
+    }
+}
+}  // extern "C++"
+
 void box_reduce_u16_f32(const uint16_t* src, int64_t src_row0,
                         int64_t src_cols,
                         float* out, int64_t oy0, int64_t oy1, int64_t out_cols,
@@ -352,9 +391,12 @@ void box_reduce_u16_f32(const uint16_t* src, int64_t src_row0,
     // tolerance after the f32 cast.
     std::vector<double> inv_m(static_cast<size_t>(out_cols));
     int64_t max_m = 1, max_n = 1;
+    int64_t xc_min = out_cols > 0 ? xc[0] : 1, xc_max = 1;
     for (int64_t ox = 0; ox < out_cols; ++ox) {
         inv_m[ox] = 1.0 / static_cast<double>(xc[ox]);
         if (xc[ox] > max_m) max_m = xc[ox];
+        if (xc[ox] < xc_min) xc_min = xc[ox];
+        if (xc[ox] > xc_max) xc_max = xc[ox];
     }
     for (int64_t oy = oy0; oy < oy1; ++oy)
         if (yc[oy] > max_n) max_n = yc[oy];
@@ -384,6 +426,12 @@ void box_reduce_u16_f32(const uint16_t* src, int64_t src_row0,
                 orow[ox] = static_cast<float>(
                     static_cast<double>(s) * (inv_n * inv_m[ox]));
             }
+        } else if (xc_min >= 1 && xc_min <= 16 && xc_max <= xc_min + 1) {
+            // proportional-split windows are {B, B+1} wide: a compile-time
+            // unrolled sum + one conditional tail replaces the
+            // branch-per-add loop (~2.8 ms/band on the 20000->2048 shape)
+            hsum_unrolled(acc.data(), xs, xc, static_cast<int>(xc_min),
+                          out_cols, inv_n, inv_m.data(), orow);
         } else {
             for (int64_t ox = 0; ox < out_cols; ++ox) {
                 const uint32_t* p = acc.data() + xs[ox];
