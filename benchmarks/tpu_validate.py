@@ -201,15 +201,12 @@ def main():
 
     # JPEG front-end: device FDCT + q100 quantize vs f64 oracle (±1 for
     # f32 contraction rounding), incl. edge-replicated partial blocks
+    sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+    from oracle import jpeg_dct_oracle
+
     pl = rng.integers(0, 256, (3, 2048, 2048)).astype(np.uint8)
     got = np.asarray(jax.jit(F.jpeg_dct_planes)(jnp.asarray(pl)))
-    u8 = np.arange(8, dtype=np.float64)
-    tt = (np.where(u8 == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))[:, None]
-          * np.cos((2 * u8[None, :] + 1) * u8[:, None] * np.pi / 16))
-    want = np.rint(np.einsum(
-        "ik,cyxkl,jl->cyxji", tt,
-        (pl.astype(np.float64) - 128.0).reshape(3, 256, 8, 256, 8)
-        .transpose(0, 1, 3, 2, 4), tt)).astype(np.int16)
+    want = jpeg_dct_oracle(pl)
     dmax = int(np.abs(got.astype(int) - want.astype(int)).max())
     check("jpeg_dct 2048^2", dmax <= 1, f"maxdiff={dmax}")
     oddp = jnp.asarray(pl[:, :1021, :1019])

@@ -113,7 +113,7 @@ static void build_table(const uint8_t* bits, const uint8_t* vals, int nvals,
     (void)nvals;
 }
 
-static int bit_category_init(int v) {
+static inline int bit_category(int v) {
     const unsigned a = static_cast<unsigned>(v < 0 ? -v : v);
     return a ? 32 - __builtin_clz(a) : 0;
 }
@@ -121,7 +121,7 @@ static int bit_category_init(int v) {
 static void build_by_value(const HuffTable& ac, uint64_t* m) {
     for (int v = -1023; v <= 1023; ++v) {
         if (v == 0) { m[1024] = 0; continue; }
-        const int s = bit_category_init(v);
+        const int s = bit_category(v);
         const uint32_t valbits =
             static_cast<uint32_t>(v >= 0 ? v : v - 1) & ((1u << s) - 1);
         m[v + 1024] = (static_cast<uint64_t>(ac.len[s] + s) << 32) |
@@ -219,11 +219,6 @@ struct BitWriter {
     }
 };
 
-static inline int bit_category(int v) {
-    const unsigned a = static_cast<unsigned>(v < 0 ? -v : v);
-    return a ? 32 - __builtin_clz(a) : 0;
-}
-
 // --- 8x8 forward DCT: coeffs = (T · block · Tᵀ)ᵀ, stored transposed ------
 #if defined(__AVX2__)
 static inline void transpose8(__m256 r[8]) {
@@ -309,9 +304,14 @@ static inline void encode_block(BitWriter& bw, const int32_t coeffs[64],
     // checks). For negative v the JPEG value bits v + (1<<s) - 1 equal
     // (v - 1) & ((1<<s)-1) in two's complement.
     const int dcv = coeffs[kZigzagT[0]];
-    const int diff = dcv - dc_prev;
-    dc_prev = dcv;
+    int diff = dcv - dc_prev;
     {
+        // 8-bit-input DCTs bound the DC diff to ±2040 (category <= 11);
+        // clamp out-of-range EXTERNAL coefficient input rather than index
+        // past the Annex K DC table (categories stop at 11)
+        if (diff > 2047) diff = 2047;
+        else if (diff < -2047) diff = -2047;
+        dc_prev += diff;  // track what the decoder reconstructs
         const int s = bit_category(diff);
         const uint32_t valbits =
             static_cast<uint32_t>(diff >= 0 ? diff : diff - 1) & ((1u << s) - 1);
@@ -326,17 +326,20 @@ static inline void encode_block(BitWriter& bw, const int32_t coeffs[64],
     int run = 0;
     int k = 1;
     while (k < 64) {
-        const int v = coeffs[kZigzagT[k]];
+        int v = coeffs[kZigzagT[k]];
         if (v == 0) {
             ++run;
             ++k;
             continue;
         }
-        if (run == 0 && static_cast<uint32_t>(v + 1024) < 2048u) {
+        // value-keyed table covers |v| <= 1023 (v = -1024 maps to index 0,
+        // which build_by_value does NOT fill — it must take the generic
+        // path, where it clamps to the AC category-10 ceiling below)
+        if (run == 0 && static_cast<uint32_t>(v + 1023) < 2047u) {
             const uint64_t e1 = ac_by_val[v + 1024];
             if (k + 1 < 64) {
                 const int v2 = coeffs[kZigzagT[k + 1]];
-                if (v2 != 0 && static_cast<uint32_t>(v2 + 1024) < 2048u) {
+                if (v2 != 0 && static_cast<uint32_t>(v2 + 1023) < 2047u) {
                     const uint64_t e2 = ac_by_val[v2 + 1024];
                     const int l1 = static_cast<int>(e1 >> 32);
                     const int l2 = static_cast<int>(e2 >> 32);
@@ -356,6 +359,11 @@ static inline void encode_block(BitWriter& bw, const int32_t coeffs[64],
             bw.put(ac.code[0xF0], ac.len[0xF0]);  // ZRL
             run -= 16;
         }
+        // baseline AC categories stop at 10 (|v| <= 1023); 8-bit-input
+        // DCTs stay within ±1016, so this clamp only fires on
+        // out-of-range external coefficient input
+        if (v > 1023) v = 1023;
+        else if (v < -1023) v = -1023;
         const int s = bit_category(v);
         const int sym = (run << 4) | s;
         const uint32_t valbits =

@@ -57,13 +57,19 @@ def _load() -> Optional[ctypes.CDLL]:
                                          ctypes.c_int32]
     lib.jpeg_encode_gray.restype = i64
     lib.jpeg_encode_gray.argtypes = [u8p, i64, i64, u8p, i64, ctypes.c_int32]
-    i16p = ctypes.POINTER(ctypes.c_int16)
-    lib.jpeg_encode_coeffs444.restype = i64
-    lib.jpeg_encode_coeffs444.argtypes = [i16p, i16p, i16p, i64, i64, u8p,
-                                          i64, ctypes.c_int32]
-    lib.jpeg_encode_coeffs_gray.restype = i64
-    lib.jpeg_encode_coeffs_gray.argtypes = [i16p, i64, i64, u8p, i64,
-                                            ctypes.c_int32]
+    try:
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.jpeg_encode_coeffs444.restype = i64
+        lib.jpeg_encode_coeffs444.argtypes = [i16p, i16p, i16p, i64, i64,
+                                              u8p, i64, ctypes.c_int32]
+        lib.jpeg_encode_coeffs_gray.restype = i64
+        lib.jpeg_encode_coeffs_gray.argtypes = [i16p, i64, i64, u8p, i64,
+                                                ctypes.c_int32]
+    except AttributeError:
+        # stale tiffcodec.so from before the coefficient entries existed:
+        # degrade to unavailable (pure-Python/u8 paths) instead of raising
+        # from every native-gated call site — rebuild with native/build.py
+        return None
     _LIB = lib
     return _LIB
 
@@ -189,7 +195,10 @@ def jpeg_encode_coeffs444(cy: np.ndarray, ccb: np.ndarray, ccr: np.ndarray,
     comps = []
     for p in (cy, ccb, ccr):
         p = np.ascontiguousarray(p, np.int16).reshape(-1)
-        assert p.size == nblocks * 64
+        if p.size != nblocks * 64:
+            raise ValueError(
+                f"coefficient plane has {p.size} values, expected "
+                f"{nblocks * 64} for {w}x{h}")
         comps.append(p)
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 16)
@@ -209,7 +218,9 @@ def jpeg_encode_coeffs_gray(cy: np.ndarray, w: int, h: int,
     lib = _load()
     nblocks = ((h + 7) // 8) * ((w + 7) // 8)
     cy = np.ascontiguousarray(cy, np.int16).reshape(-1)
-    assert cy.size == nblocks * 64
+    if cy.size != nblocks * 64:
+        raise ValueError(f"coefficient plane has {cy.size} values, expected "
+                         f"{nblocks * 64} for {w}x{h}")
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 16)
     cap = w * h * 5 + (1 << 16)

@@ -317,3 +317,20 @@ def pad_to_square(arr2d: np.ndarray) -> np.ndarray:
     pc = (m - cols) // 2
     out[pr:pr + rows, pc:pc + cols] = arr2d
     return out
+
+
+def jpeg_dct_oracle(planes_u8: np.ndarray) -> np.ndarray:
+    """f64 oracle of the JPEG front-end (native/jpegenc.cpp fdct8x8 and
+    fused.jpeg_dct_planes): level shift + orthonormal FDCT + q100 rint,
+    emitted in the native encoder's TRANSPOSED block layout.
+
+    `planes_u8` is (c, h, w) with h, w multiples of 8; returns
+    (c, h//8, w//8, 8, 8) int16."""
+    u = np.arange(8, dtype=np.float64)
+    s = np.where(u == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    T = s[:, None] * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    c, h, w = planes_u8.shape
+    x = planes_u8.astype(np.float64) - 128.0
+    b = x.reshape(c, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
+    out = np.einsum("ik,cyxkl,jl->cyxji", T, b, T)  # (T·B·Tᵀ)ᵀ
+    return np.rint(out).astype(np.int16)

@@ -1,6 +1,7 @@
 """Tests for the native TIFF codec (ctypes) and its Python fallbacks."""
 import numpy as np
 import pytest
+from oracle import jpeg_dct_oracle as _dct_oracle
 from PIL import Image
 
 from sarpro_tpu import _native
@@ -230,18 +231,6 @@ def test_fused_ycbcr_matches_host_conversion(rng):
     assert np.abs(ycbcr.astype(np.int64) - np.clip(want, 0, 255)).max() <= 1
 
 
-def _dct_oracle(planes_u8):
-    """f64 oracle of the JPEG front-end: level shift + orthonormal FDCT +
-    q100 rint, emitted in the native encoder's transposed block layout."""
-    u = np.arange(8, dtype=np.float64)
-    s = np.where(u == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
-    T = s[:, None] * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
-    c, h, w = planes_u8.shape
-    bh, bw = h // 8, w // 8
-    x = planes_u8.astype(np.float64) - 128.0
-    b = x.reshape(c, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4)
-    out = np.einsum("ik,cyxkl,jl->cyxji", T, b, T)  # (T·B·Tᵀ)ᵀ
-    return np.rint(out).astype(np.int16)
 
 
 @needs_native
@@ -346,6 +335,32 @@ def test_gray_jpeg_dct_path_matches_u8_path(rng, tmp_path):
     a = np.asarray(Image.open(tmp_path / "u.jpg").convert("L")).astype(int)
     b = np.asarray(Image.open(tmp_path / "d.jpg").convert("L")).astype(int)
     assert np.abs(a - b).max() <= 2
+
+
+@needs_native
+def test_jpeg_coeffs_out_of_range_clamps_not_corrupts():
+    """AC = -1024 maps to value-table index 0 (unfilled) and |v| > 1023
+    exceeds baseline AC category 10: both must CLAMP to ±1023 (valid
+    stream, nearest representable value) rather than silently dropping the
+    coefficient or emitting undefined Huffman symbols (review finding)."""
+    import io
+
+    u = np.arange(8, dtype=np.float64)
+    s = np.where(u == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    T = s[:, None] * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    for bad in (-1024, -5000, 4000):
+        co = np.zeros((1, 1, 64), np.int16)
+        co[0, 0, 0] = 40        # DC
+        co[0, 0, 8] = bad       # transposed flat 8 = zigzag position 1
+        blob = _native.jpeg_encode_coeffs_gray(co, 8, 8)
+        dec = np.asarray(
+            Image.open(io.BytesIO(blob)).convert("L")).astype(np.float64)
+        C = np.zeros((8, 8))
+        C[0, 0] = 40
+        C[1, 0] = float(np.clip(bad, -1023, 1023))
+        block = T.T @ C.T @ T   # inverse of C = (T·B·Tᵀ)ᵀ
+        want = np.clip(np.rint(block + 128), 0, 255)
+        assert np.abs(dec - want).max() <= 2, f"coeff {bad} mishandled"
 
 
 @needs_native
