@@ -87,8 +87,10 @@ def save_single_band_fast(
     if _is_big_scene(in_rows, in_cols, target_size):
         from .streamed import grayscale_streamed
 
+        if format is OutputFormat.JPEG:
+            gray_layout = preferred_gray_layout()
         out = grayscale_streamed(dn, strategy=strategy, bit_depth=depth,
-                                 pad=pad)
+                                 pad=pad, jpeg_dct=gray_layout == "dct")
     else:
         if format is OutputFormat.JPEG:
             # device JPEG front-end on co-located hosts (see
@@ -192,9 +194,10 @@ def save_multiband_fast(
         if big:
             from .streamed import synrgb_streamed
 
+            order = ("dct" if preferred_synrgb_layout() == "dct"
+                     else "rgb")
             rgb = np.asarray(synrgb_streamed(
-                dn1, dn2, strategy=strategy, pad=pad))
-            order = "rgb"
+                dn1, dn2, strategy=strategy, pad=pad, layout=order))
         else:
             # device emits the writer's preferred layout: planar YCbCr for
             # the native encoder (color conversion fused in-graph), else

@@ -542,23 +542,28 @@ def _synrgb_combine(b1, b2, strategy, suppressed, channel_order: str,
         # without a host swap
         return out[..., ::-1]
     if channel_order in ("ycbcr", "dct"):
-        # planar full-range JFIF YCbCr for the native JPEG encoder — the
-        # color conversion fuses into the program (free on device), so the
-        # host encoder pays neither color convert nor deinterleave
-        r = out[..., 0].astype(jnp.float32)
-        g = out[..., 1].astype(jnp.float32)
-        b = out[..., 2].astype(jnp.float32)
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
-        planes = jnp.stack([y, cb, cr])
-        planes = jnp.clip(jnp.round(planes), 0.0, 255.0).astype(jnp.uint8)
+        planes = ycbcr_planes(out)
         if channel_order == "dct":
             # JPEG front-end on device: emit quantized DCT coefficient
             # blocks; the host runs the entropy-only encoder entry
             return jpeg_dct_planes(planes)
         return planes
     return out
+
+
+def ycbcr_planes(rgb_u8):
+    """Interleaved RGB u8 → planar full-range JFIF YCbCr u8 for the native
+    JPEG encoder — the color conversion fuses into the program (free on
+    device), so the host encoder pays neither color convert nor
+    deinterleave."""
+    r = rgb_u8[..., 0].astype(jnp.float32)
+    g = rgb_u8[..., 1].astype(jnp.float32)
+    b = rgb_u8[..., 2].astype(jnp.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    planes = jnp.stack([y, cb, cr])
+    return jnp.clip(jnp.round(planes), 0.0, 255.0).astype(jnp.uint8)
 
 
 # jitted per-stage entry points for the overlapped file path: band 1's

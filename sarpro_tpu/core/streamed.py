@@ -50,6 +50,33 @@ def _chunk_starts(rows: int, chunk: int):
     return [(r0, min(chunk, rows - r0)) for r0 in range(0, rows, chunk)]
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _pass_dct_chunk(img, r0, n: int):
+    """JPEG front-end over rows [r0, r0+n) of a composed u8 image: RGB
+    interleaved (rows, cols, 3) → (3, n/8↑, cols/8↑, 8, 8) int16, or a
+    single gray plane (rows, cols) → (1, ...). Chunk boundaries must be
+    8-aligned (the caller guarantees it) so only the true image bottom
+    edge-replicates."""
+    if img.ndim == 3:
+        chunk = jax.lax.dynamic_slice(
+            img, (r0, 0, 0), (n, img.shape[1], 3))
+        return fused.jpeg_dct_planes(fused.ycbcr_planes(chunk))
+    chunk = jax.lax.dynamic_slice_in_dim(img, r0, n, 0)
+    return fused.jpeg_dct_planes(chunk[None])
+
+
+def dct_blocks_streamed(img, chunk_rows: int = CHUNK_ROWS) -> np.ndarray:
+    """Chunked device JPEG front-end over a composed full-res u8 image
+    (device-resident RGB interleaved or gray 2-D): returns the host
+    coefficient array for the entropy-only encoder — (3|1, BH, BW, 8, 8)
+    int16 — without materializing full-image f32 planes in HBM."""
+    rows = img.shape[0]
+    step = max(chunk_rows // 8 * 8, 8)  # 8-aligned interior boundaries
+    parts = [np.asarray(_pass_dct_chunk(img, r0, n))
+             for r0, n in _chunk_starts(rows, step)]
+    return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+
+
 # r0 is a TRACED argument in every pass: the kernels take row offsets as
 # runtime scalars precisely so chunked invocations share one compiled
 # program per chunk SHAPE (full chunk + ragged tail = two compiles/pass)
@@ -356,9 +383,13 @@ def _suppressed_floor_host(hist: np.ndarray, total_pixels: int):
 def synrgb_streamed(vv_dn, vh_dn,
                     strategy: AutoscaleStrategy = AutoscaleStrategy.CLAHE,
                     suppressed: bool | None = None, pad: bool = False,
-                    chunk_rows: int = CHUNK_ROWS):
+                    chunk_rows: int = CHUNK_ROWS, layout: str = "rgb"):
     """Full-res dual-pol DN → synthetic-RGB u8, chunked multi-pass.
-    Matches fused.synrgb_pipeline(target_size=None) semantics."""
+    Matches fused.synrgb_pipeline(target_size=None) semantics.
+
+    `layout="dct"` appends the chunked device JPEG front-end and returns
+    the host int16 coefficient array for the entropy-only encoder (same
+    contract as fused channel_order="dct")."""
     vv_dn = jnp.asarray(vv_dn)
     vh_dn = jnp.asarray(vh_dn)
     rows, cols = vv_dn.shape
@@ -382,12 +413,16 @@ def synrgb_streamed(vv_dn, vh_dn,
         b1 = fused._pad_square(b1, rows, cols)
         b2 = fused._pad_square(b2, rows, cols)
         rows = cols = m
+    def _finish(rgb_dev):
+        return (dct_blocks_streamed(rgb_dev, chunk_rows)
+                if layout == "dct" else rgb_dev)
+
     chunks = _chunk_starts(rows, chunk_rows)
     rgb = jnp.zeros((rows, cols, 3), jnp.uint8)
     if not suppressed:
         for r0, n in chunks:
             rgb = _pass_compose_default(rgb, b1, b2, r0, n)
-        return rgb
+        return _finish(rgb)
     # floor computed HOST-side in int64: totals can exceed int32 (e.g.
     # padded 40000^2 dual-band = 3.2e9); semantics match the reference's
     # integer counting (synthetic_rgb.rs:96-110)
@@ -400,22 +435,29 @@ def synrgb_streamed(vv_dn, vh_dn,
     if tabs is not None:
         for r0, n in chunks:
             rgb = _pass_compose_suppressed_formula(rgb, b1, b2, r0, n, fc)
-        return rgb
+        return _finish(rgb)
     lut_r, lut_g, lut_b = fused._suppressed_luts(floor_c)
     for r0, n in chunks:
         rgb = _pass_compose_suppressed(rgb, b1, b2, floor_c, lut_r, lut_g,
                                        lut_b, r0, n)
-    return rgb
+    return _finish(rgb)
 
 
 def grayscale_streamed(dn, strategy: AutoscaleStrategy = AutoscaleStrategy.STANDARD,
                        bit_depth: BitDepth = BitDepth.U8, pad: bool = False,
-                       chunk_rows: int = CHUNK_ROWS):
+                       chunk_rows: int = CHUNK_ROWS, jpeg_dct: bool = False):
     """Full-res single-band DN → u8/u16 grayscale, chunked multi-pass.
-    Matches fused.grayscale_pipeline(target_size=None) semantics."""
+    Matches fused.grayscale_pipeline(target_size=None) semantics.
+
+    `jpeg_dct` (U8 only) appends the chunked device JPEG front-end and
+    returns the (BH, BW, 8, 8) int16 host coefficient array (same contract
+    as fused grayscale_pipeline(jpeg_dct=True))."""
     dn = jnp.asarray(dn)
     rows, cols = dn.shape
     out = band_u8_streamed(dn, strategy, None, bit_depth, chunk_rows)
     if pad:
         out = fused._pad_square(out, rows, cols)
+    if jpeg_dct:
+        assert bit_depth is BitDepth.U8, "JPEG front-end is u8-only"
+        return dct_blocks_streamed(out, chunk_rows)[0]
     return out

@@ -35,6 +35,35 @@ def test_streamed_synrgb_bit_identical(rng, strategy):
     np.testing.assert_array_equal(got, want)
 
 
+def test_streamed_dct_layout_matches_fused(rng):
+    """layout='dct' must produce the SAME coefficient blocks as the fused
+    program's channel_order='dct' (block math is local, so per-chunk DCT
+    equals whole-image DCT bit-for-bit), including a ragged bottom chunk
+    (196 rows: 8-aligned interior boundaries at 48, then 4 rows of true
+    bottom edge replication)."""
+    vv = sar_like(rng, (196, 176))
+    vh = sar_like(rng, (196, 176))
+    want = np.asarray(fused.synrgb_pipeline(
+        vv, vh, strategy=AutoscaleStrategy.CLAHE, target_size=None,
+        pad=False, channel_order="dct"))
+    got = streamed.synrgb_streamed(
+        vv, vh, strategy=AutoscaleStrategy.CLAHE, chunk_rows=48,
+        layout="dct")
+    assert got.dtype == np.int16 and got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_streamed_gray_dct_matches_fused(rng):
+    dn = sar_like(rng, (120, 88))
+    want = np.asarray(fused.grayscale_pipeline(
+        dn, strategy=AutoscaleStrategy.ROBUST, bit_depth=BitDepth.U8,
+        target_size=None, pad=True, jpeg_dct=True))
+    got = streamed.grayscale_streamed(
+        dn, strategy=AutoscaleStrategy.ROBUST, bit_depth=BitDepth.U8,
+        pad=True, chunk_rows=40, jpeg_dct=True)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_streamed_synrgb_adaptive_close(rng):
     vv = sar_like(rng, (160, 128))
     vh = sar_like(rng, (160, 128))
