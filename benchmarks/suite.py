@@ -114,6 +114,16 @@ def main():
                           target_size=2048, pad=True),
     ))
 
+    # 4b. the PRODUCTION file-path program: same as cfg4 but ending in the
+    #     in-graph JPEG front-end (YCbCr + 8x8 FDCT + q100 quantize) —
+    #     the host then pays entropy coding only
+    results.append(timeit(
+        "cfg4b: cfg4 + in-graph JPEG front-end (dct layout)",
+        functools.partial(fused.synrgb_pipeline, vv, vh,
+                          strategy=AutoscaleStrategy.CLAHE,
+                          target_size=2048, pad=True, channel_order="dct"),
+    ))
+
     # 5. multiband u16 warped (config #5's per-scene compute): the warp's
     #    device half — tiled Pallas sampler with XLA fallback. Mimics a -ts
     #    warp to ~2000px with mild rotation.
