@@ -338,6 +338,34 @@ def test_gray_jpeg_dct_path_matches_u8_path(rng, tmp_path):
 
 
 @needs_native
+def test_write_synrgb_jpeg_dct_odd_dims(rng, tmp_path):
+    """Non-multiple-of-8 output dims: partial border blocks are
+    edge-replicated on device; the file must carry the TRUE dimensions and
+    decode like the u8-plane path."""
+    from sarpro_tpu.core import fused
+    from sarpro_tpu.io.writers.jpeg import write_synrgb_jpeg
+    from sarpro_tpu.types import AutoscaleStrategy
+
+    vv = rng.integers(0, 60000, (90, 70)).astype(np.uint16)
+    vh = rng.integers(0, 30000, (90, 70)).astype(np.uint16)
+    kw = dict(strategy=AutoscaleStrategy.TAMED, target_size=52, pad=False)
+    # 90x70 -> long side 52 keeps aspect: 52 rows x ~40 cols
+    from sarpro_tpu.core.fused import _plan_read_dims
+
+    rows, cols, _ = _plan_read_dims(90, 70, 52, None)
+    assert rows % 8 or cols % 8  # the point of the test
+    dct = np.asarray(fused.synrgb_pipeline(vv, vh, channel_order="dct", **kw))
+    ycbcr = np.asarray(fused.synrgb_pipeline(vv, vh, channel_order="ycbcr", **kw))
+    write_synrgb_jpeg(tmp_path / "d.jpg", cols, rows, dct, layout="dct")
+    write_synrgb_jpeg(tmp_path / "y.jpg", cols, rows, ycbcr, layout="ycbcr")
+    a = Image.open(tmp_path / "d.jpg")
+    assert a.size == (cols, rows)
+    av = np.asarray(a.convert("RGB")).astype(int)
+    bv = np.asarray(Image.open(tmp_path / "y.jpg").convert("RGB")).astype(int)
+    assert np.abs(av - bv).max() <= 2
+
+
+@needs_native
 def test_jpeg_coeffs_out_of_range_clamps_not_corrupts():
     """AC = -1024 maps to value-table index 0 (unfilled) and |v| > 1023
     exceeds baseline AC category 10: both must CLAMP to ±1023 (valid
