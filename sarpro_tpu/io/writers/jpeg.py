@@ -4,11 +4,15 @@ The reference hardcodes quality 100 (jpeg.rs:14,27) — deliberately preserved.
 4:4:4 subsampling matches the jpeg-encoder crate's behavior at quality >= 90
 (no chroma loss).
 
-Three encoders, fastest-first: the framework's own native encoder
+Encoders, fastest-first: the framework's own native encoder
 (native/jpegenc.cpp — the self-contained analogue of the reference's
-jpeg-encoder crate; takes PLANAR YCbCr the fused device program emits for
-free), OpenCV's libjpeg-turbo binding, then PIL. All produce baseline q100
-4:4:4 streams.
+jpeg-encoder crate) consuming either quantized DCT coefficient blocks the
+fused device program computes in-graph (the JPEG front-end on the TPU;
+host pays entropy coding only) or planar YCbCr u8; then OpenCV's
+libjpeg-turbo binding; then PIL. All produce baseline q100 4:4:4 streams.
+Layout selection (preferred_*_layout) is transport-aware: coefficient
+fetches are 2x the u8 image bytes — free over PCIe, a loss over the
+remote RPC tunnel.
 """
 from __future__ import annotations
 
