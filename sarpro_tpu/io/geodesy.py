@@ -1052,7 +1052,10 @@ SUPPORTED_CRS_FAMILIES = (
     "EPSG:31466/31467/31468 (DHDN Gauss-Kruger, NTv2 grid datum), "
     "EPSG:21781 (Swiss LV03); plus ANY other EPSG code PROJ's `projinfo` "
     "resolves to an implemented method (tmerc/utm/lcc/aea/laea/"
-    "polar stere/somerc/merc/longlat), incl. Helmert and NTv2 datum legs"
+    "polar stere/somerc/merc/longlat), incl. Helmert and NTv2 datum legs; "
+    "and with PROJ's cs2cs installed, ANY remaining PROJ-known CRS or "
+    "+proj= string (omerc, cassini, polyconic, eqc, moll, ... — full "
+    "gdalwarp -t_srs breadth) via piped coarse-grid transforms"
 )
 
 
@@ -1249,7 +1252,18 @@ def register_proj_string(s: str) -> int:
     code = _PROJ_STRING_BASE + len(_PROJ_STRING_CODES) + 1
     _PROJ_STRING_CODES[norm] = code
     try:
-        kind = _kind_from_proj_tokens(_proj_tokens(s), code)
+        try:
+            kind = _kind_from_proj_tokens(_proj_tokens(s), code)
+        except ValueError as native_exc:
+            # +axis strings reorder/flip axes — derive the normalizer from
+            # the WKT2 axis list; plain proj strings are east,north already
+            wkt2 = (norm + " +type=crs") if "+axis=" in norm else None
+            # cs2cs's classic `+to` parser needs +proj= as the first token
+            toks = sorted(norm.split(),
+                          key=lambda t: not t.startswith("+proj="))
+            kind = _pipe_kind(code, ["+to", *toks], wkt2, str(native_exc))
+            if kind is None:
+                raise
         wkt_out = _run_projinfo(["--single-line", "-o", "WKT1_GDAL", "-q",
                                  norm + " +type=crs"])
         wkt = None
@@ -1365,6 +1379,155 @@ def _kind_from_proj_tokens(p: dict, code: int) -> dict:
         f"longlat)")
 
 
+# ---------------------------------------------------------------------------
+# cs2cs-piped generic backend — any PROJ-known CRS (gdalwarp -t_srs breadth)
+# ---------------------------------------------------------------------------
+# The reference shells out to gdalwarp for every warp (sentinel1.rs:988-1041)
+# and therefore accepts any CRS PROJ knows. The native projection tables
+# above cover the mainstream methods; a CRS whose method is NOT implemented
+# natively (omerc, cass, poly, eqc, moll, oblique stere, south-west-axis
+# Krovak, non-Greenwich prime meridians, ...) falls back to piping the
+# warp's coarse mapping grids through `cs2cs` — the same subprocess pattern
+# as the reference, run once per grid (tens of ms), never per pixel. cs2cs
+# late-binds the datum operation per point exactly like gdalwarp does.
+
+_CS2CS_AXIS_RE = None  # compiled lazily (keeps `re` out of the hot imports)
+_CS2CS_TIMEOUT = 120.0
+
+
+def _cs2cs_available() -> bool:
+    import shutil
+
+    return shutil.which("cs2cs") is not None
+
+
+def _pipe_axes(wkt2_spec: Optional[str]):
+    """Normalize a CRS's authority axis order/directions to GIS east,north
+    (what gdalwarp's traditional-order geotransforms — and ours — use).
+
+    Returns (((col_of_x, sign_x), (col_of_y, sign_y)), bbox) where col_* index
+    the cs2cs output columns, sign −1 flips westing/southing axes, and bbox is
+    the WKT2 area-of-use (south, west, north, east) or None. A None spec (raw
+    proj strings without +axis) is already east,north."""
+    global _CS2CS_AXIS_RE
+    if wkt2_spec is None:
+        return ((0, 1.0), (1, 1.0)), None
+    import re
+
+    if _CS2CS_AXIS_RE is None:
+        _CS2CS_AXIS_RE = re.compile(
+            r'AXIS\["[^"]*",\s*(east|west|north|south)')
+    out = _run_projinfo(["-q", "-o", "WKT2:2019", "--single-line", wkt2_spec])
+    if not out:
+        return None, None
+    cs = out.rfind("CS[")
+    dirs = _CS2CS_AXIS_RE.findall(out[max(cs, 0):])[:2]
+    bbox = None
+    m = re.search(r"BBOX\[([-\d.]+),([-\d.]+),([-\d.]+),([-\d.]+)\]", out)
+    if m:
+        bbox = tuple(float(g) for g in m.groups())
+    if len(dirs) != 2:
+        return None, bbox
+    axes = [None, None]  # x, y
+    for col, d in enumerate(dirs):
+        if d in ("east", "west"):
+            axes[0] = (col, 1.0 if d == "east" else -1.0)
+        else:
+            axes[1] = (col, 1.0 if d == "north" else -1.0)
+    if axes[0] is None or axes[1] is None:  # two same-family axes — malformed
+        return None, bbox
+    return (axes[0], axes[1]), bbox
+
+
+def _cs2cs_points(a, b, target_argv, axes, inverse: bool):
+    """Pipe points through `cs2cs EPSG:4326 <target>` (or its -I inverse).
+
+    forward: a=lon°, b=lat° → (x, y) in CRS units, GIS east,north.
+    inverse: a=x, b=y (GIS east,north) → (lon, lat)°.
+    Non-finite inputs and out-of-domain outputs (`*`/inf) map to nan."""
+    import subprocess
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    shape = np.broadcast(a, b).shape
+    af = np.ascontiguousarray(np.broadcast_to(a, shape)).ravel()
+    bf = np.ascontiguousarray(np.broadcast_to(b, shape)).ravel()
+    ok = np.isfinite(af) & np.isfinite(bf)
+    (ix, sx), (iy, sy) = axes
+    lines = []
+    for i in np.flatnonzero(ok):
+        if inverse:
+            cols = [0.0, 0.0]
+            cols[ix] = af[i] * sx  # back to the authority axis direction
+            cols[iy] = bf[i] * sy
+            lines.append(f"{cols[0]:.12f} {cols[1]:.12f}")
+        else:
+            lines.append(f"{bf[i]:.12f} {af[i]:.12f}")  # EPSG:4326 = lat lon
+    o0 = np.full(af.shape, np.nan)
+    o1 = np.full(af.shape, np.nan)
+    if lines:
+        argv = ["cs2cs", "-f", "%.12f"]
+        if inverse:
+            argv.append("-I")
+        argv += ["EPSG:4326", *target_argv]
+        try:
+            r = subprocess.run(argv, input="\n".join(lines) + "\n",
+                               capture_output=True, text=True,
+                               timeout=_CS2CS_TIMEOUT)
+        except (OSError, subprocess.SubprocessError) as e:
+            raise ValueError(f"cs2cs transform failed: {e}") from e
+        rows = r.stdout.splitlines()
+        if r.returncode != 0 or len(rows) != len(lines):
+            raise ValueError(
+                f"cs2cs transform failed (rc={r.returncode}): "
+                f"{(r.stderr or '').strip()[:200]}")
+        vals0 = np.empty(len(rows))
+        vals1 = np.empty(len(rows))
+        for j, row in enumerate(rows):
+            t = row.split()
+            try:
+                v0, v1 = float(t[0]), float(t[1])
+            except (IndexError, ValueError):
+                v0 = v1 = np.nan
+            vals0[j] = v0 if np.isfinite(v0) else np.nan
+            vals1[j] = v1 if np.isfinite(v1) else np.nan
+        o0[ok] = vals0
+        o1[ok] = vals1
+    if inverse:  # EPSG:4326 output order is lat lon
+        return o1.reshape(shape), o0.reshape(shape)
+    cols = (o0, o1)
+    return (sx * cols[ix]).reshape(shape), (sy * cols[iy]).reshape(shape)
+
+
+def _pipe_kind(code: int, target_argv, wkt2_spec: Optional[str],
+               reason: str) -> Optional[dict]:
+    """Build a proj_pipe kind for a PROJ-known CRS we cannot evaluate
+    natively, after a one-point smoke transform proves the plumbing."""
+    if not _cs2cs_available():
+        return None
+    axes, bbox = _pipe_axes(wkt2_spec)
+    if axes is None:
+        return None
+    if bbox is not None:
+        smoke = ((bbox[1] + bbox[3]) / 2.0, (bbox[0] + bbox[2]) / 2.0)
+    else:
+        smoke = (0.0, 0.0)
+    kind = {"dynamic": True, "kind": "proj_pipe", "code": code,
+            "cs2cs": list(target_argv), "axes": axes, "datum": None,
+            "pipe_reason": reason}
+    try:
+        x, y = _cs2cs_points(np.asarray([smoke[0]]), np.asarray([smoke[1]]),
+                             kind["cs2cs"], axes, inverse=False)
+    except ValueError:
+        return None
+    # nan is fine (smoke point may sit outside the method's domain) — the
+    # subprocess accepting the CRS spec is what the probe establishes
+    logger.info("CRS %s: projection method not implemented natively (%s); "
+                "transforms will pipe through cs2cs like the reference's "
+                "gdalwarp subprocess", code, reason)
+    return kind
+
+
 def _resolve_epsg_dynamic(code: int) -> Optional[dict]:
     if code in _DYN_KIND_CACHE:
         return _DYN_KIND_CACHE[code]
@@ -1379,7 +1542,13 @@ def _resolve_epsg_dynamic(code: int) -> Optional[dict]:
                 break
         if proj_line is None:
             raise ValueError(f"EPSG:{code} not known to PROJ")
-        kind = _kind_from_proj_tokens(_proj_tokens(proj_line), code)
+        try:
+            kind = _kind_from_proj_tokens(_proj_tokens(proj_line), code)
+        except ValueError as native_exc:
+            kind = _pipe_kind(code, [f"EPSG:{code}"], f"EPSG:{code}",
+                              str(native_exc))
+            if kind is None:
+                raise
         wkt_out = _run_projinfo(["-o", "WKT1_GDAL", "--single-line", "-q",
                                  f"EPSG:{code}"])
         wkt = None
@@ -1420,6 +1589,8 @@ def refine_dynamic_crs_area(code: int, lon: float, lat: float) -> None:
     info = _DYN_KIND_CACHE.get(code)
     if not info or info.get("_area_refined"):
         return
+    if info["kind"] == "proj_pipe":
+        return  # cs2cs late-binds the datum op per point on its own
     info["_area_refined"] = True
     ellps = info.get("ellps", "wgs84")
     if info.get("datum") is None and ellps in _WGS84_COMPATIBLE_ELLPS:
@@ -1814,6 +1985,10 @@ def project_forward(lon, lat, code: int):
     info = epsg_kind(code)
     if info is None:
         raise _unsupported_crs_error(code)
+    if info["kind"] == "proj_pipe":
+        # cs2cs handles the datum leg and emits CRS units directly
+        return _cs2cs_points(lon, lat, info["cs2cs"], info["axes"],
+                             inverse=False)
     if info.get("datum") and info["kind"] in _DISPATCH_DATUM_KINDS:
         lon, lat = _datum_shift(lon, lat, info["datum"], to_wgs84=False)
     x, y = _project_forward_core(lon, lat, info)
@@ -1867,6 +2042,8 @@ def project_inverse(x, y, code: int):
     info = epsg_kind(code)
     if info is None:
         raise _unsupported_crs_error(code)
+    if info["kind"] == "proj_pipe":
+        return _cs2cs_points(x, y, info["cs2cs"], info["axes"], inverse=True)
     tm = info.get("to_meter")
     if tm:
         x, y = np.asarray(x, np.float64) * tm, np.asarray(y, np.float64) * tm

@@ -147,8 +147,13 @@ def _suggest_output_grid(mapping: _SourceMapping, src_cols: int, src_rows: int,
     tx, ty = geodesy.project_forward(lon, lat, dst_epsg)
     tx = np.asarray(tx).reshape(ns, ns)
     ty = np.asarray(ty).reshape(ns, ns)
-    xmin, xmax = float(tx.min()), float(tx.max())
-    ymin, ymax = float(ty.min()), float(ty.max())
+    # out-of-domain lattice corners come back nan from the proj_pipe
+    # backend (gdalwarp likewise drops failed transformer samples)
+    if not (np.isfinite(tx).any() and np.isfinite(ty).any()):
+        raise ProcessingError(
+            "warp: no source sample projects into the target CRS domain")
+    xmin, xmax = float(np.nanmin(tx)), float(np.nanmax(tx))
+    ymin, ymax = float(np.nanmin(ty)), float(np.nanmax(ty))
 
     if target_size is not None:
         long_side = max(src_cols, src_rows)
@@ -161,8 +166,10 @@ def _suggest_output_grid(mapping: _SourceMapping, src_cols: int, src_rows: int,
         dys = np.hypot(np.diff(tx, axis=0), np.diff(ty, axis=0))
         px_per_cell_x = src_cols / (ns - 1)
         px_per_cell_y = src_rows / (ns - 1)
-        res = float((dxs.mean() / px_per_cell_x + dys.mean() / px_per_cell_y) / 2.0)
-        if res <= 0:
+        with np.errstate(invalid="ignore"):
+            res = float((np.nanmean(dxs) / px_per_cell_x
+                         + np.nanmean(dys) / px_per_cell_y) / 2.0)
+        if not np.isfinite(res) or res <= 0:
             raise ProcessingError("could not suggest warp output resolution")
         out_cols = max(int(np.ceil((xmax - xmin) / res)), 1)
         out_rows = max(int(np.ceil((ymax - ymin) / res)), 1)

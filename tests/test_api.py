@@ -226,10 +226,10 @@ def test_warp_to_epsg3857(tmp_path):
 def test_warp_unsupported_crs_actionable_error(tmp_path):
     base = fixtures.make_safe(tmp_path, name="bad.SAFE", pols=("vv",))
     params = ProcessingParams(
-        # the round-3 national-grid family absorbed 2154/29902/5514/27572;
-        # EPSG:6933 (EASE-Grid 2.0 cylindrical equal-area, unimplemented)
-        # exercises the actionable error
-        polarization=Polarization.VV, size=64, target_crs="EPSG:6933",
+        # the round-3 national-grid family absorbed 2154/29902/5514/27572
+        # and the cs2cs pipe backend absorbed every remaining PROJ-known
+        # method; a nonsense code exercises the actionable error
+        polarization=Polarization.VV, size=64, target_crs="EPSG:999999",
     )
     with pytest.raises(Exception, match="supported:"):
         api.process_safe_to_path(base, tmp_path / "x.tiff", params)

@@ -108,7 +108,8 @@ def test_dynamic_wkt_is_projinfo_gdal_wkt(code):
 
 
 @pytest.mark.parametrize("code,frag", [
-    (6933, "+proj=cea"),       # equal-area cylindrical: not implemented
+    # unimplemented methods now pipe through cs2cs (test_geodesy_pipe.py);
+    # only codes PROJ itself does not know reject
     (999999, "not known"),     # nonsense code
 ])
 def test_unimplemented_methods_reject_cleanly(code, frag):
@@ -200,10 +201,18 @@ def test_proj_string_target_matches_proj_binary():
     assert geodesy.epsg_to_wkt(code)
 
 
-def test_proj_string_unsupported_method_rejects():
+def test_proj_string_unimplemented_method_pipes():
+    # an unimplemented method in a raw string now routes through the cs2cs
+    # pipe backend (test_geodesy_pipe.py covers its behavior)
     code = geodesy.parse_epsg_code("+proj=cea +lat_ts=30 +units=m")
+    info = geodesy.epsg_kind(code)
+    assert info is not None and info["kind"] == "proj_pipe"
+
+
+def test_proj_string_unknown_method_rejects():
+    code = geodesy.parse_epsg_code("+proj=nosuchmethod +datum=WGS84")
     assert geodesy.epsg_kind(code) is None
-    assert "+proj=cea" in geodesy.unsupported_reason(code)
+    assert "nosuchmethod" in geodesy.unsupported_reason(code)
 
 
 def test_warp_plan_accepts_proj_string(tmp_path):

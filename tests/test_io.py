@@ -484,11 +484,11 @@ def test_project_dispatch_mercators():
         assert lat == pytest.approx(46.0, abs=1e-9)
         wkt = geodesy.epsg_to_wkt(code)
         assert f'"{code}"' in wkt and "Mercator" in wkt
-    # the round-3 national-grid family absorbed 2154/29902/5514/27572;
-    # use a code the framework genuinely does not project (EASE-Grid 2.0
-    # cylindrical equal-area)
+    # the round-3 national-grid family absorbed 2154/29902/5514/27572 and
+    # the cs2cs pipe backend absorbed every remaining PROJ-known method;
+    # only a code PROJ itself does not know still rejects
     with pytest.raises(ValueError, match="supported:"):
-        geodesy.project_forward(0.0, 0.0, 6933)
+        geodesy.project_forward(0.0, 0.0, 999999)
 
 
 # -- streamed decimated reads (VERDICT r1 items 1-2) --------------------------
