@@ -149,7 +149,38 @@ def test_pipe_unavailable_rejects_with_native_reason(monkeypatch):
 
 # --- full warp plan through a piped CRS -------------------------------------
 from sarpro_tpu.io import warp as warp_mod  # noqa: E402
+from sarpro_tpu.io.raster import RasterReader  # noqa: E402
+from sarpro_tpu.io.tiffio import TiffWriter  # noqa: E402
 from tests.test_geodesy_dynamic import _gcp_raster  # noqa: E402
+
+
+def test_pipe_crs_as_warp_source(tmp_path):
+    """An affine raster IN a piped CRS (e.g. a product previously warped to
+    EASE-Grid 2.0) re-opens and warps back to EPSG:4326 — the inverse pipe
+    on the source side of the mapping."""
+    rng = np.random.default_rng(7)
+    dn = rng.integers(1, 60000, (64, 80)).astype(np.uint16)
+    # ~Europe in EASE-Grid 2.0 coordinates (x east, y north)
+    x0, y0 = geodesy.project_forward(np.array([11.0]), np.array([46.5]), 6933)
+    path = tmp_path / "ease.tiff"
+    w = TiffWriter(path)
+    w.set_geotransform([float(x0[0]), 500.0, 0.0, float(y0[0]), 0.0, -500.0])
+    w.set_projection("EPSG:6933")
+    w.write([dn])
+    reader = RasterReader(path)
+    plan = warp_mod.plan_warp(reader, "EPSG:4326", target_size=None)
+    # output must land on the scene's lon/lat neighborhood
+    gt = plan.geotransform
+    assert 10.5 < gt[0] < 11.5 and 46.0 < gt[3] < 47.0
+    ys = np.linspace(0.0, plan.out_rows - 1.0, 9)
+    xs = np.linspace(0.0, plan.out_cols - 1.0, 9)
+    xx, yy = np.meshgrid(xs, ys)
+    ex, ey = plan.exact_source_pixels(xx.ravel(), yy.ravel())
+    ix, iy = plan.interp_source_pixels(xx.ravel(), yy.ravel())
+    ok = np.isfinite(ex) & np.isfinite(ey)
+    assert ok.mean() > 0.9
+    assert np.hypot(ix[ok] - ex[ok], iy[ok] - ey[ok]).max() < 0.1
+    reader.close()
 
 
 @pytest.mark.parametrize("code,lon0,lat0", [
