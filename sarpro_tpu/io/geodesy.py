@@ -1405,13 +1405,17 @@ def _pipe_axes(wkt2_spec: Optional[str]):
     """Normalize a CRS's authority axis order/directions to GIS east,north
     (what gdalwarp's traditional-order geotransforms — and ours — use).
 
-    Returns (((col_of_x, sign_x), (col_of_y, sign_y)), bbox) where col_* index
-    the cs2cs output columns, sign −1 flips westing/southing axes, and bbox is
-    the WKT2 area-of-use (south, west, north, east) or None. A None spec (raw
-    proj strings without +axis) is already east,north."""
+    Returns (((col_of_x, sign_x), (col_of_y, sign_y)), bbox, ang_scale) where
+    col_* index the cs2cs output columns, sign −1 flips westing/southing
+    axes, bbox is the WKT2 area-of-use (south, west, north, east) or None,
+    and ang_scale converts cs2cs's decimal-degree angular output into the
+    CRS's own angular unit (grads for EPSG:4807-style CRS; None when the
+    unit is degrees or the CS is Cartesian — cs2cs already emits authority
+    LINEAR units). A None spec (raw proj strings without +axis) is already
+    east,north degrees."""
     global _CS2CS_AXIS_RE
     if wkt2_spec is None:
-        return ((0, 1.0), (1, 1.0)), None
+        return ((0, 1.0), (1, 1.0)), None, None
     import re
 
     if _CS2CS_AXIS_RE is None:
@@ -1419,15 +1423,23 @@ def _pipe_axes(wkt2_spec: Optional[str]):
             r'AXIS\["[^"]*",\s*(east|west|north|south)')
     out = _run_projinfo(["-q", "-o", "WKT2:2019", "--single-line", wkt2_spec])
     if not out:
-        return None, None
+        return None, None, None
     cs = out.rfind("CS[")
-    dirs = _CS2CS_AXIS_RE.findall(out[max(cs, 0):])[:2]
+    tail = out[max(cs, 0):]
+    dirs = _CS2CS_AXIS_RE.findall(tail)[:2]
     bbox = None
     m = re.search(r"BBOX\[([-\d.]+),([-\d.]+),([-\d.]+),([-\d.]+)\]", out)
     if m:
         bbox = tuple(float(g) for g in m.groups())
+    ang_scale = None
+    if tail.startswith("CS[ellipsoidal"):
+        mu = re.search(r'ANGLEUNIT\["[^"]*",([-\d.eE]+)', tail)
+        if mu:
+            rad_per_unit = float(mu.group(1))
+            if rad_per_unit > 0 and abs(rad_per_unit - np.pi / 180) > 1e-15:
+                ang_scale = (np.pi / 180.0) / rad_per_unit
     if len(dirs) != 2:
-        return None, bbox
+        return None, bbox, ang_scale
     axes = [None, None]  # x, y
     for col, d in enumerate(dirs):
         if d in ("east", "west"):
@@ -1435,16 +1447,21 @@ def _pipe_axes(wkt2_spec: Optional[str]):
         else:
             axes[1] = (col, 1.0 if d == "north" else -1.0)
     if axes[0] is None or axes[1] is None:  # two same-family axes — malformed
-        return None, bbox
-    return (axes[0], axes[1]), bbox
+        return None, bbox, ang_scale
+    return (axes[0], axes[1]), bbox, ang_scale
 
 
-def _cs2cs_points(a, b, target_argv, axes, inverse: bool):
+def _cs2cs_points(a, b, target_argv, axes, inverse: bool,
+                  ang_scale: Optional[float] = None):
     """Pipe points through `cs2cs EPSG:4326 <target>` (or its -I inverse).
 
     forward: a=lon°, b=lat° → (x, y) in CRS units, GIS east,north.
     inverse: a=x, b=y (GIS east,north) → (lon, lat)°.
-    Non-finite inputs and out-of-domain outputs (`*`/inf) map to nan."""
+    ang_scale converts cs2cs's decimal-degree angular I/O to/from the
+    target's own angular unit (non-degree geographic CRS).
+    Non-finite inputs and out-of-domain outputs (`*`/inf) map to nan.
+    Runtime subprocess failures raise ExternalError (SarproError), the same
+    contract as the reference's gdalwarp subprocess failures."""
     import subprocess
 
     a = np.asarray(a, np.float64)
@@ -1452,6 +1469,9 @@ def _cs2cs_points(a, b, target_argv, axes, inverse: bool):
     shape = np.broadcast(a, b).shape
     af = np.ascontiguousarray(np.broadcast_to(a, shape)).ravel()
     bf = np.ascontiguousarray(np.broadcast_to(b, shape)).ravel()
+    if inverse and ang_scale:
+        af = af / ang_scale  # CRS angular units → degrees for the pipe
+        bf = bf / ang_scale
     ok = np.isfinite(af) & np.isfinite(bf)
     (ix, sx), (iy, sy) = axes
     lines = []
@@ -1470,15 +1490,17 @@ def _cs2cs_points(a, b, target_argv, axes, inverse: bool):
         if inverse:
             argv.append("-I")
         argv += ["EPSG:4326", *target_argv]
+        from ..errors import ExternalError
+
         try:
             r = subprocess.run(argv, input="\n".join(lines) + "\n",
                                capture_output=True, text=True,
                                timeout=_CS2CS_TIMEOUT)
         except (OSError, subprocess.SubprocessError) as e:
-            raise ValueError(f"cs2cs transform failed: {e}") from e
+            raise ExternalError(f"cs2cs transform failed: {e}") from e
         rows = r.stdout.splitlines()
         if r.returncode != 0 or len(rows) != len(lines):
-            raise ValueError(
+            raise ExternalError(
                 f"cs2cs transform failed (rc={r.returncode}): "
                 f"{(r.stderr or '').strip()[:200]}")
         vals0 = np.empty(len(rows))
@@ -1496,16 +1518,21 @@ def _cs2cs_points(a, b, target_argv, axes, inverse: bool):
     if inverse:  # EPSG:4326 output order is lat lon
         return o1.reshape(shape), o0.reshape(shape)
     cols = (o0, o1)
-    return (sx * cols[ix]).reshape(shape), (sy * cols[iy]).reshape(shape)
+    x, y = sx * cols[ix], sy * cols[iy]
+    if ang_scale:
+        x, y = x * ang_scale, y * ang_scale  # degrees → CRS angular units
+    return x.reshape(shape), y.reshape(shape)
 
 
 def _pipe_kind(code: int, target_argv, wkt2_spec: Optional[str],
                reason: str) -> Optional[dict]:
     """Build a proj_pipe kind for a PROJ-known CRS we cannot evaluate
     natively, after a one-point smoke transform proves the plumbing."""
+    from ..errors import ExternalError
+
     if not _cs2cs_available():
         return None
-    axes, bbox = _pipe_axes(wkt2_spec)
+    axes, bbox, ang_scale = _pipe_axes(wkt2_spec)
     if axes is None:
         return None
     if bbox is not None:
@@ -1515,13 +1542,22 @@ def _pipe_kind(code: int, target_argv, wkt2_spec: Optional[str],
     kind = {"dynamic": True, "kind": "proj_pipe", "code": code,
             "cs2cs": list(target_argv), "axes": axes, "datum": None,
             "pipe_reason": reason}
+    if ang_scale:
+        kind["ang_scale"] = ang_scale
     try:
         x, y = _cs2cs_points(np.asarray([smoke[0]]), np.asarray([smoke[1]]),
-                             kind["cs2cs"], axes, inverse=False)
-    except ValueError:
+                             kind["cs2cs"], axes, inverse=False,
+                             ang_scale=ang_scale)
+    except ExternalError:
         return None
-    # nan is fine (smoke point may sit outside the method's domain) — the
-    # subprocess accepting the CRS spec is what the probe establishes
+    if bbox is not None and not (np.isfinite(x[0]) and np.isfinite(y[0])):
+        # the CRS's own area-of-use center failing to transform means this
+        # PROJ build cannot actually evaluate the method (e.g. Krovak
+        # Modified on PROJ < 9.2) — reject rather than emit all-nan warps
+        return None
+    # without a bbox (raw proj strings), nan is fine — (0,0) may simply sit
+    # outside the method's domain; the subprocess accepting the CRS spec is
+    # what the probe establishes
     logger.info("CRS %s: projection method not implemented natively (%s); "
                 "transforms will pipe through cs2cs like the reference's "
                 "gdalwarp subprocess", code, reason)
@@ -1541,14 +1577,27 @@ def _resolve_epsg_dynamic(code: int) -> Optional[dict]:
                 proj_line = line
                 break
         if proj_line is None:
-            raise ValueError(f"EPSG:{code} not known to PROJ")
-        try:
-            kind = _kind_from_proj_tokens(_proj_tokens(proj_line), code)
-        except ValueError as native_exc:
+            # PROJ may know the code yet have no PROJ-string export for its
+            # method (e.g. Krovak Modified, Polar Stereographic variant C) —
+            # the pipe backend only needs the EPSG code, so try it before
+            # declaring the code unknown
             kind = _pipe_kind(code, [f"EPSG:{code}"], f"EPSG:{code}",
-                              str(native_exc))
+                              "method has no PROJ-string export")
             if kind is None:
-                raise
+                if _run_projinfo(["-q", "-o", "WKT2:2019", "--single-line",
+                                  f"EPSG:{code}"]):
+                    raise ValueError(
+                        f"EPSG:{code} is known to PROJ but its projection "
+                        f"method is not evaluable by this PROJ build")
+                raise ValueError(f"EPSG:{code} not known to PROJ")
+        else:
+            try:
+                kind = _kind_from_proj_tokens(_proj_tokens(proj_line), code)
+            except ValueError as native_exc:
+                kind = _pipe_kind(code, [f"EPSG:{code}"], f"EPSG:{code}",
+                                  str(native_exc))
+                if kind is None:
+                    raise
         wkt_out = _run_projinfo(["-o", "WKT1_GDAL", "--single-line", "-q",
                                  f"EPSG:{code}"])
         wkt = None
@@ -1988,7 +2037,8 @@ def project_forward(lon, lat, code: int):
     if info["kind"] == "proj_pipe":
         # cs2cs handles the datum leg and emits CRS units directly
         return _cs2cs_points(lon, lat, info["cs2cs"], info["axes"],
-                             inverse=False)
+                             inverse=False,
+                             ang_scale=info.get("ang_scale"))
     if info.get("datum") and info["kind"] in _DISPATCH_DATUM_KINDS:
         lon, lat = _datum_shift(lon, lat, info["datum"], to_wgs84=False)
     x, y = _project_forward_core(lon, lat, info)
@@ -2043,7 +2093,8 @@ def project_inverse(x, y, code: int):
     if info is None:
         raise _unsupported_crs_error(code)
     if info["kind"] == "proj_pipe":
-        return _cs2cs_points(x, y, info["cs2cs"], info["axes"], inverse=True)
+        return _cs2cs_points(x, y, info["cs2cs"], info["axes"], inverse=True,
+                             ang_scale=info.get("ang_scale"))
     tm = info.get("to_meter")
     if tm:
         x, y = np.asarray(x, np.float64) * tm, np.asarray(y, np.float64) * tm

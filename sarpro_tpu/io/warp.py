@@ -388,9 +388,13 @@ def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
     # ~1.25x the output resolution, then sample the small intermediate. This
     # anti-aliases (gdalwarp's -ts path samples full-res and aliases) and
     # shrinks the sampling working set ahead of the tiled warp kernel.
+    # nan-aware: proj_pipe targets can leave out-of-domain grid nodes nan
+    with np.errstate(invalid="ignore"):
+        sx_est = (np.nanmax(map_x) - np.nanmin(map_x) + 1) / max(out_cols, 1)
+        sy_est = (np.nanmax(map_y) - np.nanmin(map_y) + 1) / max(out_rows, 1)
     scale_est = max(
-        (map_x.max() - map_x.min() + 1) / max(out_cols, 1),
-        (map_y.max() - map_y.min() + 1) / max(out_rows, 1),
+        sx_est if np.isfinite(sx_est) else 1.0,
+        sy_est if np.isfinite(sy_est) else 1.0,
         1.0,
     )
     if scale_est >= 2.0:

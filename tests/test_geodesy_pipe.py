@@ -147,6 +147,62 @@ def test_pipe_unavailable_rejects_with_native_reason(monkeypatch):
     geodesy._DYN_UNSUPPORTED.pop(3410, None)
 
 
+def test_pipe_grad_unit_geographic_crs():
+    """EPSG:4807 (NTF Paris) publishes coordinates in GRADS; cs2cs emits
+    decimal degrees, so the pipe must rescale to the CRS's own angular unit
+    (the emitted WKT declares UNIT["grad"] — a degree geotransform under it
+    would misplace the product by ~11%)."""
+    info = geodesy.epsg_kind(4807)
+    assert info is not None and info["kind"] == "proj_pipe"
+    assert info.get("ang_scale") == pytest.approx(200.0 / 180.0, rel=1e-12)
+    lon, lat = geodesy.project_forward(np.array([2.3]), np.array([48.85]),
+                                       4807)
+    # oracle: cs2cs degree output (-0.0365042, 48.8500695) x 10/9
+    assert lon[0] == pytest.approx(-0.0365042 * 10 / 9, abs=1e-5)
+    assert lat[0] == pytest.approx(48.8500695 * 10 / 9, abs=1e-5)
+    lon2, lat2 = geodesy.project_inverse(lon, lat, 4807)
+    assert lon2[0] == pytest.approx(2.3, abs=1e-7)
+    assert lat2[0] == pytest.approx(48.85, abs=1e-7)
+
+
+def test_pipe_no_proj_string_export_code():
+    """EPSG:5224 (S-JTSK/05 Krovak Modified) has no PROJ-string export.
+    On a PROJ build whose cs2cs evaluates mod_krovak it must pipe; on older
+    builds it must reject saying the method (not the code) is the problem —
+    never the misleading 'not known to PROJ'."""
+    geodesy._DYN_KIND_CACHE.pop(5224, None)
+    geodesy._DYN_UNSUPPORTED.pop(5224, None)
+    info = geodesy.epsg_kind(5224)
+    if info is not None:
+        assert info["kind"] == "proj_pipe"
+        x, y = geodesy.project_forward(np.array([15.0]), np.array([50.0]),
+                                       5224)
+        assert np.isfinite(x[0]) and np.isfinite(y[0])
+    else:
+        reason = geodesy.unsupported_reason(5224)
+        assert reason is not None and "not evaluable" in reason
+
+
+def test_pipe_runtime_failure_raises_sarpro_error(monkeypatch):
+    """A cs2cs failure during an already-planned transform must surface as
+    a SarproError (the CLI's error contract), not a bare ValueError."""
+    import subprocess
+
+    from sarpro_tpu.errors import ExternalError, SarproError
+
+    geodesy.epsg_kind(3375)  # ensure registered before breaking subprocess
+
+    def boom(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="cs2cs", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    with pytest.raises(SarproError):
+        geodesy.project_forward(np.array([102.0]), np.array([4.0]), 3375)
+    with pytest.raises(ExternalError):
+        geodesy.project_inverse(np.array([445072.0]), np.array([442508.0]),
+                                3375)
+
+
 # --- full warp plan through a piped CRS -------------------------------------
 from sarpro_tpu.io import warp as warp_mod  # noqa: E402
 from sarpro_tpu.io.raster import RasterReader  # noqa: E402
