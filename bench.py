@@ -65,27 +65,27 @@ def _head_sha() -> str:
         return "unknown"
 
 
-def probe_device(timeout_s: int = 600) -> None:
-    """Fail fast (instead of hanging forever) when the TPU tunnel is down.
+def probe_device(timeout_s: int = 600):
+    """Detect (instead of hanging forever on) a TPU tunnel outage.
 
     jax.devices() blocks indefinitely while the axon backend is
     unreachable; a bounded subprocess probe turns an infra outage into a
-    loud nonzero exit the driver can record."""
+    description string the caller can route to the degraded host-only
+    bench. Returns None when the device answers."""
     try:
         subprocess.run(
             [sys.executable, "-c",
              "import jax; jax.devices()"],
             timeout=timeout_s, check=True, capture_output=True, cwd=REPO,
         )
+        return None
     except subprocess.TimeoutExpired:
-        print(f"FATAL: TPU backend unreachable (no response to "
-              f"jax.devices() within {timeout_s}s) — infra outage, not a "
-              f"framework failure", file=sys.stderr)
-        raise SystemExit(1)
+        return (f"TPU backend unreachable (no response to jax.devices() "
+                f"within {timeout_s}s) — infra outage, not a framework "
+                f"failure")
     except subprocess.CalledProcessError as e:
-        print("FATAL: TPU backend failed to initialize:\n"
-              f"{e.stderr.decode(errors='replace')[-2000:]}", file=sys.stderr)
-        raise SystemExit(1)
+        return ("TPU backend failed to initialize: "
+                + e.stderr.decode(errors="replace")[-500:])
 
 
 def run_tpu_validate() -> dict:
@@ -168,8 +168,135 @@ def host_read_floor_ms(paths) -> float:
     return total
 
 
+LAST_GOOD = REPO / "benchmarks" / "bench_last_good.json"
+
+_CPU_SYNRGB_SNIPPET = """\
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from sarpro_tpu.core import fused
+from sarpro_tpu.types import AutoscaleStrategy
+planes = [jnp.asarray(np.load(p)) for p in {plane_npys!r}]
+out = fused.synrgb_pipeline(planes[0], planes[1],
+                            strategy=AutoscaleStrategy.CLAHE,
+                            target_size=2048, pad=True,
+                            channel_order={layout!r})
+np.save({npy!r}, np.asarray(out))
+"""
+
+
+def degraded_main(outage: str) -> None:
+    """TPU-tunnel-outage fallback: measure everything that does not need
+    the device (disk read + native box reduce, entropy-only JPEG encode on
+    a CPU-backend-computed frame, the DRAM traversal floor) LIVE, carry the
+    small device terms from the last successful on-TPU bench, and emit the
+    JSON line with the outage spelled out in the metric name. A multi-hour
+    tunnel outage already erased one session's artifacts; this keeps the
+    round artifact informative — and honest about what was measured when.
+    """
+    print(f"WARNING: {outage}; running the degraded host-only composition",
+          file=sys.stderr)
+    from benchmarks import e2e as e2e_mod
+
+    base = e2e_mod.ensure_fullsize_safe()
+    paths = sorted((base / "measurement").glob("*.tiff"))
+    stage_dir = e2e_mod.DATA / "stages"
+    stage_dir.mkdir(exist_ok=True)
+    read = e2e_mod._run_host_stage(e2e_mod._READ_STAGE_SNIPPET.format(
+        repo=str(REPO), paths=[str(p) for p in paths], out=str(stage_dir)))
+
+    from sarpro_tpu import _native
+    layout = "dct" if _native.available() else "bgr"
+    npy = stage_dir / "synrgb_out_cpu.npy"
+    plane_npys = [str(stage_dir / (p.name + ".npy")) for p in paths]
+    subprocess.run([sys.executable, "-c", _CPU_SYNRGB_SNIPPET.format(
+        repo=str(REPO), plane_npys=plane_npys, npy=str(npy), layout=layout,
+    )], check=True, cwd=REPO)
+    write = e2e_mod._run_host_stage(e2e_mod._JPEG_STAGE_SNIPPET.format(
+        repo=str(REPO), npy=str(npy), jpg=str(e2e_mod.DATA / "bd.jpg"),
+        layout=layout))
+    floor_ms = host_read_floor_ms(paths)
+
+    last = None
+    if LAST_GOOD.exists():
+        try:
+            last = json.loads(LAST_GOOD.read_text())
+        except json.JSONDecodeError:
+            last = None
+    if last is not None:
+        carried_tail = last["extra"]["breakdown"]["device_tail_ms"]
+        carried_from = (f"bench_last_good.json @ "
+                        f"{last.get('commit', 'unknown')[:12]} "
+                        f"({last.get('timestamp', '?')})")
+        carried_extra = {
+            "device_resident_fullres_p50_ms":
+                last["extra"].get("device_resident_fullres_p50_ms"),
+            "e2e_raw_tunnel_p50_ms":
+                last["extra"].get("e2e_raw_tunnel_p50_ms"),
+        }
+    else:
+        # last on-TPU measured device stage before the 2026-08-17 tunnel
+        # outage (ROADMAP.md round-3 final numbers: device 11.8 ms total,
+        # ~8 ms tail after the band-1/read overlap)
+        carried_tail = 8.0
+        carried_from = "ROADMAP.md round-3 final numbers (2026-08-17)"
+        carried_extra = {}
+    pcie_ms = PCIE_ALLOWANCE_MS.get(layout, 3.0)
+    estimate = read["ms"] + carried_tail + write["ms"] + pcie_ms
+
+    validate_path = REPO / "benchmarks" / "tpu_validate_results.json"
+    validate = None
+    if validate_path.exists():
+        try:
+            v = json.loads(validate_path.read_text())
+            validate = {"passed": v.get("passed"), "failed": v.get("failed"),
+                        "commit": v.get("commit", "unknown")[:12],
+                        "carried": True}
+        except json.JSONDecodeError:
+            pass
+
+    print(json.dumps({
+        "metric": "DEGRADED — TPU tunnel outage: 400MP dual-pol SAFE "
+                  "disk->2048 CLAHE synRGB JPEG e2e p50 ESTIMATE (host "
+                  "stages measured live this run; device tail carried from "
+                  "the last on-TPU measurement)",
+        "value": round(estimate, 1),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_NO_WARP_MS / estimate, 2),
+        "extra": {
+            "outage": outage,
+            "breakdown": {
+                "read_reduce_ms": round(read["ms"], 1),
+                "device_tail_ms_carried": round(carried_tail, 1),
+                "jpeg_write_ms": round(write["ms"], 1),
+                "pcie_allowance_ms": pcie_ms,
+            },
+            "carried_device_terms_from": carried_from,
+            **carried_extra,
+            "host_read_floor_ms": round(floor_ms, 1),
+            "read_reduce_vs_floor": round(read["ms"] / floor_ms, 2)
+            if floor_ms == floor_ms else None,
+            "tpu_validate_carried": validate,
+            "note": "the TPU tunnel was unreachable for this run; host "
+                    "stages (the dominant terms on this 1-core host) are "
+                    "real measurements from this invocation, the device "
+                    "tail is the last on-TPU value and is the smallest "
+                    "term in the sum",
+            "host": "1 CPU core, ~13 GB/s DRAM (reference: 12-core M4 "
+                    "Pro); read/reduce + jpeg are single-threaded host "
+                    "stages here",
+        },
+    }))
+
+
 def main():
-    probe_device()
+    outage = probe_device()
+    if outage:
+        degraded_main(outage)
+        return
     validate = run_tpu_validate()
 
     import jax
@@ -232,7 +359,7 @@ def main():
                        + breakdown["jpeg_write_ms"] + pcie_ms)
     dev = jax.devices()[0]
 
-    print(json.dumps({
+    payload = {
         "metric": "400MP dual-pol SAFE disk->2048 CLAHE synRGB JPEG e2e p50 "
                   "ESTIMATE (sum of measured stages, tunnel replaced by 3ms "
                   "PCIe allowance; raw tunnel e2e alongside in extra)",
@@ -274,7 +401,13 @@ def main():
                     "read/reduce + jpeg are single-threaded host stages here",
             "device": str(dev),
         },
-    }))
+    }
+    print(json.dumps(payload))
+    # snapshot for the degraded (tunnel-outage) composition
+    LAST_GOOD.write_text(json.dumps({
+        **payload, "commit": _head_sha(),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }, indent=2))
 
 
 if __name__ == "__main__":
