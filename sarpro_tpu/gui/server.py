@@ -224,6 +224,14 @@ def make_server(host: str = "127.0.0.1", port: int = 8377):
                     self._json({"command": generate_cli_command(gui)})
             elif self.path == "/api/stats":
                 self._json(state_mod.system_stats())
+            elif self.path.startswith("/api/crs"):
+                # live target-CRS validation (debounced field hint): name +
+                # projection method + which backend tier will evaluate it
+                q = urllib.parse.urlparse(self.path).query
+                args = urllib.parse.parse_qs(q)
+                from ..io.geodesy import describe_crs
+
+                self._json(describe_crs(args.get("value", [""])[0]))
             elif self.path.startswith("/api/listdir"):
                 q = urllib.parse.urlparse(self.path).query
                 args = urllib.parse.parse_qs(q)

@@ -1976,6 +1976,61 @@ def epsg_to_wkt(code: int) -> Optional[str]:
     )
 
 
+_KIND_LABELS = {
+    "geographic": "geographic (lon/lat)",
+    "utm": "Transverse Mercator (UTM)",
+    "ups": "Polar Stereographic (UPS)",
+    "webmercator": "Web Mercator",
+    "mercator": "Mercator",
+    "polar_stereo": "Polar Stereographic",
+    "laea": "Lambert Azimuthal Equal Area",
+    "tm_grid": "Transverse Mercator",
+    "lcc": "Lambert Conformal Conic",
+    "albers": "Albers Equal Area",
+    "somerc": "Swiss Oblique Mercator",
+    "sterea": "Oblique Stereographic",
+    "krovak": "Krovak",
+    "proj_pipe": "generic (cs2cs)",
+}
+
+
+def describe_crs(value: str) -> dict:
+    """Human description of a --target-crs value, for interactive surfaces
+    (the GUI validates the field live with this). Returns
+    {ok, name?, method?, backend?, reason?} without raising."""
+    v = (value or "").strip()
+    if not v or v.lower() == "none":
+        return {"ok": True, "name": "no reprojection", "method": "none",
+                "backend": "—"}
+    if v.lower() == "auto":
+        return {"ok": True, "name": "auto (UTM/UPS from scene centroid, "
+                                    "Norway/Svalbard exceptions)",
+                "method": "auto", "backend": "native"}
+    try:
+        code = parse_epsg_code(v)
+    except Exception as e:  # noqa: BLE001 — malformed WKT/proj strings
+        return {"ok": False, "reason": str(e)}
+    if code is None:
+        return {"ok": False,
+                "reason": "not an EPSG:XXXX code, +proj= string, or WKT"}
+    info = epsg_kind(code)
+    if info is None:
+        return {"ok": False,
+                "reason": unsupported_reason(code) or "unresolvable CRS"}
+    if info["kind"] == "proj_pipe":
+        backend = "cs2cs pipe (one subprocess per warp grid)"
+    elif info.get("dynamic"):
+        backend = "projinfo-resolved, native projection math"
+    else:
+        backend = "native tables"
+    name = info.get("name")
+    if not name and code < _PROJ_STRING_BASE:
+        name = f"EPSG:{code}"
+    return {"ok": True, "name": name or v,
+            "method": _KIND_LABELS.get(info["kind"], info["kind"]),
+            "backend": backend}
+
+
 def _unsupported_crs_error(code: int) -> ValueError:
     reason = _DYN_UNSUPPORTED.get(code)
     why = f" ({reason})" if reason else ""

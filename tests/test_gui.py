@@ -323,3 +323,28 @@ def test_preview_decimation_content_exact(tmp_path):
     expect = np.clip((sub - lo) / (hi - lo) * 255.0 + 0.5,
                      0, 255).astype(np.uint8)
     assert np.array_equal(np.asarray(im.convert("L")), expect)
+
+
+def test_crs_validation_endpoint(server):
+    """Live target-CRS field validation: name + method + backend tier."""
+    d = _get(server, "/api/crs?value=none")
+    assert d["ok"] is True and d["method"] == "none"
+    d = _get(server, "/api/crs?value=auto")
+    assert d["ok"] is True and "centroid" in d["name"]
+    d = _get(server, "/api/crs?value=EPSG%3A32633")
+    assert d["ok"] is True and "Transverse Mercator" in d["method"]
+    assert d["backend"] == "native tables"
+    d = _get(server, "/api/crs?value=EPSG%3A999999")
+    assert d["ok"] is False and "not known" in d["reason"]
+    d = _get(server, "/api/crs?value=garbage")
+    assert d["ok"] is False
+
+
+def test_crs_validation_endpoint_pipe_tier(server):
+    import shutil
+
+    if shutil.which("cs2cs") is None or shutil.which("projinfo") is None:
+        pytest.skip("PROJ tools missing")
+    d = _get(server, "/api/crs?value=EPSG%3A3375")
+    assert d["ok"] is True and "cs2cs pipe" in d["backend"]
+    assert "RSO" in d["name"]
