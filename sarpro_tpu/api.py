@@ -342,14 +342,18 @@ def process_directory_to_path(
 
 
 def process_safe_to_path(input, output, params: ProcessingParams,
-                         fast: bool = False) -> None:
+                         fast: bool = False, shard_devices: int = 0) -> None:
     """File-output pipeline driven by ProcessingParams (reference: api/mod.rs:539-674).
 
     fast=True routes the compute through the fused single-program pipeline
     (core/fused.py — the benchmark path): one device dispatch per band,
-    within ≤1 histogram bin of the exact mode's window placement."""
-    if fast:
-        return _process_safe_to_path_fast(input, output, params)
+    within ≤1 histogram bin of the exact mode's window placement.
+    shard_devices>=2 (or -1 for all local devices) additionally shards the
+    scene's rows across a device mesh — stats become ICI collectives
+    (SURVEY §2.5's intra-scene TP/SP analogue); implies fast mode."""
+    if fast or shard_devices:
+        return _process_safe_to_path_fast(input, output, params,
+                                          shard_devices=shard_devices)
     if params.size is None:
         # full-resolution exact mode materializes whole-raster intermediates
         # on device; past the single-program HBM budget route through the
@@ -401,7 +405,8 @@ def process_safe_to_path(input, output, params: ProcessingParams,
         )
 
 
-def _process_safe_to_path_fast(input, output, params: ProcessingParams) -> None:
+def _process_safe_to_path_fast(input, output, params: ProcessingParams,
+                               shard_devices: int = 0) -> None:
     """Fast mode: downsample-on-read in the reader, everything else in one
     XLA program.
 
@@ -422,7 +427,8 @@ def _process_safe_to_path_fast(input, output, params: ProcessingParams) -> None:
     alg0 = None if warping else resample  # warp already consumed the filter
 
     band_stage = None
-    if pol.kind == "multiband" and params.format is OutputFormat.JPEG:
+    if (pol.kind == "multiband" and params.format is OutputFormat.JPEG
+            and not shard_devices):
         # overlapped pair load: band 1's device program (resample → dB/stats
         # → autoscale → u8 [+pad]) dispatches while band 2 streams off disk;
         # the combine program below consumes the resident result. Big scenes
@@ -448,6 +454,7 @@ def _process_safe_to_path_fast(input, output, params: ProcessingParams) -> None:
             _single_band(reader, pol), output, params.format, bit_depth, size,
             reader.metadata, params.pad, params.autoscale,
             ProcessingOperation.SINGLE_BAND, resample_alg=alg,
+            shard_devices=shard_devices,
         )
     elif pol.kind == "multiband":
         band1, band2, is_vvvh = _band_pair(reader, "Multiband")
@@ -458,12 +465,14 @@ def _process_safe_to_path_fast(input, output, params: ProcessingParams) -> None:
             else ProcessingOperation.MULTIBAND_HH_HV,
             params.synrgb_mode, resample_alg=alg,
             staged_b1=reader.staged_band1,
+            shard_devices=shard_devices,
         )
     else:
         fast_path.save_single_band_fast(
             _op_band(reader, pol.op), output, params.format, bit_depth, size,
             reader.metadata, params.pad, params.autoscale,
             ProcessingOperation.PolarOp(pol.op), resample_alg=alg,
+            shard_devices=shard_devices,
         )
 
 

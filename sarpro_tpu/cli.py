@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Fused single-program pipeline (benchmark path): one "
                         "device dispatch per band; autoscale windows within "
                         "1 histogram bin of exact mode")
+    p.add_argument("--shard-devices", type=int, default=0, metavar="N",
+                   help="Shard one scene's compute across N local devices "
+                        "(rows split over a mesh, stats via ICI "
+                        "collectives); -1 = all devices; implies --fast")
     p.add_argument("--resume", action="store_true",
                    help="Batch mode: skip products whose output already exists")
     return p
@@ -167,7 +171,8 @@ def run(argv=None) -> int:
 
             t0 = time.perf_counter()
             api.process_safe_to_path(args.input, args.output, params,
-                                     fast=args.fast)
+                                     fast=args.fast,
+                                     shard_devices=args.shard_devices)
             logger.info("Successfully processed: %s -> %s (%.3f s)",
                         args.input, args.output, time.perf_counter() - t0)
     except SarproError as e:

@@ -67,11 +67,44 @@ def _is_big_scene(in_rows: int, in_cols: int, target_size) -> bool:
     return target_size is None and in_rows * in_cols > BIG_SCENE_PIXELS
 
 
+def _build_shard_mesh(shard_devices: int, rows: int, full_res: bool):
+    """Mesh for single-scene row sharding (the TP/SP analogue, SURVEY §2.5),
+    or None with the reason logged.
+
+    Full-res configs run the shard_map path whose row splits must divide
+    the scene height evenly — pick the largest power-of-two divisor that
+    fits the device count. Resample/pad configs take the GSPMD fallback,
+    which partitions uneven rows itself."""
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    avail = len(jax.devices())
+    n = avail if shard_devices < 0 else min(shard_devices, avail)
+    if n < 2:
+        logger.warning("shard: only %d device(s) available; running "
+                       "unsharded", avail)
+        return None
+    if full_res:
+        r = 1
+        while r * 2 <= n and rows % (r * 2) == 0:
+            r *= 2
+        if r < 2:
+            logger.warning("shard: %d rows have no even power-of-two split "
+                           "across %d devices; running unsharded", rows, n)
+            return None
+        if r < n:
+            logger.info("shard: using %d of %d devices (largest even row "
+                        "split of %d rows)", r, n, rows)
+        return make_mesh(r, shape=(1, r))
+    return make_mesh(n, shape=(1, n))
+
+
 def save_single_band_fast(
     dn, output, format: OutputFormat, bit_depth: BitDepth, target_size,
     metadata=None, pad: bool = False, strategy=None,
     operation: ProcessingOperation = ProcessingOperation.SINGLE_BAND,
-    resample_alg=None, write_pool=None,
+    resample_alg=None, write_pool=None, shard_devices: int = 0,
 ):
     """Single-band DN → file through the fused program.
 
@@ -84,7 +117,16 @@ def save_single_band_fast(
     in_rows, in_cols = dn.shape
     depth = bit_depth if format is OutputFormat.TIFF else BitDepth.U8
     gray_layout = "u8"
-    if _is_big_scene(in_rows, in_cols, target_size):
+    mesh = (_build_shard_mesh(shard_devices, in_rows,
+                              target_size is None and not pad)
+            if shard_devices else None)
+    if mesh is not None:
+        from ..parallel import sharded
+
+        out = sharded.grayscale_batch(
+            np.asarray(dn)[None], mesh, strategy=strategy, bit_depth=depth,
+            target_size=target_size, pad=pad)[0]
+    elif _is_big_scene(in_rows, in_cols, target_size):
         from .streamed import grayscale_streamed
 
         if format is OutputFormat.JPEG:
@@ -147,6 +189,7 @@ def save_multiband_fast(
     operation: ProcessingOperation = ProcessingOperation.MULTIBAND_VV_VH,
     syn_mode: SyntheticRgbMode = SyntheticRgbMode.DEFAULT,
     resample_alg=None, write_pool=None, staged_b1=None,
+    shard_devices: int = 0,
 ):
     """Dual-band DN → multiband TIFF or synRGB JPEG through fused programs.
 
@@ -165,21 +208,35 @@ def save_multiband_fast(
     )
     label = operation.metadata_label
     big = _is_big_scene(in_rows, in_cols, target_size)
+    mesh = (_build_shard_mesh(shard_devices, in_rows,
+                              target_size is None and not pad)
+            if shard_devices else None)
     meta_snapshot = metadata.copy() if (metadata is not None
                                         and write_pool is not None) else metadata
     if format is OutputFormat.TIFF:
-        if big:
-            from .streamed import grayscale_streamed
+        if mesh is not None:
+            from ..parallel import sharded
 
-            gray = functools.partial(grayscale_streamed, strategy=strategy,
-                                     bit_depth=bit_depth, pad=pad)
+            # both bands ride the batch ('scene') axis of the same program
+            both = sharded.grayscale_batch(
+                np.stack([np.asarray(dn1), np.asarray(dn2)]), mesh,
+                strategy=strategy, bit_depth=bit_depth,
+                target_size=target_size, pad=pad)
+            b1, b2 = np.asarray(both[0]), np.asarray(both[1])
         else:
-            gray = functools.partial(
-                fused.grayscale_pipeline, strategy=strategy,
-                bit_depth=bit_depth, target_size=target_size, pad=pad,
-                resample_alg=resample_alg)
-        b1 = np.asarray(gray(dn1))
-        b2 = np.asarray(gray(dn2))
+            if big:
+                from .streamed import grayscale_streamed
+
+                gray = functools.partial(grayscale_streamed,
+                                         strategy=strategy,
+                                         bit_depth=bit_depth, pad=pad)
+            else:
+                gray = functools.partial(
+                    fused.grayscale_pipeline, strategy=strategy,
+                    bit_depth=bit_depth, target_size=target_size, pad=pad,
+                    resample_alg=resample_alg)
+            b1 = np.asarray(gray(dn1))
+            b2 = np.asarray(gray(dn2))
 
         def _write():
             writer = (write_tiff_multiband_u8 if bit_depth is BitDepth.U8
@@ -191,7 +248,19 @@ def save_multiband_fast(
             ds.flush()
             logger.info("fast: saved %s", output)
     else:
-        if big:
+        if mesh is not None:
+            from ..parallel import sharded
+
+            # the full-res shard_map branch supports interleaved RGB only;
+            # resample/pad configs (GSPMD) keep the writer's preferred
+            # layout incl. the device JPEG front-end
+            full = target_size is None and not pad
+            order = "rgb" if full else preferred_synrgb_layout()
+            rgb = np.asarray(sharded.synrgb_batch(
+                np.asarray(dn1)[None], np.asarray(dn2)[None], mesh,
+                strategy=strategy, target_size=target_size, pad=pad,
+                channel_order=order)[0])
+        elif big:
             from .streamed import synrgb_streamed
 
             order = ("dct" if preferred_synrgb_layout() == "dct"
