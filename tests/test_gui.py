@@ -348,3 +348,13 @@ def test_crs_validation_endpoint_pipe_tier(server):
     d = _get(server, "/api/crs?value=EPSG%3A3375")
     assert d["ok"] is True and "cs2cs pipe" in d["backend"]
     assert "RSO" in d["name"]
+
+
+def test_shard_devices_state_and_cli_generator(server):
+    st = _get(server, "/api/state")
+    assert st.get("shard_devices", 0) == 0
+    _post(server, "/api/state", {"shard_devices": 8, "fast": True,
+                                 "input_path": "/x.SAFE",
+                                 "output_path": "/x.tiff"})
+    cmd = _get(server, "/api/cli")["command"]
+    assert "--shard-devices 8" in cmd
