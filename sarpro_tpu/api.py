@@ -285,7 +285,7 @@ def scene_skip_reason(path, params: ProcessingParams) -> Optional[str]:
 def process_directory_to_path(
     input_dir, output_dir, params: ProcessingParams,
     continue_on_error: bool = True, fast: bool = False, resume: bool = False,
-    progress=None,
+    progress=None, shard_devices: int = 0,
 ) -> BatchReport:
     """Batch all SAFE subdirectories (reference: api/mod.rs:474-536).
 
@@ -330,7 +330,8 @@ def process_directory_to_path(
             tick()
             continue
         try:
-            process_safe_to_path(path, output_path, params, fast=fast)
+            process_safe_to_path(path, output_path, params, fast=fast,
+                                 shard_devices=shard_devices)
             report.processed += 1
         except Exception as e:
             logger.warning("Error processing %s: %s", path, e)

@@ -155,6 +155,7 @@ def run(argv=None) -> int:
                 report = api.process_directory_to_path(
                     args.input_dir, args.output_dir, params,
                     continue_on_error=True, fast=args.fast, resume=args.resume,
+                    shard_devices=args.shard_devices,
                 )
             logger.info("Batch processing complete!")
             logger.info("Processed: %d", report.processed)

@@ -142,3 +142,22 @@ def test_shard_cli_flag(safe_dir, tmp_path, capsys):
     ])
     assert rc == 0
     assert np.array_equal(TiffReader(out).read(1), TiffReader(ref).read(1))
+
+
+def test_shard_batch_directory(tmp_path):
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    fixtures.make_safe(indir, name="a.SAFE", seed=1)
+    fixtures.make_safe(indir, name="b.SAFE", seed=2)
+    params = ProcessingParams(
+        bit_depth=BitDepthArg.U16, polarization=Polarization.VV,
+        autoscale=AutoscaleStrategy.ROBUST, size=None,
+    )
+    report = api.process_directory_to_path(indir, outdir, params,
+                                           shard_devices=8)
+    assert report.processed == 2 and report.errors == 0
+    ref = tmp_path / "ref.tiff"
+    api.process_safe_to_path(indir / "a.SAFE", ref, params, fast=True)
+    assert np.array_equal(TiffReader(outdir / "a.SAFE.tiff").read(1),
+                          TiffReader(ref).read(1))
