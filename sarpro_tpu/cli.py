@@ -150,6 +150,7 @@ def run(argv=None) -> int:
                     continue_on_error=True, prefetch=args.prefetch,
                     resume=args.resume, fast=args.fast,
                     device_batch=args.device_batch,
+                    shard_devices=args.shard_devices,
                 )
             else:
                 report = api.process_directory_to_path(

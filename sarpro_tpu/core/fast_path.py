@@ -82,8 +82,11 @@ def _build_shard_mesh(shard_devices: int, rows: int, full_res: bool):
     avail = len(jax.devices())
     n = avail if shard_devices < 0 else min(shard_devices, avail)
     if n < 2:
-        logger.warning("shard: only %d device(s) available; running "
-                       "unsharded", avail)
+        if shard_devices >= 2 or shard_devices < 0:
+            logger.warning(
+                "shard: %s device(s) requested but only %d available; "
+                "running unsharded",
+                "all" if shard_devices < 0 else shard_devices, avail)
         return None
     if full_res:
         r = 1
@@ -121,10 +124,15 @@ def save_single_band_fast(
                               target_size is None and not pad)
             if shard_devices else None)
     if mesh is not None:
+        import jax.numpy as jnp
+
         from ..parallel import sharded
 
+        # keep device-resident readers' arrays on device — shard_scene_batch
+        # reshards in place; np.asarray here would round-trip the raster
+        # through the host
         out = sharded.grayscale_batch(
-            np.asarray(dn)[None], mesh, strategy=strategy, bit_depth=depth,
+            jnp.asarray(dn)[None], mesh, strategy=strategy, bit_depth=depth,
             target_size=target_size, pad=pad)[0]
     elif _is_big_scene(in_rows, in_cols, target_size):
         from .streamed import grayscale_streamed
@@ -215,11 +223,14 @@ def save_multiband_fast(
                                         and write_pool is not None) else metadata
     if format is OutputFormat.TIFF:
         if mesh is not None:
+            import jax.numpy as jnp
+
             from ..parallel import sharded
 
-            # both bands ride the batch ('scene') axis of the same program
+            # both bands ride the batch ('scene') axis of the same program;
+            # jnp.stack keeps device-resident bands on device
             both = sharded.grayscale_batch(
-                np.stack([np.asarray(dn1), np.asarray(dn2)]), mesh,
+                jnp.stack([jnp.asarray(dn1), jnp.asarray(dn2)]), mesh,
                 strategy=strategy, bit_depth=bit_depth,
                 target_size=target_size, pad=pad)
             b1, b2 = np.asarray(both[0]), np.asarray(both[1])
@@ -249,6 +260,8 @@ def save_multiband_fast(
             logger.info("fast: saved %s", output)
     else:
         if mesh is not None:
+            import jax.numpy as jnp
+
             from ..parallel import sharded
 
             # the full-res shard_map branch supports interleaved RGB only;
@@ -257,7 +270,7 @@ def save_multiband_fast(
             full = target_size is None and not pad
             order = "rgb" if full else preferred_synrgb_layout()
             rgb = np.asarray(sharded.synrgb_batch(
-                np.asarray(dn1)[None], np.asarray(dn2)[None], mesh,
+                jnp.asarray(dn1)[None], jnp.asarray(dn2)[None], mesh,
                 strategy=strategy, target_size=target_size, pad=pad,
                 channel_order=order)[0])
         elif big:

@@ -2006,6 +2006,22 @@ def describe_crs(value: str) -> dict:
         return {"ok": True, "name": "auto (UTM/UPS from scene centroid, "
                                     "Norway/Svalbard exceptions)",
                 "method": "auto", "backend": "native"}
+    if v.startswith("+"):
+        # interactive hint path for +proj= strings: classify WITHOUT
+        # registering a synthetic code or spawning projinfo/cs2cs — the GUI
+        # calls this per debounced keystroke and registration caches are
+        # process-lifetime (real registration happens at processing time)
+        try:
+            kind = _kind_from_proj_tokens(_proj_tokens(v), _PROJ_STRING_BASE)
+            return {"ok": True, "name": v,
+                    "method": _KIND_LABELS.get(kind["kind"], kind["kind"]),
+                    "backend": "native projection math (proj string)"}
+        except ValueError as exc:
+            if _cs2cs_available():
+                return {"ok": True, "name": v, "method": "generic (cs2cs)",
+                        "backend": "cs2cs pipe (one subprocess per warp "
+                                   "grid)"}
+            return {"ok": False, "reason": str(exc)}
     try:
         code = parse_epsg_code(v)
     except Exception as e:  # noqa: BLE001 — malformed WKT/proj strings

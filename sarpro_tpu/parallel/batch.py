@@ -73,6 +73,7 @@ def process_directory_pipelined(
     fast: bool = False,
     device_batch: int = 4,
     progress=None,
+    shard_devices: int = 0,
 ):
     """Batch all SAFE subdirectories with `prefetch` scenes loading ahead.
 
@@ -139,6 +140,15 @@ def process_directory_pipelined(
     if not paths:
         return report
 
+    if shard_devices:
+        # intra-scene row sharding implies the fast path; it uses the whole
+        # mesh per scene, so the device-batch bucketing (which spreads
+        # scenes across devices) is disabled in favor of it
+        fast = True
+        if device_batch > 1:
+            logger.info("shard-devices set: device-batch bucketing disabled "
+                        "(each scene already spans the mesh)")
+            device_batch = 1
     bit_depth = params.bit_depth.to_bit_depth()
     pol = params.polarization
 
@@ -158,7 +168,7 @@ def process_directory_pipelined(
                     _single_band(reader, pol), out, params.format, bit_depth,
                     params.size, reader.metadata, params.pad, params.autoscale,
                     ProcessingOperation.SINGLE_BAND,
-                    write_pool=write_pool,
+                    write_pool=write_pool, shard_devices=shard_devices,
                 )
             if pol.kind == "multiband":
                 b1, b2, is_vvvh = _band_pair(reader, "Multiband")
@@ -168,12 +178,13 @@ def process_directory_pipelined(
                     ProcessingOperation.MULTIBAND_VV_VH if is_vvvh
                     else ProcessingOperation.MULTIBAND_HH_HV,
                     params.synrgb_mode, write_pool=write_pool,
+                    shard_devices=shard_devices,
                 )
             return fast_path.save_single_band_fast(
                 _op_band(reader, pol.op), out, params.format, bit_depth,
                 params.size, reader.metadata, params.pad, params.autoscale,
                 ProcessingOperation.PolarOp(pol.op),
-                write_pool=write_pool,
+                write_pool=write_pool, shard_devices=shard_devices,
             )
         if pol.kind in ("vv", "vh", "hh", "hv"):
             save_processed_image(

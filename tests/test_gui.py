@@ -358,3 +358,18 @@ def test_shard_devices_state_and_cli_generator(server):
                                  "output_path": "/x.tiff"})
     cmd = _get(server, "/api/cli")["command"]
     assert "--shard-devices 8" in cmd
+
+
+def test_crs_validation_proj_string_no_registration(server):
+    from sarpro_tpu.io import geodesy
+
+    before = dict(geodesy._PROJ_STRING_CODES)
+    d = _get(server, "/api/crs?value=" + urllib.parse.quote(
+        "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +datum=WGS84"))
+    assert d["ok"] is True and "Transverse Mercator" in d["method"]
+    assert "proj string" in d["backend"]
+    d = _get(server, "/api/crs?value=" + urllib.parse.quote(
+        "+proj=moll +lon_0=10 +datum=WGS84"))
+    assert d["ok"] is True
+    # the interactive hint must not pollute the registration caches
+    assert geodesy._PROJ_STRING_CODES == before
