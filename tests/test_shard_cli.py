@@ -161,3 +161,27 @@ def test_shard_batch_directory(tmp_path):
     api.process_safe_to_path(indir / "a.SAFE", ref, params, fast=True)
     assert np.array_equal(TiffReader(outdir / "a.SAFE.tiff").read(1),
                           TiffReader(ref).read(1))
+
+
+def test_shard_pipelined_batch_driver(tmp_path):
+    """Pipelined driver + shard_devices: sharding implies fast, disables
+    device-batch bucketing, and per-scene output equals the unsharded fast
+    path."""
+    from sarpro_tpu.parallel.batch import process_directory_pipelined
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    fixtures.make_safe(indir, name="a.SAFE", seed=3)
+    fixtures.make_safe(indir, name="b.SAFE", seed=4)
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.TAMED, size=64, pad=True,
+    )
+    report = process_directory_pipelined(indir, outdir, params,
+                                         prefetch=2, device_batch=4,
+                                         shard_devices=8)
+    assert report.processed == 2 and report.errors == 0
+    ref = tmp_path / "ref.jpg"
+    api.process_safe_to_path(indir / "b.SAFE", ref, params, fast=True)
+    assert (outdir / "b.SAFE.jpg").read_bytes() == ref.read_bytes()
