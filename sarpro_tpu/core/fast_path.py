@@ -130,7 +130,8 @@ def save_single_band_fast(
 
         # keep device-resident readers' arrays on device — shard_scene_batch
         # reshards in place; np.asarray here would round-trip the raster
-        # through the host
+        # through the host. JPEG stays on the u8 host-encode layout: the
+        # sharded gray program has no in-graph DCT tail.
         out = sharded.grayscale_batch(
             jnp.asarray(dn)[None], mesh, strategy=strategy, bit_depth=depth,
             target_size=target_size, pad=pad)[0]
