@@ -185,3 +185,21 @@ def test_shard_pipelined_batch_driver(tmp_path):
     ref = tmp_path / "ref.jpg"
     api.process_safe_to_path(indir / "b.SAFE", ref, params, fast=True)
     assert (outdir / "b.SAFE.jpg").read_bytes() == ref.read_bytes()
+
+
+def test_shard_with_warp_exact(safe_dir, tmp_path):
+    """Warp runs in the reader (host) before the sharded device compute —
+    the combination must match the unsharded fast path exactly."""
+    params = ProcessingParams(
+        bit_depth=BitDepthArg.U8, polarization=Polarization.VV,
+        autoscale=AutoscaleStrategy.ROBUST, size=64,
+        target_crs="auto", resample_alg="cubic",
+    )
+    ref = tmp_path / "ref.tiff"
+    shd = tmp_path / "shd.tiff"
+    api.process_safe_to_path(safe_dir, ref, params, fast=True)
+    api.process_safe_to_path(safe_dir, shd, params, shard_devices=8)
+    assert np.array_equal(TiffReader(ref).read(1), TiffReader(shd).read(1))
+    # georeferencing carried identically
+    assert TiffReader(ref).geo_info().geotransform == \
+        TiffReader(shd).geo_info().geotransform
