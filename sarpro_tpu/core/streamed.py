@@ -18,6 +18,14 @@ the SAME semantic definition but runs it as chunked multi-pass streaming:
   synRGB  combined-histogram floor accumulated per chunk; suppressed LUTs
           built once (fused._suppressed_luts); per-chunk LUT composition
 
+Each pass runs as ONE device program: a `lax.fori_loop` over the full
+chunks plus an inlined ragged tail (the kernels take row offsets as
+runtime scalars precisely so every iteration shares one compiled body).
+Round 3 dispatched one program per chunk per pass and synchronized on
+per-chunk host fetches — ~100 round trips through the ~27 ms RPC tunnel
+made the 704 MP/band scene 7.3 s; the scanned passes bring it to ~12
+dispatches and 3 fetches total.
+
 Integer accumulations (histograms, counts) are exact, min/max combine
 exactly, and every per-pixel op runs the same kernels with a global
 `row_offset` — so CLAHE/Robust/Standard/Equalized/Tamed/Default outputs are
@@ -45,9 +53,179 @@ CHUNK_ROWS = 4096
 # above this many pixels per band the fast path routes through this module
 BIG_SCENE_PIXELS = 192 << 20
 
+# int32 device accumulation is exact while every accumulated count is
+# bounded by the band's pixel count; past this the host-int64 paths engage
+_DEVICE_ACC_MAX_PIXELS = 2**31 - 1
+
 
 def _chunk_starts(rows: int, chunk: int):
     return [(r0, min(chunk, rows - r0)) for r0 in range(0, rows, chunk)]
+
+
+def _plan(rows: int, chunk: int):
+    """(full-chunk count, tail rows) for the scanned passes."""
+    return rows // chunk, rows % chunk
+
+
+# ---------------------------------------------------------------------------
+# Per-chunk bodies (traced code shared by the scanned single-dispatch passes
+# and the per-chunk host-accumulation fallbacks)
+# ---------------------------------------------------------------------------
+def _minmax_chunk(dn, r0, n: int):
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    count = jnp.sum(mask, dtype=jnp.int32)  # chunk < 2^31 px (validated)
+    big = jnp.float32(np.inf)
+    mn = jnp.min(jnp.where(mask, db, big))
+    mx = jnp.max(jnp.where(mask, db, -big))
+    return count, mn, mx
+
+
+def _hist_chunk(dn, mn, mx, r0, n: int):
+    from ..ops import histogram
+
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    hist = histogram(fused._db_bin_index(db, mask, mn, mx), NUM_BINS)
+    shift = (mn + mx) * 0.5
+    d = jnp.where(mask, db - shift, 0.0)
+    return hist, jnp.sum(d), jnp.sum(d * d)
+
+
+def _tile_hist_chunk(dn, low, high, r0, n: int, cols: int,
+                     tile_h: int, tile_w: int):
+    from ..ops import tile_histogram
+
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    norm = fused._clahe_norm(db, mask, low, high)
+    bin_m = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
+                              row_offset=r0)
+    return tile_histogram(bin_m.ravel(), cols, TILES_X, TILES_Y, tile_h,
+                          tile_w, row_offset=r0, n_bins=CLAHE_BINS)
+
+
+def _apply_clahe_chunk(q16_buf, dn, low, high, max_val, cdfs, r0, n: int,
+                       cols: int, tile_h: int, tile_w: int):
+    from ..ops import clahe_lookup
+
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    norm = fused._clahe_norm(db, mask, low, high)
+    bin_flat = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
+                                 row_offset=r0).ravel()
+    eq = clahe_lookup(bin_flat, cdfs, cols, TILES_X, TILES_Y, tile_h,
+                      tile_w, row_offset=r0).reshape(n, cols)
+    q = jnp.trunc(jnp.clip(eq, 0.0, 1.0) * max_val)
+    q16 = jnp.where(mask, q, 0.0).astype(jnp.uint16)
+    return (jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0),
+            jnp.min(q16), jnp.max(q16))
+
+
+def _apply_window_chunk(q16_buf, dn, low, high, gamma, max_val, r0, n: int):
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    q16 = fused._quantize(db, mask, low, high, gamma, max_val)
+    return (jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0),
+            jnp.min(q16), jnp.max(q16))
+
+
+def _apply_tamed_chunk(q16_buf, dn, low, high, r0, n: int):
+    """Band-specific tamed window straight to u8 range (autoscale.rs:710-742),
+    staged in the u16 buffer."""
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    q16 = fused._tamed_quantize_u8(db, mask, low, high).astype(jnp.uint16)
+    return jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0)
+
+
+def _scale_u8_chunk(u8_buf, q16_buf, mn, mx, r0, n: int, with_hist: bool):
+    """u16 → u8 double normalization of one chunk; with `with_hist`, also
+    the chunk's u8 histogram (accumulated by the suppressed-synRGB floor —
+    riding this pass saves a device pass over the output)."""
+    from ..ops import histogram
+
+    q = jax.lax.dynamic_slice_in_dim(q16_buf, r0, n, 0)
+    mn = mn.astype(jnp.float32)
+    mx = mx.astype(jnp.float32)
+    scale = jnp.where(mx > mn, 255.0 / (mx - mn), 1.0)
+    val = round_half_up_nonneg((q.astype(jnp.float32) - mn) * scale)
+    u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
+    hist = (histogram(u8.astype(jnp.int32).ravel(), 256) if with_hist
+            else jnp.zeros((256,), jnp.int32))
+    return jax.lax.dynamic_update_slice_in_dim(u8_buf, u8, r0, 0), hist
+
+
+def _u8_hist_chunk(b, r0, n: int):
+    from ..ops import histogram
+
+    c = jax.lax.dynamic_slice_in_dim(b, r0, n, 0).astype(jnp.int32)
+    return histogram(c.ravel(), 256)
+
+
+def _compose_suppressed_chunk(rgb_buf, b1, b2, floor_c, lut_r, lut_g, lut_b,
+                              r0, n: int):
+    from ..ops import synrgb_lookup
+
+    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
+    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
+    i1 = c1.astype(jnp.int32)
+    i2 = c2.astype(jnp.int32)
+    rgb = synrgb_lookup(i1.ravel(), i2.ravel(), lut_r, lut_g,
+                        lut_b).reshape(c1.shape + (3,))
+    water = ((i1.astype(jnp.float32) <= floor_c)
+             & (i2.astype(jnp.float32) <= floor_c))[..., None]
+    rgb = jnp.where(water, jnp.uint8(0), rgb)
+    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+
+
+def _compose_suppressed_formula_chunk(rgb_buf, b1, b2, r0, n: int, fc: int):
+    from ..ops import synrgb_lookup_formula
+    from .synthetic_rgb import suppressed_formula_tables
+
+    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
+    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
+    rgb = synrgb_lookup_formula(
+        c1.ravel(), c2.ravel(), *suppressed_formula_tables(fc),
+        guard_b2=False).reshape(c1.shape + (3,))
+    water = (c1 <= fc) & (c2 <= fc)
+    rgb = jnp.where(water[..., None], jnp.uint8(0), rgb)
+    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+
+
+def _compose_default_chunk(rgb_buf, b1, b2, r0, n: int):
+    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
+    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
+    rgb = fused._synrgb_default(c1, c2)
+    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Per-chunk jits: the >int32-pixels host-accumulation fallbacks dispatch one
+# program per chunk and fetch each result (exact int64 totals on the host)
+# ---------------------------------------------------------------------------
+_pass_minmax = functools.partial(jax.jit, static_argnames=("n",))(
+    _minmax_chunk)
+_pass_hist = functools.partial(jax.jit, static_argnames=("n",))(_hist_chunk)
+_pass_tile_hist = functools.partial(
+    jax.jit, static_argnames=("n", "tile_h", "tile_w", "cols"))(
+    _tile_hist_chunk)
+_pass_apply_clahe = functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("n", "cols", "tile_h", "tile_w"))(_apply_clahe_chunk)
+_pass_apply_window = functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("n",))(
+    _apply_window_chunk)
+_pass_apply_tamed = functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("n",))(_apply_tamed_chunk)
+_pass_scale_u8 = functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("n", "with_hist"))(
+    _scale_u8_chunk)
+_pass_u8_hist = functools.partial(jax.jit, static_argnames=("n",))(
+    _u8_hist_chunk)
+_pass_compose_suppressed = functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("n",))(
+    _compose_suppressed_chunk)
+_pass_compose_suppressed_formula = functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("n", "fc"))(
+    _compose_suppressed_formula_chunk)
+_pass_compose_default = functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("n",))(
+    _compose_default_chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -69,52 +247,210 @@ def dct_blocks_streamed(img, chunk_rows: int = CHUNK_ROWS) -> np.ndarray:
     """Chunked device JPEG front-end over a composed full-res u8 image
     (device-resident RGB interleaved or gray 2-D): returns the host
     coefficient array for the entropy-only encoder — (3|1, BH, BW, 8, 8)
-    int16 — without materializing full-image f32 planes in HBM."""
+    int16 — without materializing full-image f32 planes in HBM.
+
+    All chunk programs are dispatched BEFORE the first fetch: dispatch is
+    async, so the d2h of chunk k overlaps the compute of chunks > k
+    instead of serializing with it (each blocking fetch through the RPC
+    tunnel costs ~27 ms of latency on top of the bytes)."""
     rows = img.shape[0]
     step = max(chunk_rows // 8 * 8, 8)  # 8-aligned interior boundaries
-    parts = [np.asarray(_pass_dct_chunk(img, r0, n))
-             for r0, n in _chunk_starts(rows, step)]
+    outs = [_pass_dct_chunk(img, r0, n)
+            for r0, n in _chunk_starts(rows, step)]
+    parts = [np.asarray(o) for o in outs]
     return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
 
 
-# r0 is a TRACED argument in every pass: the kernels take row offsets as
-# runtime scalars precisely so chunked invocations share one compiled
-# program per chunk SHAPE (full chunk + ragged tail = two compiles/pass)
-@functools.partial(jax.jit, static_argnames=("n",))
-def _pass_minmax(dn, r0, n: int):
-    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    count = jnp.sum(mask, dtype=jnp.int32)  # chunk < 2^31 px (validated)
-    big = jnp.float32(np.inf)
-    mn = jnp.min(jnp.where(mask, db, big))
-    mx = jnp.max(jnp.where(mask, db, -big))
+# ---------------------------------------------------------------------------
+# Scanned passes: ONE device program per pass — lax.fori_loop over the full
+# chunks (row offset i·chunk is a traced scalar into the shared body) with
+# the ragged tail inlined after the loop. Accumulation order matches the
+# host folds exactly (chunks in order, tail last), so results are
+# bit-identical to the per-chunk path.
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail"))
+def _scan_minmax(dn, chunk: int, k: int, tail: int):
+    init = (jnp.int32(0), jnp.float32(np.inf), jnp.float32(-np.inf))
+
+    def body(i, acc):
+        c, a, b = _minmax_chunk(dn, i * chunk, chunk)
+        return acc[0] + c, jnp.minimum(acc[1], a), jnp.maximum(acc[2], b)
+
+    count, mn, mx = jax.lax.fori_loop(0, k, body, init)
+    if tail:
+        c, a, b = _minmax_chunk(dn, k * chunk, tail)
+        count, mn, mx = count + c, jnp.minimum(mn, a), jnp.maximum(mx, b)
+    # empty-band normalization (same as the host fold)
+    mn = jnp.where(count == 0, jnp.float32(0.0), mn)
+    mx = jnp.where(count == 0, jnp.float32(0.0), mx)
     return count, mn, mx
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _pass_hist(dn, mn, mx, r0, n: int):
-    from ..ops import histogram
+@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail"))
+def _scan_stats(dn, count, mn, mx, chunk: int, k: int, tail: int):
+    """Histogram + centered moments over all chunks, finalized to the
+    percentile dict in the same program (fused._stats_finalize)."""
+    init = (jnp.zeros((NUM_BINS,), jnp.int32), jnp.float32(0.0),
+            jnp.float32(0.0))
 
-    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    hist = histogram(fused._db_bin_index(db, mask, mn, mx), NUM_BINS)
-    shift = (mn + mx) * 0.5
-    d = jnp.where(mask, db - shift, 0.0)
-    return hist, jnp.sum(d), jnp.sum(d * d)
+    def body(i, acc):
+        h, sd, sdd = _hist_chunk(dn, mn, mx, i * chunk, chunk)
+        return acc[0] + h, acc[1] + sd, acc[2] + sdd
+
+    hist, sum_d, sum_dd = jax.lax.fori_loop(0, k, body, init)
+    if tail:
+        h, sd, sdd = _hist_chunk(dn, mn, mx, k * chunk, tail)
+        hist, sum_d, sum_dd = hist + h, sum_d + sd, sum_dd + sdd
+    return fused._stats_finalize(hist, count, mn, mx, sum_d, sum_dd)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tile_h", "tile_w",
-                                             "cols"))
-def _pass_tile_hist(dn, low, high, r0, n: int, cols: int,
+@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail", "cols",
+                                             "tile_h", "tile_w"))
+def _scan_tile_hist(dn, low, high, chunk: int, k: int, tail: int, cols: int,
                     tile_h: int, tile_w: int):
-    from ..ops import tile_histogram
+    init = jnp.zeros((TILES_Y * TILES_X * CLAHE_BINS,), jnp.int32)
 
-    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    norm = fused._clahe_norm(db, mask, low, high)
-    bin_m = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
-                              row_offset=r0)
-    return tile_histogram(bin_m.ravel(), cols, TILES_X, TILES_Y, tile_h,
-                          tile_w, row_offset=r0, n_bins=CLAHE_BINS)
+    def body(i, acc):
+        return acc + _tile_hist_chunk(dn, low, high, i * chunk, chunk, cols,
+                                      tile_h, tile_w)
+
+    hists = jax.lax.fori_loop(0, k, body, init)
+    if tail:
+        hists = hists + _tile_hist_chunk(dn, low, high, k * chunk, tail,
+                                         cols, tile_h, tile_w)
+    return hists
 
 
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("chunk", "k", "tail", "cols", "tile_h", "tile_w"))
+def _scan_apply_clahe(q16_buf, dn, low, high, max_val, cdfs, chunk: int,
+                      k: int, tail: int, cols: int, tile_h: int,
+                      tile_w: int):
+    init = (q16_buf, jnp.uint16(65535), jnp.uint16(0))
+
+    def body(i, acc):
+        buf, a, b = _apply_clahe_chunk(acc[0], dn, low, high, max_val, cdfs,
+                                       i * chunk, chunk, cols, tile_h,
+                                       tile_w)
+        return buf, jnp.minimum(acc[1], a), jnp.maximum(acc[2], b)
+
+    buf, mn, mx = jax.lax.fori_loop(0, k, body, init)
+    if tail:
+        buf, a, b = _apply_clahe_chunk(buf, dn, low, high, max_val, cdfs,
+                                       k * chunk, tail, cols, tile_h,
+                                       tile_w)
+        mn, mx = jnp.minimum(mn, a), jnp.maximum(mx, b)
+    return buf, mn, mx
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("chunk", "k", "tail"))
+def _scan_apply_window(q16_buf, dn, low, high, gamma, max_val, chunk: int,
+                       k: int, tail: int):
+    init = (q16_buf, jnp.uint16(65535), jnp.uint16(0))
+
+    def body(i, acc):
+        buf, a, b = _apply_window_chunk(acc[0], dn, low, high, gamma,
+                                        max_val, i * chunk, chunk)
+        return buf, jnp.minimum(acc[1], a), jnp.maximum(acc[2], b)
+
+    buf, mn, mx = jax.lax.fori_loop(0, k, body, init)
+    if tail:
+        buf, a, b = _apply_window_chunk(buf, dn, low, high, gamma, max_val,
+                                        k * chunk, tail)
+        mn, mx = jnp.minimum(mn, a), jnp.maximum(mx, b)
+    return buf, mn, mx
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("chunk", "k", "tail"))
+def _scan_apply_tamed(q16_buf, dn, low, high, chunk: int, k: int, tail: int):
+    def body(i, buf):
+        return _apply_tamed_chunk(buf, dn, low, high, i * chunk, chunk)
+
+    buf = jax.lax.fori_loop(0, k, body, q16_buf)
+    if tail:
+        buf = _apply_tamed_chunk(buf, dn, low, high, k * chunk, tail)
+    return buf
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("chunk", "k", "tail", "with_hist"))
+def _scan_scale_u8(u8_buf, q16_buf, mn, mx, chunk: int, k: int, tail: int,
+                   with_hist: bool):
+    init = (u8_buf, jnp.zeros((256,), jnp.int32))
+
+    def body(i, acc):
+        buf, h = _scale_u8_chunk(acc[0], q16_buf, mn, mx, i * chunk, chunk,
+                                 with_hist)
+        return buf, acc[1] + h
+
+    buf, hist = jax.lax.fori_loop(0, k, body, init)
+    if tail:
+        buf, h = _scale_u8_chunk(buf, q16_buf, mn, mx, k * chunk, tail,
+                                 with_hist)
+        hist = hist + h
+    return buf, hist
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail"))
+def _scan_u8_hist(b, chunk: int, k: int, tail: int):
+    def body(i, acc):
+        return acc + _u8_hist_chunk(b, i * chunk, chunk)
+
+    hist = jax.lax.fori_loop(0, k, body, jnp.zeros((256,), jnp.int32))
+    if tail:
+        hist = hist + _u8_hist_chunk(b, k * chunk, tail)
+    return hist
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("chunk", "k", "tail"))
+def _scan_compose_suppressed(rgb_buf, b1, b2, floor_c, lut_r, lut_g, lut_b,
+                             chunk: int, k: int, tail: int):
+    def body(i, buf):
+        return _compose_suppressed_chunk(buf, b1, b2, floor_c, lut_r, lut_g,
+                                         lut_b, i * chunk, chunk)
+
+    buf = jax.lax.fori_loop(0, k, body, rgb_buf)
+    if tail:
+        buf = _compose_suppressed_chunk(buf, b1, b2, floor_c, lut_r, lut_g,
+                                        lut_b, k * chunk, tail)
+    return buf
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("chunk", "k", "tail", "fc"))
+def _scan_compose_suppressed_formula(rgb_buf, b1, b2, chunk: int, k: int,
+                                     tail: int, fc: int):
+    def body(i, buf):
+        return _compose_suppressed_formula_chunk(buf, b1, b2, i * chunk,
+                                                 chunk, fc)
+
+    buf = jax.lax.fori_loop(0, k, body, rgb_buf)
+    if tail:
+        buf = _compose_suppressed_formula_chunk(buf, b1, b2, k * chunk,
+                                                tail, fc)
+    return buf
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("chunk", "k", "tail"))
+def _scan_compose_default(rgb_buf, b1, b2, chunk: int, k: int, tail: int):
+    def body(i, buf):
+        return _compose_default_chunk(buf, b1, b2, i * chunk, chunk)
+
+    buf = jax.lax.fori_loop(0, k, body, rgb_buf)
+    if tail:
+        buf = _compose_default_chunk(buf, b1, b2, k * chunk, tail)
+    return buf
+
+
+# ---------------------------------------------------------------------------
+# Stats
+# ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("rows_global", "cols", "tile_h",
                                              "tile_w"))
 def _cdfs_from_hists(hists, rows_global: int, cols: int, tile_h: int,
@@ -122,65 +458,16 @@ def _cdfs_from_hists(hists, rows_global: int, cols: int, tile_h: int,
     return fused._clahe_cdfs(hists, rows_global, cols, tile_h, tile_w)
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0,),
-    static_argnames=("n", "cols", "tile_h", "tile_w"))
-def _pass_apply_clahe(q16_buf, dn, low, high, max_val, cdfs, r0, n: int,
-                      cols: int, tile_h: int, tile_w: int):
-    from ..ops import clahe_lookup
-
-    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    norm = fused._clahe_norm(db, mask, low, high)
-    bin_flat = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
-                                 row_offset=r0).ravel()
-    eq = clahe_lookup(bin_flat, cdfs, cols, TILES_X, TILES_Y, tile_h,
-                      tile_w, row_offset=r0).reshape(n, cols)
-    q = jnp.trunc(jnp.clip(eq, 0.0, 1.0) * max_val)
-    q16 = jnp.where(mask, q, 0.0).astype(jnp.uint16)
-    return (jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0),
-            jnp.min(q16), jnp.max(q16))
+def _band_stats(dn, chunk_rows: int):
+    if dn.size <= _DEVICE_ACC_MAX_PIXELS:
+        rows = dn.shape[0]
+        k, tail = _plan(rows, chunk_rows)
+        count, mn, mx = _scan_minmax(dn, chunk_rows, k, tail)
+        return _scan_stats(dn, count, mn, mx, chunk_rows, k, tail)
+    return _band_stats_hostacc(dn, _chunk_starts(dn.shape[0], chunk_rows))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("n",))
-def _pass_apply_window(q16_buf, dn, low, high, gamma, max_val, r0,
-                       n: int):
-    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    q16 = fused._quantize(db, mask, low, high, gamma, max_val)
-    return (jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0),
-            jnp.min(q16), jnp.max(q16))
-
-
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("n",))
-def _pass_apply_tamed(q16_buf, dn, low, high, r0, n: int):
-    """Band-specific tamed window straight to u8 range (autoscale.rs:710-742),
-    staged in the u16 buffer."""
-    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    q16 = fused._tamed_quantize_u8(db, mask, low, high).astype(jnp.uint16)
-    return jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0)
-
-
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("n", "with_hist"))
-def _pass_scale_u8(u8_buf, q16_buf, mn, mx, r0, n: int, with_hist: bool):
-    """u16 → u8 double normalization of one chunk; with `with_hist`, also
-    the chunk's u8 histogram (accumulated by the suppressed-synRGB floor —
-    riding this pass saves a dispatch per chunk through the RPC tunnel)."""
-    from ..ops import histogram
-
-    q = jax.lax.dynamic_slice_in_dim(q16_buf, r0, n, 0)
-    mn = mn.astype(jnp.float32)
-    mx = mx.astype(jnp.float32)
-    scale = jnp.where(mx > mn, 255.0 / (mx - mn), 1.0)
-    val = round_half_up_nonneg((q.astype(jnp.float32) - mn) * scale)
-    u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
-    hist = (histogram(u8.astype(jnp.int32).ravel(), 256) if with_hist
-            else jnp.zeros((256,), jnp.int32))
-    return jax.lax.dynamic_update_slice_in_dim(u8_buf, u8, r0, 0), hist
-
-
-def _band_stats(dn, chunks):
+def _band_stats_hostacc(dn, chunks):
     count = np.int64(0)
     mn = np.float32(np.inf)
     mx = np.float32(-np.inf)
@@ -253,13 +540,19 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
     """One full-res band DN → u8 (or u16 for grayscale U16), chunked.
     Semantics mirror fused._band_u8 / fused.grayscale_pipeline. With
     `collect_hist`, also returns the u8 output's 256-bin histogram
-    (accumulated inside the scale pass — no extra dispatches)."""
+    (accumulated inside the scale pass — no extra device passes).
+
+    Every pass is one scanned device program; the whole band costs ~5
+    dispatches and at most one host fetch (the collected histogram)."""
     dn = jnp.asarray(dn)  # numpy input would re-upload per chunk pass
     rows, cols = dn.shape
-    # per-chunk int32 reductions require chunk pixels < 2^31
-    chunk_rows = max(min(chunk_rows, (2**31 - 1) // max(cols, 1)), 1)
+    # per-chunk int32 reductions require chunk pixels < 2^31; a chunk never
+    # exceeds the band (the scanned loop bodies trace at full chunk shape)
+    chunk_rows = max(min(chunk_rows, rows, (2**31 - 1) // max(cols, 1)), 1)
+    k, tail = _plan(rows, chunk_rows)
+    device_acc = dn.size <= _DEVICE_ACC_MAX_PIXELS
     chunks = _chunk_starts(rows, chunk_rows)
-    s = _band_stats(dn, chunks)
+    s = _band_stats(dn, chunk_rows)
 
     q16 = jnp.zeros((rows, cols), jnp.uint16)
     if tamed_copol is not None and strategy is AutoscaleStrategy.TAMED:
@@ -267,107 +560,62 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
         # rescale (fused._band_u8 / autoscale.rs:710-742)
         low = jnp.where(tamed_copol, jnp.minimum(s["p02"], s["p05"]), s["p05"])
         high = s["p99"]
-        for r0, n in chunks:
-            q16 = _pass_apply_tamed(q16, dn, low, high, r0, n)
+        q16 = _scan_apply_tamed(q16, dn, low, high, chunk_rows, k, tail)
         u8 = q16.astype(jnp.uint8)
         if not collect_hist:
             return u8
+        if device_acc:
+            h = _scan_u8_hist(u8, chunk_rows, k, tail)
+            return u8, np.asarray(h).astype(np.int64)
         hist = np.zeros(256, np.int64)
         for r0, n in chunks:
             hist += np.asarray(_pass_u8_hist(u8, r0, n), np.int64)
         return u8, hist
-    # per-chunk q16 min/max ride on the apply pass (saves a dispatch/chunk)
-    mm = []
     low, high, gamma = fused._window(s, strategy)
     max_val = jnp.float32(bit_depth.max_val)
     if strategy is AutoscaleStrategy.CLAHE:
         tile_h = -(-rows // TILES_Y)
         tile_w = -(-cols // TILES_X)
-        hists = np.zeros(TILES_Y * TILES_X * CLAHE_BINS, np.int64)
-        for r0, n in chunks:
-            hists += np.asarray(
-                _pass_tile_hist(dn, low, high, r0, n, cols, tile_h,
-                                tile_w), np.int64)
-        cdfs = _cdfs_from_hists(jnp.asarray(hists, jnp.int32), rows,
-                                cols, tile_h, tile_w)
-        for r0, n in chunks:
-            q16, a, b = _pass_apply_clahe(q16, dn, low, high, max_val, cdfs,
-                                          r0, n, cols, tile_h, tile_w)
-            mm.append((a, b))
+        if device_acc:
+            hists32 = _scan_tile_hist(dn, low, high, chunk_rows, k, tail,
+                                      cols, tile_h, tile_w)
+        else:
+            hists = np.zeros(TILES_Y * TILES_X * CLAHE_BINS, np.int64)
+            for r0, n in chunks:
+                hists += np.asarray(
+                    _pass_tile_hist(dn, low, high, r0, n, cols, tile_h,
+                                    tile_w), np.int64)
+            hists32 = jnp.asarray(hists, jnp.int32)
+        cdfs = _cdfs_from_hists(hists32, rows, cols, tile_h, tile_w)
+        q16, mn_j, mx_j = _scan_apply_clahe(q16, dn, low, high, max_val,
+                                            cdfs, chunk_rows, k, tail, cols,
+                                            tile_h, tile_w)
     else:
-        for r0, n in chunks:
-            q16, a, b = _pass_apply_window(q16, dn, low, high, gamma,
-                                           max_val, r0, n)
-            mm.append((a, b))
+        q16, mn_j, mx_j = _scan_apply_window(q16, dn, low, high, gamma,
+                                             max_val, chunk_rows, k, tail)
 
     if bit_depth is BitDepth.U16:
         if not collect_hist:
             return q16
         hist = np.zeros(256, np.int64)  # u16 grayscale never needs this
         return q16, hist
-    # global u16 -> u8 double normalization (fused._scale_u16_to_u8)
-    mn = np.min([np.asarray(a) for a, _ in mm])
-    mx = np.max([np.asarray(b) for _, b in mm])
+    # global u16 -> u8 double normalization (fused._scale_u16_to_u8); the
+    # q16 min/max fold stayed on device, so this phase adds at most ONE
+    # fetch (the histogram, when collected)
     u8 = jnp.zeros((rows, cols), jnp.uint8)
-    mn_j, mx_j = jnp.asarray(mn), jnp.asarray(mx)
+    if device_acc or not collect_hist:
+        u8, h = _scan_scale_u8(u8, q16, mn_j, mx_j, chunk_rows, k, tail,
+                               collect_hist)
+        if not collect_hist:
+            return u8
+        return u8, np.asarray(h).astype(np.int64)
+    # >int32-pixel band with a collected histogram: per-chunk passes with
+    # exact host-int64 accumulation
     hist = np.zeros(256, np.int64)
     for r0, n in chunks:
-        u8, h = _pass_scale_u8(u8, q16, mn_j, mx_j, r0, n,
-                               with_hist=collect_hist)
-        if collect_hist:
-            hist += np.asarray(h, np.int64)
-    return (u8, hist) if collect_hist else u8
-
-
-@functools.partial(jax.jit, static_argnames=("n",))
-def _pass_u8_hist(b, r0, n: int):
-    from ..ops import histogram
-
-    c = jax.lax.dynamic_slice_in_dim(b, r0, n, 0).astype(jnp.int32)
-    return histogram(c.ravel(), 256)
-
-
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("n",))
-def _pass_compose_suppressed(rgb_buf, b1, b2, floor_c, lut_r, lut_g, lut_b,
-                             r0, n: int):
-    from ..ops import synrgb_lookup
-
-    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
-    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
-    i1 = c1.astype(jnp.int32)
-    i2 = c2.astype(jnp.int32)
-    rgb = synrgb_lookup(i1.ravel(), i2.ravel(), lut_r, lut_g,
-                        lut_b).reshape(c1.shape + (3,))
-    water = ((i1.astype(jnp.float32) <= floor_c)
-             & (i2.astype(jnp.float32) <= floor_c))[..., None]
-    rgb = jnp.where(water, jnp.uint8(0), rgb)
-    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
-
-
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("n", "fc"))
-def _pass_compose_suppressed_formula(rgb_buf, b1, b2, r0, n: int, fc: int):
-    from ..ops import synrgb_lookup_formula
-    from .synthetic_rgb import suppressed_formula_tables
-
-    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
-    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
-    rgb = synrgb_lookup_formula(
-        c1.ravel(), c2.ravel(), *suppressed_formula_tables(fc),
-        guard_b2=False).reshape(c1.shape + (3,))
-    water = (c1 <= fc) & (c2 <= fc)
-    rgb = jnp.where(water[..., None], jnp.uint8(0), rgb)
-    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
-
-
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("n",))
-def _pass_compose_default(rgb_buf, b1, b2, r0, n: int):
-    c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
-    c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
-    rgb = fused._synrgb_default(c1, c2)
-    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+        u8, h = _pass_scale_u8(u8, q16, mn_j, mx_j, r0, n, with_hist=True)
+        hist += np.asarray(h, np.int64)
+    return u8, hist
 
 
 def _suppressed_floor_host(hist: np.ndarray, total_pixels: int):
@@ -413,15 +661,16 @@ def synrgb_streamed(vv_dn, vh_dn,
         b1 = fused._pad_square(b1, rows, cols)
         b2 = fused._pad_square(b2, rows, cols)
         rows = cols = m
+
     def _finish(rgb_dev):
         return (dct_blocks_streamed(rgb_dev, chunk_rows)
                 if layout == "dct" else rgb_dev)
 
-    chunks = _chunk_starts(rows, chunk_rows)
+    chunk = max(min(chunk_rows, rows, (2**31 - 1) // max(cols, 1)), 1)
+    k, tail = _plan(rows, chunk)
     rgb = jnp.zeros((rows, cols, 3), jnp.uint8)
     if not suppressed:
-        for r0, n in chunks:
-            rgb = _pass_compose_default(rgb, b1, b2, r0, n)
+        rgb = _scan_compose_default(rgb, b1, b2, chunk, k, tail)
         return _finish(rgb)
     # floor computed HOST-side in int64: totals can exceed int32 (e.g.
     # padded 40000^2 dual-band = 3.2e9); semantics match the reference's
@@ -433,13 +682,12 @@ def synrgb_streamed(vv_dn, vh_dn,
     fc = int(np.asarray(floor_c))
     tabs = suppressed_formula_tables(fc) if use_pallas() else None
     if tabs is not None:
-        for r0, n in chunks:
-            rgb = _pass_compose_suppressed_formula(rgb, b1, b2, r0, n, fc)
+        rgb = _scan_compose_suppressed_formula(rgb, b1, b2, chunk, k, tail,
+                                               fc)
         return _finish(rgb)
     lut_r, lut_g, lut_b = fused._suppressed_luts(floor_c)
-    for r0, n in chunks:
-        rgb = _pass_compose_suppressed(rgb, b1, b2, floor_c, lut_r, lut_g,
-                                       lut_b, r0, n)
+    rgb = _scan_compose_suppressed(rgb, b1, b2, floor_c, lut_r, lut_g,
+                                  lut_b, chunk, k, tail)
     return _finish(rgb)
 
 
