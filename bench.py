@@ -292,7 +292,28 @@ def degraded_main(outage: str) -> None:
     }))
 
 
+def ensure_native() -> None:
+    """Build the native codec if absent (the .so is gitignored, so a fresh
+    checkout starts without it; the bench numbers depend on the native
+    read-reduce + entropy encoder and the 'dct' device layout)."""
+    from sarpro_tpu import _native
+
+    if _native.available():
+        return
+    try:
+        subprocess.run([sys.executable, str(REPO / "native" / "build.py")],
+                       check=True, capture_output=True, timeout=300)
+        # the loader caches its first (failed) probe — reset so this
+        # process picks up the freshly built library
+        _native._TRIED = False
+        _native._LIB = None
+    except Exception as e:  # noqa: BLE001 — bench still runs, degraded
+        print(f"WARNING: native build failed ({e}); running without the "
+              "native codec", file=sys.stderr)
+
+
 def main():
+    ensure_native()
     outage = probe_device()
     if outage:
         degraded_main(outage)
@@ -359,6 +380,59 @@ def main():
                        + breakdown["jpeg_write_ms"] + pcie_ms)
     dev = jax.devices()[0]
 
+    # ---- 4. pinned physics floor + multi-core scaling model ---------------
+    # (VERDICT r3 item 3: the <150 ms BASELINE.json target is structurally a
+    # multi-core host number; pin the 1-core floor and the projection as
+    # data, not prose.) Both host stages are correctness-tested multi-core:
+    # MT strip reads (native/tiffcodec.cpp) and restart-interval entropy
+    # bands (native/jpegenc.cpp, decode-verified tests/test_native.py).
+    stats = breakdown.get("host_stage_stats", {})
+    read_min = stats.get("read_reduce", {}).get(
+        "min_ms", breakdown["read_reduce_ms"])
+    ent_min = stats.get("jpeg_entropy", {}).get(
+        "min_ms", breakdown["jpeg_write_ms"])
+    floor_model = {
+        "dram_read_floor_ms": round(floor_ms, 1),
+        "quiet_entropy_min_ms": round(ent_min, 1),
+        "device_tail_ms": round(tail, 1),
+        "pcie_allowance_ms": pcie_ms,
+        "one_core_floor_ms": round(floor_ms + ent_min + tail + pcie_ms, 1),
+        "note": "one_core_floor = DRAM traversal floor (the reduce cannot "
+                "read 1.6 GB faster) + quiet-phase entropy min + post-read "
+                "device tail + PCIe allowance; measured e2e estimates above "
+                "this line are code overhead, below is physically "
+                "unreachable on ONE core of this host",
+    }
+    concat_ms = 2.0  # serial restart-band bitstream concatenation (~17 MB)
+    projected = {}
+    for n in (1, 2, 4, 8, 12):
+        ent_n = ent_min / n + (concat_ms if n > 1 else 0.0)
+        # model A: aggregate DRAM bandwidth pinned at the measured 1-core
+        # floor (worst case: reads gain nothing from extra cores once
+        # bandwidth-bound)
+        read_a = max(floor_ms, read_min / n)
+        projected[f"{n}c_dram_fixed"] = round(
+            read_a + tail + ent_n + pcie_ms, 1)
+        # model B: aggregate DRAM bandwidth doubles with >=2 cores (typical
+        # dual-channel host; the reference's M4 Pro has ~4x this host's
+        # measured 13 GB/s single-core stream bandwidth)
+        read_b = max(floor_ms / 2.0, read_min / n) if n >= 2 else read_min
+        projected[f"{n}c_dram_2x"] = round(
+            read_b + tail + ent_n + pcie_ms, 1)
+    multicore = {
+        "projected_e2e_ms": projected,
+        "model": "e2e(n) = max(dram_floor[/2 in model B], read_min/n) + "
+                 "device_tail + entropy_min/n + 2ms concat (n>1) + PCIe",
+        "assumptions": "MT strip reads and restart-interval entropy scale "
+                       "~1/n until DRAM-bound; model A pins aggregate DRAM "
+                       "bandwidth at the 1-core measured floor, model B at "
+                       "2x; this host has ONE core so these are projections "
+                       "from measured single-core stages, not measurements",
+        "baseline_target_ms": 150.0,
+        "reaches_150ms_target": {
+            k: bool(v < 150.0) for k, v in projected.items()},
+    }
+
     payload = {
         "metric": "400MP dual-pol SAFE disk->2048 CLAHE synRGB JPEG e2e p50 "
                   "ESTIMATE (sum of measured stages, tunnel replaced by 3ms "
@@ -380,6 +454,8 @@ def main():
             "breakdown": breakdown,
             "pcie_allowance_ms": pcie_ms,
             "host_read_floor_ms": round(floor_ms, 1),
+            "floor_model": floor_model,
+            "multicore_projection": multicore,
             "read_reduce_vs_floor": round(
                 breakdown["read_reduce_ms"] / floor_ms, 2)
             if floor_ms == floor_ms else None,

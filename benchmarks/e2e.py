@@ -125,17 +125,18 @@ import sys, time, json
 import numpy as np
 sys.path.insert(0, {repo!r})
 from sarpro_tpu.io.raster import RasterReader
-total = 0.0
+total_min = 0.0
+total_p50 = 0.0
 for p in {paths!r}:
-    best = None
+    ts = []
     for _ in range(5):
         t0 = time.perf_counter()
         arr = RasterReader(p).read_band_resampled(1, 2048, 2048, "average")
-        dt = (time.perf_counter() - t0) * 1000.0
-        best = dt if best is None or dt < best else best
-    total += best
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    total_min += min(ts)
+    total_p50 += float(np.percentile(ts, 50))
     np.save({out!r} + "/" + p.rsplit("/", 1)[1] + ".npy", arr)
-print(json.dumps({{"ms": total}}))
+print(json.dumps({{"ms": total_min, "p50_ms": total_p50, "reps": 5}}))
 """
 
 _JPEG_STAGE_SNIPPET = """\
@@ -144,13 +145,13 @@ import numpy as np
 sys.path.insert(0, {repo!r})
 from sarpro_tpu.io.writers.jpeg import write_synrgb_jpeg
 arr = np.load({npy!r})
-best = None
+ts = []
 for _ in range(12):
     t0 = time.perf_counter()
     write_synrgb_jpeg({jpg!r}, 2048, 2048, arr, layout={layout!r})
-    dt = (time.perf_counter() - t0) * 1000.0
-    best = dt if best is None or dt < best else best
-print(json.dumps({{"ms": best}}))
+    ts.append((time.perf_counter() - t0) * 1000.0)
+print(json.dumps({{"ms": min(ts), "p50_ms": float(np.percentile(ts, 50)),
+                   "reps": 12}}))
 """
 
 
@@ -273,13 +274,34 @@ def run_breakdown() -> dict:
     # the better phase (same for jpeg, which is also DRAM-sensitive).
     read2 = _run_host_stage(_READ_STAGE_SNIPPET.format(
         repo=str(REPO), paths=[str(p) for p in paths], out=str(stage_dir)))
-    read_ms = min(read_ms, read2["ms"])
+    read_best = read if read["ms"] <= read2["ms"] else read2
+    read_ms = read_best["ms"]
     write2 = _run_host_stage(_JPEG_STAGE_SNIPPET.format(
         repo=str(REPO), npy=str(npy), jpg=str(DATA / "bd.jpg"),
         layout=layout))
-    write_ms = min(write_ms, write2["ms"])
+    write_best = write if write["ms"] <= write2["ms"] else write2
+    write_ms = write_best["ms"]
     return {
         "read_reduce_ms": round(read_ms, 1),
+        # pinned min AND p50 per host stage over a stated window (VERDICT
+        # r3 item 3): two subprocess windows of N reps each sample two host
+        # DRAM phases; stats come from the better-phase window
+        "host_stage_stats": {
+            "read_reduce": {
+                "min_ms": round(min(read["ms"], read2["ms"]), 1),
+                "p50_ms": round(read_best["p50_ms"], 1),
+                "windows": 2, "reps_per_window": read_best.get("reps", 5),
+                "both_window_mins_ms": [round(read["ms"], 1),
+                                        round(read2["ms"], 1)],
+            },
+            "jpeg_entropy": {
+                "min_ms": round(min(write["ms"], write2["ms"]), 1),
+                "p50_ms": round(write_best["p50_ms"], 1),
+                "windows": 2, "reps_per_window": write_best.get("reps", 12),
+                "both_window_mins_ms": [round(write["ms"], 1),
+                                        round(write2["ms"], 1)],
+            },
+        },
         "h2d_transfer_ms": round(xfer_ms, 1),
         "device_compute_ms": round(comp_ms, 1),
         "device_split_total_ms": round(split_ms, 1),
