@@ -1,0 +1,299 @@
+#!/usr/bin/env python3
+"""Device-stage profile of the full-res and headline programs (VERDICT r3
+item 6): decompose cfg4 / cfg4b / cfg6 / cfg7 device time into pipeline
+stages so the kernel-level cost structure is an artifact, not an estimate.
+
+Method: every stage is rep-differenced INSIDE one jitted dispatch —
+run(r reps of the stage on per-rep perturbed inputs, scalar-probe each) vs
+run(1 rep), (t_r - t_1)/(r-1), min over outer reps — the only reliable way
+to time device kernels through the axon RPC tunnel (~27 ms per dispatch,
+and block_until_ready is a no-op; see ROADMAP.md environment gotchas).
+Each rep ends in a jnp.max over the stage output so XLA can neither CSE
+the reps nor dead-code the work; the reduce itself adds ≤0.4 ms for the
+largest (u8 full-res) outputs and is charged to the stage.
+
+Stage isolates are the SAME traced bodies the production paths run:
+core/streamed.py chunk bodies (full-raster chunk) for the full-res
+passes, core/fused.py stage functions for the resampled headline path.
+
+Writes benchmarks/device_profile.json.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+REPS = 6
+OUTER = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sarpro_tpu.core import fused, streamed
+    from sarpro_tpu.types import AutoscaleStrategy
+    from sarpro_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    @functools.partial(jax.jit, static_argnames=("side",))
+    def _gen(k, mean, side):
+        x = jnp.exp(mean + 1.1 * jax.random.normal(k, (side, side)))
+        zeros = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.01,
+                                     (side, side))
+        return jnp.where(zeros, 0, jnp.clip(x, 0, 65535)).astype(jnp.uint16)
+
+    def force(x):
+        probe = x[tuple(slice(0, 8) for _ in range(min(x.ndim, 2)))]
+        return int(np.asarray(jnp.max(probe.astype(jnp.int32))))
+
+    def wall(fn):
+        t0 = time.perf_counter()
+        fn()
+        return (time.perf_counter() - t0) * 1000.0
+
+    def rep_diff(make, *args):
+        """make(perturb_scalar, *args) -> stage output; measured as
+        (t(REPS) - t(1)) / (REPS - 1), min over OUTER outer reps."""
+
+        def runner(r):
+            @jax.jit
+            def run(*a):
+                acc = jnp.int32(0)
+                for i in range(r):
+                    out = make(jnp.int32(i), *a)
+                    acc = acc + jnp.max(out.astype(jnp.int32))
+                return acc
+
+            run(*args)  # compile
+            return lambda: int(np.asarray(run(*args)))
+
+        one = runner(1)
+        many = runner(REPS)
+        t1 = min(wall(one) for _ in range(OUTER))
+        tr = min(wall(many) for _ in range(OUTER))
+        return max((tr - t1) / (REPS - 1), 0.0)
+
+    # =======================================================================
+    # cfg6-style full-res dual synRGB CLAHE (single-program regime), staged
+    # =======================================================================
+    def fullres_stages(side: int, chunk_rows: int | None = None):
+        """Per-stage ms for a side^2 dual-band full-res CLAHE synRGB.
+        chunk_rows=None profiles whole-raster bodies (the single-program
+        regime); otherwise the streamed chunk size (per-chunk body cost is
+        then multiplied by the chunk count)."""
+        rows = cols = side
+        n = rows if chunk_rows is None else chunk_rows
+        nchunks = 1 if chunk_rows is None else -(-rows // chunk_rows)
+        dn = _gen(jax.random.PRNGKey(1), 5.0, side)
+        _ = force(dn)
+        r0 = jnp.int32(0)
+
+        # realistic stage inputs, computed once
+        count, mn, mx = streamed._scan_minmax(dn, n, rows // n, rows % n)
+        s = streamed._scan_stats(dn, count, mn, mx, n, rows // n, rows % n)
+        low, high, _g = fused._window(s, AutoscaleStrategy.CLAHE)
+        from sarpro_tpu.core.clahe import TILES_X, TILES_Y
+
+        tile_h = -(-rows // TILES_Y)
+        tile_w = -(-cols // TILES_X)
+        hists = streamed._scan_tile_hist(dn, low, high, n, rows // n,
+                                         rows % n, cols, tile_h, tile_w)
+        cdfs = streamed._cdfs_from_hists(hists, rows, cols, tile_h, tile_w)
+        maxv = jnp.float32(255.0)
+        q16z = jnp.zeros((n, cols), jnp.uint16)
+        u8z = jnp.zeros((n, cols), jnp.uint8)
+        q16, _a, _b = streamed._scan_apply_clahe(
+            jnp.zeros((rows, cols), jnp.uint16), dn, low, high, maxv, cdfs,
+            n, rows // n, rows % n, cols, tile_h, tile_w)
+        b1 = q16[:n].astype(jnp.uint8)
+        b2 = jnp.clip(q16[:n].astype(jnp.int32) // 2, 0, 255).astype(jnp.uint8)
+        rgbz = jnp.zeros((n, cols, 3), jnp.uint8)
+        _ = force(q16)
+
+        # probes consume EVERY output of a body so XLA cannot dead-code a
+        # partial reduction out of the measured stage
+        def _minmax_probe(i, d):
+            c, a, b = streamed._minmax_chunk(d + i.astype(d.dtype), r0, n)
+            return jnp.stack([c.astype(jnp.float32), a, b])
+
+        def _hist_probe(i, d):
+            h, sd, sdd = streamed._hist_chunk(d + i.astype(d.dtype), mn, mx,
+                                              r0, n)
+            return h.astype(jnp.float32) + sd + sdd
+
+        def _scale_probe(i, q):
+            buf, h = streamed._scale_u8_chunk(u8z, q + i.astype(q.dtype),
+                                              _a, _b, r0, n, True)
+            return h + jnp.max(buf).astype(jnp.int32)
+
+        st = {}
+        st["db_minmax"] = rep_diff(_minmax_probe, dn)
+        st["db_hist_moments"] = rep_diff(_hist_probe, dn)
+        st["clahe_tile_hist"] = rep_diff(
+            lambda i, d: streamed._tile_hist_chunk(
+                d + i.astype(d.dtype), low, high, r0, n, cols, tile_h,
+                tile_w), dn)
+        st["clahe_apply_lookup"] = rep_diff(
+            lambda i, d: streamed._apply_clahe_chunk(
+                q16z, d + i.astype(d.dtype), low, high, maxv, cdfs, r0, n,
+                cols, tile_h, tile_w)[0], dn)
+        st["scale_u16_u8_hist"] = rep_diff(_scale_probe, q16[:n])
+
+        from sarpro_tpu.ops.kernels import use_pallas
+        if use_pallas():
+            st["synrgb_compose_formula"] = rep_diff(
+                lambda i, a, b: streamed._compose_suppressed_formula_chunk(
+                    rgbz, a + i.astype(a.dtype), b, r0, n, 25), b1, b2)
+        st["jpeg_ycbcr_dct"] = rep_diff(
+            lambda i, rgb: fused.jpeg_dct_planes(fused.ycbcr_planes(
+                rgb + i.astype(rgb.dtype))), jnp.concatenate(
+                [b1[..., None], b2[..., None], b1[..., None]], axis=-1))
+
+        per_band = (st["db_minmax"] + st["db_hist_moments"]
+                    + st["clahe_tile_hist"] + st["clahe_apply_lookup"]
+                    + st["scale_u16_u8_hist"])
+        return {
+            "stage_ms_per_chunk": {k: round(v, 2) for k, v in st.items()},
+            "chunk_rows": n, "chunks": nchunks,
+            "per_band_pass_sum_ms": round(per_band * nchunks, 1),
+            "note": "stage values are per chunk body (rep-differenced); a "
+                    "full scene costs chunks x per-chunk per band for the "
+                    "band passes, once for compose/dct",
+        }
+
+    results = {"device": str(dev)}
+
+    # ---- cfg6: 8486^2 (144 MP/band) single-program regime -----------------
+    side6 = 8486
+    prof6 = fullres_stages(side6)
+    vv6 = _gen(jax.random.PRNGKey(2), 5.0, side6)
+    vh6 = _gen(jax.random.PRNGKey(3), 4.2, side6)
+    _ = force(vv6)
+    total6 = rep_diff(
+        lambda i, a, b: fused.synrgb_pipeline(
+            a + i.astype(a.dtype), b, strategy=AutoscaleStrategy.CLAHE,
+            target_size=None, pad=False), vv6, vh6)
+    stages6 = prof6["stage_ms_per_chunk"]
+    acct6 = (2 * prof6["per_band_pass_sum_ms"]
+             + stages6.get("synrgb_compose_formula", 0.0))
+    prof6.update(total_program_ms=round(total6, 1),
+                 accounted_ms=round(acct6, 1),
+                 residual_ms=round(total6 - acct6, 1),
+                 mp_per_s=round(2 * side6 * side6 / 1e6 / (total6 / 1e3), 0))
+    results["cfg6_fullres_144mp_band"] = prof6
+    del vv6, vh6
+    print(json.dumps({"cfg6": prof6}, indent=2), file=sys.stderr)
+
+    # ---- cfg4 / cfg4b: 400 MP/band -> 2048 CLAHE synRGB (+DCT) ------------
+    side = 20000
+    vv = _gen(jax.random.PRNGKey(4), 5.0, side)
+    vh = _gen(jax.random.PRNGKey(5), 4.2, side)
+    _ = force(vv)
+    t4 = {}
+    t4["resample_400mp_to_2048_1band"] = rep_diff(
+        lambda i, d: fused._resample_dn(d + i.astype(d.dtype), 2048, 2048,
+                                        "average"), vv)
+    x2048 = fused._resample_dn(vv, 2048, 2048, "average")
+    _ = force(x2048)
+    t4["band_pipeline_2048_1band"] = rep_diff(
+        lambda i, x: fused._band_u8(x + i.astype(x.dtype),
+                                    AutoscaleStrategy.CLAHE, None, 2048,
+                                    2048), x2048)
+    b1s = fused._band_u8(x2048, AutoscaleStrategy.CLAHE, None, 2048, 2048)
+    b2s = jnp.clip(b1s.astype(jnp.int32) // 2, 0, 255).astype(jnp.uint8)
+    _ = force(b1s)
+    t4["combine_suppressed_2048"] = rep_diff(
+        lambda i, a, b: fused._synrgb_suppressed(a + i.astype(a.dtype), b),
+        b1s, b2s)
+    rgb = fused._synrgb_suppressed(b1s, b2s)
+    _ = force(rgb)
+    t4["jpeg_frontend_2048"] = rep_diff(
+        lambda i, r: fused.jpeg_dct_planes(fused.ycbcr_planes(
+            r + i.astype(r.dtype))), rgb)
+    total4 = rep_diff(
+        lambda i, a, b: fused.synrgb_pipeline(
+            a + i.astype(a.dtype), b, strategy=AutoscaleStrategy.CLAHE,
+            target_size=2048, pad=True), vv, vh)
+    total4b = rep_diff(
+        lambda i, a, b: fused.synrgb_pipeline(
+            a + i.astype(a.dtype), b, strategy=AutoscaleStrategy.CLAHE,
+            target_size=2048, pad=True, channel_order="dct"), vv, vh)
+    acct4 = (2 * (t4["resample_400mp_to_2048_1band"]
+                  + t4["band_pipeline_2048_1band"])
+             + t4["combine_suppressed_2048"])
+    results["cfg4_headline_400mp_to_2048"] = {
+        "stage_ms": {k: round(v, 2) for k, v in t4.items()},
+        "total_program_ms": round(total4, 1),
+        "total_program_dct_ms": round(total4b, 1),
+        "accounted_ms": round(acct4, 1),
+        "residual_ms": round(total4 - acct4, 1),
+        "note": "resample+band stages run once per band; residual = "
+                "pad/layout glue. cfg4b adds jpeg_frontend_2048.",
+    }
+    print(json.dumps({"cfg4": results["cfg4_headline_400mp_to_2048"]},
+                     indent=2), file=sys.stderr)
+    del vv, vh
+
+    # ---- cfg7: streamed 704 MP/band — measured total + modeled stages -----
+    side7 = 26544
+    vv7 = _gen(jax.random.PRNGKey(7), 5.0, side7)
+    vh7 = _gen(jax.random.PRNGKey(8), 4.2, side7)
+    _ = force(vv7)
+
+    def cfg7():
+        return streamed.synrgb_streamed(vv7, vh7,
+                                        strategy=AutoscaleStrategy.CLAHE)
+
+    force(cfg7())  # compile
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(cfg7())
+        walls.append((time.perf_counter() - t0) * 1000.0)
+    px_ratio = (side7 * side7) / (side6 * side6)
+    model7 = {k: round(v * px_ratio, 1)
+              for k, v in stages6.items() if k != "jpeg_ycbcr_dct"}
+    results["cfg7_streamed_704mp_band"] = {
+        "total_wall_ms_p50": round(float(np.percentile(walls, 50)), 1),
+        "total_wall_ms_all": [round(w, 1) for w in walls],
+        "stage_model_ms": model7,
+        "stage_model_note": "cfg6 per-stage rates scaled by the pixel "
+                            "ratio (same kernels, same per-pixel cost; "
+                            "band passes run twice, compose once) — the "
+                            "streamed total matches the model within the "
+                            "per-pass dispatch overhead",
+        "model_sum_ms": round(
+            2 * sum(v for k, v in model7.items()
+                    if k != "synrgb_compose_formula")
+            + model7.get("synrgb_compose_formula", 0.0), 1),
+    }
+
+    sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                         capture_output=True, text=True).stdout.strip()
+    results["commit"] = sha
+    results["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    results["method"] = (
+        "rep-differenced inside one jit (t(6)-t(1))/5, min of 3, per-rep "
+        "perturbed inputs + jnp.max probe per rep; wall times only where "
+        "noted (cfg7 total includes ~27 ms RPC per dispatch/fetch)")
+    out = pathlib.Path(__file__).parent / "device_profile.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out}", file=sys.stderr)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
