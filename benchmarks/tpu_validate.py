@@ -199,6 +199,26 @@ def main():
         check(f"warp {method}", frac_off < tol_frac,
               f"frac>|1.0|={frac_off:.2e}")
 
+    # row-sharded tiled warp (parallel/warp.py): the per-shard table
+    # construction + coefficient rebasing around the same kernel. One real
+    # chip -> a 1-device row mesh (R0=0 rebase is the identity), so this
+    # validates the sharded pallas_call plumbing on silicon; the multi-
+    # shard table math is covered on the virtual CPU mesh
+    # (tests/test_warp_sharded.py).
+    from sarpro_tpu.parallel.warp import _try_tiled_sharded, make_row_mesh
+
+    want = np.asarray(warp_sample_tiled(src, map_x, map_y, out_r, out_c,
+                                        "cubic"))
+    got = _try_tiled_sharded(src, map_x, map_y, out_r, out_c, "cubic",
+                             make_row_mesh(1), 1)
+    if got is None:
+        check("warp sharded-tiled n=1", False, "plan refused")
+    else:
+        diff = np.abs(np.asarray(got) - want)
+        frac_off = float((diff > 1.0).mean())
+        check("warp sharded-tiled n=1", frac_off < 1e-6,
+              f"frac>|1.0|={frac_off:.2e}")
+
     # JPEG front-end: device FDCT + q100 quantize vs f64 oracle (±1 for
     # f32 contraction rounding), incl. edge-replicated partial blocks
     sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")

@@ -42,6 +42,30 @@ logger = logging.getLogger("sarpro")
 GRID_STEP = 32  # output pixels per mapping-grid cell (≲0.05 px interp error)
 MAX_GRID = 257
 
+# --shard-devices plumbing: the warp runs inside the reader open (the
+# single-pass `-ts` equivalent), so the fast path requests row sharding
+# through a context var rather than threading a parameter through the
+# reader surface. 0 = unsharded, -1 = all local devices.
+from contextvars import ContextVar
+
+SHARD_DEVICES: ContextVar[int] = ContextVar("warp_shard_devices", default=0)
+
+
+def _shard_mesh():
+    """Mesh for the sharded sampling pass, or None (unsharded)."""
+    n_req = SHARD_DEVICES.get()
+    if not n_req:
+        return None
+    import jax
+
+    avail = len(jax.devices())
+    n = avail if n_req < 0 else min(n_req, avail)
+    if n < 2:
+        return None
+    from ..parallel.warp import make_row_mesh
+
+    return make_row_mesh(n)
+
 
 @dataclasses.dataclass
 class WarpResult:
@@ -178,15 +202,21 @@ def _suggest_output_grid(mapping: _SourceMapping, src_cols: int, src_rows: int,
     return out_cols, out_rows, gt
 
 
-@functools.partial(jax.jit, static_argnames=("out_rows", "out_cols", "method"))
-def _warp_sample(src, map_x, map_y, out_rows: int, out_cols: int, method: str):
-    """Device pass: upsample the mapping grid to every output pixel and
-    gather-sample the source. One fused program; out-of-bounds → 0."""
+def _warp_sample_block(src, map_x, map_y, out_rows: int, out_cols: int,
+                       method: str, row0, block_rows: int):
+    """Device body: upsample the mapping grid to output rows
+    [row0, row0+block_rows) and gather-sample the source. `row0` may be a
+    traced scalar (the sharded sampler computes it from the mesh axis
+    index); with row0=0 and block_rows=out_rows this is the whole-output
+    program. Row coordinates are formed as row0 + local iota — integers,
+    exact in f32 — so a sharded block is BIT-IDENTICAL to the same rows of
+    the unsharded output. Out-of-bounds → 0."""
     h, w = src.shape
     gh, gw = map_x.shape
 
-    r = jax.lax.broadcasted_iota(jnp.float32, (out_rows, out_cols), 0)
-    c = jax.lax.broadcasted_iota(jnp.float32, (out_rows, out_cols), 1)
+    r = (jnp.float32(row0)
+         + jax.lax.broadcasted_iota(jnp.float32, (block_rows, out_cols), 0))
+    c = jax.lax.broadcasted_iota(jnp.float32, (block_rows, out_cols), 1)
     # mapping-grid coordinates of each output pixel (grid spans the output)
     gr = r * ((gh - 1) / max(out_rows - 1, 1))
     gc = c * ((gw - 1) / max(out_cols - 1, 1))
@@ -266,6 +296,14 @@ def _warp_sample(src, map_x, map_y, out_rows: int, out_cols: int, method: str):
             val = val + v * wgt
             wsum = wsum + wgt
     return jnp.where(wsum > 1e-6, val / jnp.maximum(wsum, 1e-20), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows", "out_cols", "method"))
+def _warp_sample(src, map_x, map_y, out_rows: int, out_cols: int, method: str):
+    """Device pass: upsample the mapping grid to every output pixel and
+    gather-sample the source. One fused program; out-of-bounds → 0."""
+    return _warp_sample_block(src, map_x, map_y, out_rows, out_cols, method,
+                              jnp.int32(0), out_rows)
 
 
 @dataclasses.dataclass
@@ -414,6 +452,17 @@ def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
                     src_cols, src_rows, mid_cols, mid_rows)
 
     data = None
+    mesh = _shard_mesh()
+    if mesh is not None:
+        from ..parallel.warp import warp_sample_sharded
+
+        data = warp_sample_sharded(src, map_x, map_y, out_rows, out_cols,
+                                   method, mesh)
+        if data is not None:
+            projection = (geodesy.epsg_to_wkt(plan.dst_epsg)
+                          or f"EPSG:{plan.dst_epsg}")
+            return WarpResult(data=data, geotransform=gt,
+                              projection=projection, epsg=plan.dst_epsg)
     try:
         from ..ops.kernels import use_pallas
         from ..ops.warp_kernel import warp_sample_tiled

@@ -138,17 +138,13 @@ def _warp_tile_kernel(method: str, src_h: int, src_w: int, ntx: int,
     out_ref[:] = jnp.where(wsum > 1e-6, val / jnp.maximum(wsum, 1e-20), 0.0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("out_rows", "out_cols", "method", "nty", "ntx",
-                     "src_h", "src_w"),
-)
-def _warp_tiled_call(src, oy, ox, cx, cy,
-                     out_rows: int, out_cols: int, method: str,
-                     nty: int, ntx: int, src_h: int, src_w: int):
-    n_tiles = nty * ntx
+def tiled_flat_call(src, oy, ox, cx, cy, method: str, n_tiles: int,
+                    ntx: int, src_h: int, src_w: int):
+    """The pallas_call itself, traced: n_tiles output tiles as a flat
+    (1, n_tiles·TPIX) array. Shared by the whole-output jit below and the
+    per-shard body of the row-sharded warp (parallel/warp.py)."""
     kern = functools.partial(_warp_tile_kernel, method, src_h, src_w, ntx)
-    out_flat = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
@@ -168,6 +164,18 @@ def _warp_tiled_call(src, oy, ox, cx, cy,
         ],
         out_shape=jax.ShapeDtypeStruct((1, n_tiles * TPIX), jnp.float32),
     )(oy, ox, cx, cy, src)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_rows", "out_cols", "method", "nty", "ntx",
+                     "src_h", "src_w"),
+)
+def _warp_tiled_call(src, oy, ox, cx, cy,
+                     out_rows: int, out_cols: int, method: str,
+                     nty: int, ntx: int, src_h: int, src_w: int):
+    out_flat = tiled_flat_call(src, oy, ox, cx, cy, method, nty * ntx, ntx,
+                               src_h, src_w)
     tiles = out_flat.reshape(nty, ntx, TR, TC)
     full = tiles.transpose(0, 2, 1, 3).reshape(nty * TR, ntx * TC)
     return full[:out_rows, :out_cols]
@@ -175,16 +183,22 @@ def _warp_tiled_call(src, oy, ox, cx, cy,
 
 def plan_tiled_warp(map_x: np.ndarray, map_y: np.ndarray, src_h: int,
                     src_w: int, out_rows: int, out_cols: int,
-                    method: str):
+                    method: str, plan_rows: int | None = None):
     """Host planning: per-tile window origins from the coarse mapping grid.
 
     Returns (oy, ox, nty, ntx) int32 arrays, or None when any tile's source
-    footprint exceeds the fixed window (fall back to the XLA sampler)."""
+    footprint exceeds the fixed window (fall back to the XLA sampler).
+
+    `plan_rows` lays tiles over MORE rows than the true output (the
+    row-sharded warp pads the grid so every shard gets an equal tile-row
+    block); mapping normalization stays in true-output coordinates, and
+    rows past `out_rows` land on clipped corner fits (their samples fall
+    outside every planned window → 0, and the caller trims them)."""
     if method not in _TAPS:
         return None
     if src_h < WIN_R or src_w < WIN_C:
         return None
-    nty = -(-out_rows // TR)
+    nty = -(-(plan_rows if plan_rows is not None else out_rows) // TR)
     ntx = -(-out_cols // TC)
     gh, gw = map_x.shape
 
