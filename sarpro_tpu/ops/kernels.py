@@ -542,8 +542,10 @@ def _synrgb_kernel(packed_ref, lutr_ref, lutg_ref, lutbt_ref, out_ref):
 # value, matched in-kernel by packed id. The one-hot builds are factored
 # 16x16 (hi=v//16, lo=v%16): 64 compare-rows instead of 512, with exact
 # two-stage selection (stage 1 on the MXU, stage 2 a one-nonzero f32 FMA).
-# Exhaustive 256x256-domain equality vs the XLA lowering is asserted in
-# benchmarks/tpu_validate.py each round.
+# Exhaustive 256x256-domain equality vs the XLA lowering is checked by
+# benchmarks/tpu_validate.py; benchmarks/tpu_validate_results.json records
+# the commit the check last PASSED at on real hardware (bench.py re-runs
+# it whenever kernel paths change).
 _SYNF_AMB_PAD = 64  # correction-list capacity (measured sets: <=61 pairs
 # across default + all 38 suppressed floors; the id-match compare is
 # (PAD, K) VPU work per block, so the pad stays tight — table builders
