@@ -146,8 +146,12 @@ def histogram(idx, num_bins: int):
 # contraction (tiles, K)·(bins, K)ᵀ — and tile-row banding (same argument
 # as the lookup kernel below, but only 2 tile-rows since no +1 bilinear
 # neighbor) cuts the tile side to band_ty*tiles_x = 16 rows: 16*256 = 4096
-# MACs/pixel, 4x fewer. Masked pixels carry bin == n_bins (all-zero one-hot
-# column). Counts accumulate in int32 across grid steps like `histogram`.
+# MACs/pixel, 4x fewer. A further (round-4) factoring moves the bin's hi
+# part onto the tile rows — (32, K)x(K, 128) — which doubles the matmul's
+# M toward the 128-row systolic array and fills all 128 lanes: same MACs,
+# ~2x measured (the 16-row form ran at 16/128 of MXU peak). Masked pixels
+# carry bin == n_bins (all-zero one-hot column). Counts accumulate in
+# int32 across grid steps like `histogram`.
 _TILEHIST_K = 8192
 
 
@@ -180,16 +184,28 @@ def _tile_hist_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
         start = 0
         n_rows = tiles_y * tiles_x
     tid = ty * tiles_x + tx  # (1, K)
-    oh_t = (tid == jax.lax.broadcasted_iota(jnp.int32, (n_rows, k), 0)
+    # (tile, bin) factors further into ((tile, bin_hi), bin_lo): the bin's
+    # hi part rides the TILE one-hot rows and only the 128 lo values span
+    # the lanes. MACs/px stay n_rows*n_bins, but the matmul shape goes
+    # (16, K)x(K, 256) -> (32, K)x(K, 128): M doubles toward the systolic
+    # array's 128 rows and N becomes the full lane width — measured 2x on
+    # v5e (the 16-row form ran at 16/128 of MXU peak). Masked pixels
+    # (bin == n_bins) would alias the next tile's hi=0 row, so they get
+    # row -1 (an all-zero one-hot column, the old behavior).
+    nh = n_bins // LANE
+    bin_v = bin_ref[:]
+    row_id = jnp.where(bin_v < n_bins, tid * nh + bin_v // LANE, -1)
+    oh_t = (row_id == jax.lax.broadcasted_iota(jnp.int32, (n_rows * nh, k), 0)
             ).astype(jnp.bfloat16)
-    oh_b = (bin_ref[:] == jax.lax.broadcasted_iota(jnp.int32, (n_bins, k), 0)
+    oh_b = ((bin_v % LANE)
+            == jax.lax.broadcasted_iota(jnp.int32, (LANE, k), 0)
             ).astype(jnp.bfloat16)
-    part = jax.lax.dot_general(  # (n_rows, n_bins)
+    part = jax.lax.dot_general(  # (n_rows*nh, LANE)
         oh_t, oh_b, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if band_ty < tiles_y:
-        out_ref[pl.ds(start, n_rows), :] += part.astype(jnp.int32)
+        out_ref[pl.ds(start * nh, n_rows * nh), :] += part.astype(jnp.int32)
     else:
         out_ref[:] += part.astype(jnp.int32)
 
@@ -222,9 +238,12 @@ def _tile_histogram_pallas_chunk(bin_flat, cols, tiles_x, tiles_y, tile_h,
             pl.BlockSpec((1, _TILEHIST_K), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_tiles, n_bins), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, n_bins), jnp.int32),
+        # (tile, bin_hi) rows x bin_lo lanes; the flat tile-major (tile,
+        # bin) order is preserved by the trailing reshape (hi*128+lo = bin)
+        out_specs=pl.BlockSpec((n_tiles * (n_bins // LANE), LANE),
+                               lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * (n_bins // LANE), LANE),
+                                       jnp.int32),
     )(base, off, b2)
     return out.reshape(-1)
 
