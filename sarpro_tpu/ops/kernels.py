@@ -332,6 +332,7 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
     ty1 = jnp.clip(tyi + 1, 0, tiles_y - 1)
     tx1 = jnp.clip(txi + 1, 0, tiles_x - 1)
 
+    nh = n_bins // LANE
     if band_ty < tiles_y:
         # tile-row banding: one block spans <= tile_h-2 raster rows (host
         # guard), so every pixel's ty0/ty1 falls in a 3-tile-row window
@@ -344,8 +345,8 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
         rf0 = r0.astype(jnp.float32) / np.float32(tile_h) - 0.5
         a = jnp.clip(jnp.floor(rf0).astype(jnp.int32), 0, tiles_y - band_ty)
         start = pl.multiple_of(a * tiles_x, tiles_x)
-        cdhi = cdhi_ref[pl.ds(start, band_ty * tiles_x), :]
-        cdlo = cdlo_ref[pl.ds(start, band_ty * tiles_x), :]
+        cdhi = cdhi_ref[pl.ds(start * nh, band_ty * tiles_x * nh), :]
+        cdlo = cdlo_ref[pl.ds(start * nh, band_ty * tiles_x * nh), :]
         ty0 = ty0 - a
         ty1 = ty1 - a
         n_rows = band_ty * tiles_x
@@ -354,40 +355,54 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
         cdlo = cdlo_ref[:]
         n_rows = tiles_x * tiles_y
 
-    # bilinear weights folded into an (n_rows, K) matrix — columns have <=4
-    # nonzeros; corners falling on the same tile accumulate, matching the
-    # reference's formula exactly. The matrix is SEPARABLE:
-    # wmat[ty*tiles_x+tx] = wy[ty]*wx[tx] with wy = (1-dy | dy | 0) and
-    # wx = (1-dx | dx | 0); collapsed corners (ty0==ty1 at edges) sum to
-    # (1-dy)+dy inside one factor, which equals the old 4-term form exactly
-    # for the power-of-two tile sizes of the standard path and to 1 ulp
-    # otherwise (both far inside the kernel's bf16-CDF tolerance). The row
-    # and column index planes below are grid-constant, so Mosaic hoists
-    # them — this build measured 1.25x faster than the 4-corner-id compare
-    # form (1.045 vs 1.311 ms/4M, bit-identical output on the 2048 grid).
-    tids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, k), 0)
-    trow = tids // tiles_x
-    tcol = tids % tiles_x
+    # The CDF tables arrive (n_tiles*nh, LANE): bin = bh*LANE + lo with the
+    # bh part folded onto the TILE rows (round 4 — same factoring as the
+    # tile-histogram kernel). The selection matmul contracts the 128 lo
+    # values instead of all n_bins: (24, 256)x(256, K) becomes
+    # (48, 128)x(128, K) — identical MACs, but M doubles toward the
+    # systolic array's 128 rows and the bin one-hot build halves
+    # (128 compare rows instead of 256).
+    #
+    # Bilinear weights fold into an (n_rows*nh, K) matrix — columns have
+    # <=4 nonzeros (the bh-match zeroes the other hi half); corners
+    # falling on the same tile accumulate, matching the reference's
+    # formula exactly. The matrix is SEPARABLE:
+    # wmat[(ty*tiles_x+tx)*nh+bh] = wy[ty]*wx[tx]*(bh == bin//LANE) with
+    # wy = (1-dy | dy | 0) and wx = (1-dx | dx | 0); collapsed corners
+    # (ty0==ty1 at edges) sum to (1-dy)+dy inside one factor, which equals
+    # the old 4-term form exactly for the power-of-two tile sizes of the
+    # standard path and to 1 ulp otherwise (both far inside the kernel's
+    # bf16-CDF tolerance). The row/column/bh index planes below are
+    # grid-constant, so Mosaic hoists them. Invalid pixels carry
+    # bin == n_bins -> bh == nh, which matches no row: their wmat column
+    # is all-zero and the output is 0 (the old all-zero-one-hot behavior).
+    rows2 = n_rows * nh
+    q = jax.lax.broadcasted_iota(jnp.int32, (rows2, k), 0)
+    trow = q // (tiles_x * nh)
+    rest = q % (tiles_x * nh)
+    tcol = rest // nh
+    bh_r = rest % nh
+    bins = bin_ref[:]  # (1,K)
+    bh = bins // LANE
     wy = (jnp.where(trow == ty0, 1.0 - dy, 0.0)
           + jnp.where(trow == ty1, dy, 0.0))
     wx = (jnp.where(tcol == tx0, 1.0 - dx, 0.0)
           + jnp.where(tcol == tx1, dx, 0.0))
-    wmat = wy * wx
-    # select-bin-first: per-pixel CDF value of EVERY resident tile at own
-    # bin. The CDF table arrives hi/lo-split into two planes stored f32
-    # (values bf16-rounded; cast here is exact) so the banded dynamic slice
-    # stays on 8-sublane f32 tiling. The one-hot is exact in bf16, so
-    # selection reconstructs the f32 CDF to ~1e-5.
-    bins = bin_ref[:]  # (1,K), invalid pixels carry n_bins (all-zero onehot)
-    onehot_bin = (
-        bins == jax.lax.broadcasted_iota(jnp.int32, (n_bins, k), 0)
+    wmat = wy * wx * (bh_r == bh).astype(jnp.float32)
+    # select-bin-first: per-pixel CDF value of EVERY resident (tile, bh)
+    # row at the pixel's lo bin. The CDF table is hi/lo-split into two
+    # planes stored f32 (values bf16-rounded; cast here is exact) so the
+    # banded dynamic slice stays on 8-sublane f32 tiling. The one-hot is
+    # exact in bf16, so selection reconstructs the f32 CDF to ~1e-5.
+    onehot_lo = (
+        (bins % LANE) == jax.lax.broadcasted_iota(jnp.int32, (LANE, k), 0)
     ).astype(jnp.bfloat16)
-    pt = jax.lax.dot_general(  # (n_rows, K)
-        cdhi.astype(jnp.bfloat16), onehot_bin,
+    pt = jax.lax.dot_general(  # (rows2, K)
+        cdhi.astype(jnp.bfloat16), onehot_lo,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     pt = pt + jax.lax.dot_general(
-        cdlo.astype(jnp.bfloat16), onehot_bin,
+        cdlo.astype(jnp.bfloat16), onehot_lo,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     out_ref[:] = jnp.sum(wmat * pt, axis=0, keepdims=True)
@@ -414,6 +429,11 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
                     and (_CLAHE_K - 1) // cols + 2 <= tile_h) else tiles_y
     kern = functools.partial(_clahe_kernel, tiles_x, tiles_y, tile_h, tile_w,
                              n_bins, cols, band_ty)
+    # (tile, bin) tables fold to ((tile, bin_hi), bin_lo) rows — see the
+    # kernel's factoring comment; row t*nh+bh holds bins [bh*128, bh*128+128)
+    nh = n_bins // LANE
+    cdhi2 = cdhi.reshape(n_tiles * nh, LANE)
+    cdlo2 = cdlo.reshape(n_tiles * nh, LANE)
     out = pl.pallas_call(
         kern,
         grid=(g,),
@@ -421,15 +441,15 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
             pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, _CLAHE_K), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, n_bins), lambda i: (0, 0),
+            pl.BlockSpec((n_tiles * nh, LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, n_bins), lambda i: (0, 0),
+            pl.BlockSpec((n_tiles * nh, LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _CLAHE_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, g * _CLAHE_K), jnp.float32),
-    )(base, off, b2, cdhi, cdlo)
+    )(base, off, b2, cdhi2, cdlo2)
     return out.reshape(-1)[:n]
 
 
@@ -582,23 +602,34 @@ def _synrgb_formula_kernel(guard_b2: bool, packed_ref, tr_ref, tg_ref,
     lo1 = ((v1 & 15) == io16).astype(jnp.float32)
     hi2 = ((v2 >> 4) == io16).astype(jnp.float32)
     lo2 = ((v2 & 15) == io16).astype(jnp.float32)
-    # stage 1: (32,16)x(16,K) — rows 0:16 select val[a*16+b], rows 16:32
-    # select ln tables; HIGHEST keeps the f32 ln planes exact (6-pass bf16)
-    m_r = jax.lax.dot_general(
-        tr_ref[:], hi1, (((1,), (0,)), ((), ())),
+    # stage 1, split by precision need: the VALUE rows (0:16) hold u8
+    # integers — exact in bf16 — so their select runs as a single-pass
+    # bf16 matmul (one-hot x exact ints, f32 accumulate: exact); only the
+    # LN rows (16:32) need HIGHEST (multi-pass bf16 emulation) to keep the
+    # f32 ln planes exact. Splitting halves the HIGHEST matmul's M.
+    m_rv = jax.lax.dot_general(
+        tr_ref[0:16, :], hi1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_rl = jax.lax.dot_general(
+        tr_ref[16:32, :], hi1, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    m_g = jax.lax.dot_general(
-        tg_ref[:], hi2, (((1,), (0,)), ((), ())),
+    m_gv = jax.lax.dot_general(
+        tg_ref[0:16, :], hi2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_gl = jax.lax.dot_general(
+        tg_ref[16:32, :], hi2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     # stage 2: one-nonzero f32 FMA over the 16 lo rows — exact selection
-    r = jnp.sum(m_r[0:16] * lo1, axis=0, keepdims=True)
-    lnr = jnp.sum(m_r[16:32] * lo1, axis=0, keepdims=True)
-    g = jnp.sum(m_g[0:16] * lo2, axis=0, keepdims=True)
-    lng = jnp.sum(m_g[16:32] * lo2, axis=0, keepdims=True)
+    r = jnp.sum(m_rv * lo1, axis=0, keepdims=True)
+    lnr = jnp.sum(m_rl * lo1, axis=0, keepdims=True)
+    g = jnp.sum(m_gv * lo2, axis=0, keepdims=True)
+    lng = jnp.sum(m_gl * lo2, axis=0, keepdims=True)
     # gain is folded into the r ln plane (lnr += 10*ln(gain))
     bf = jnp.exp((lnr - lng) * jnp.float32(0.1))
     blue = jnp.floor(jnp.clip(bf, 0.0, 255.0) + jnp.float32(0.5))
