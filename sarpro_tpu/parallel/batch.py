@@ -32,7 +32,8 @@ class _SceneLoad:
         self.skipped = skipped
 
 
-def _load_scene(path: Path, params: ProcessingParams) -> _SceneLoad:
+def _load_scene(path: Path, params: ProcessingParams,
+                shard_devices: int = 0) -> _SceneLoad:
     from ..api import _pol_to_reader_hint, _resolve_target_args, scene_skip_reason
     from ..io.safe import DEFER_DEVICE_PUT, SafeReader
 
@@ -41,6 +42,13 @@ def _load_scene(path: Path, params: ProcessingParams) -> _SceneLoad:
     # concurrent device_puts from loaders head-of-line-block the consumer's
     # fetches on serial transports
     DEFER_DEVICE_PUT.set(True)
+    if shard_devices:
+        # warps execute inside the reader open (the one loader stage that
+        # legitimately dispatches device work); request the row-sharded
+        # sampling pass like the single-scene fast path does
+        from ..io import warp as warp_mod
+
+        warp_mod.SHARD_DEVICES.set(shard_devices)
     try:
         try:
             reason = scene_skip_reason(path, params)
@@ -252,7 +260,8 @@ def process_directory_pipelined(
                     p = next(it)
                 except StopIteration:
                     return
-                pending.append(pool.submit(_load_scene, p, params))
+                pending.append(pool.submit(_load_scene, p, params,
+                                           shard_devices))
 
         def record_write(path, wfut):
             if wfut is None:
