@@ -333,6 +333,7 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
     tx1 = jnp.clip(txi + 1, 0, tiles_x - 1)
 
     nh = n_bins // LANE
+    n_tiles = tiles_x * tiles_y
     if band_ty < tiles_y:
         # tile-row banding: one block spans <= tile_h-2 raster rows (host
         # guard), so every pixel's ty0/ty1 falls in a 3-tile-row window
@@ -345,67 +346,67 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
         rf0 = r0.astype(jnp.float32) / np.float32(tile_h) - 0.5
         a = jnp.clip(jnp.floor(rf0).astype(jnp.int32), 0, tiles_y - band_ty)
         start = pl.multiple_of(a * tiles_x, tiles_x)
-        cdhi = cdhi_ref[pl.ds(start * nh, band_ty * tiles_x * nh), :]
-        cdlo = cdlo_ref[pl.ds(start * nh, band_ty * tiles_x * nh), :]
         ty0 = ty0 - a
         ty1 = ty1 - a
         n_rows = band_ty * tiles_x
     else:
-        cdhi = cdhi_ref[:]
-        cdlo = cdlo_ref[:]
-        n_rows = tiles_x * tiles_y
+        start = 0
+        n_rows = n_tiles
 
-    # The CDF tables arrive (n_tiles*nh, LANE): bin = bh*LANE + lo with the
-    # bh part folded onto the TILE rows (round 4 — same factoring as the
-    # tile-histogram kernel). The selection matmul contracts the 128 lo
-    # values instead of all n_bins: (24, 256)x(256, K) becomes
-    # (48, 128)x(128, K) — identical MACs, but M doubles toward the
-    # systolic array's 128 rows and the bin one-hot build halves
-    # (128 compare rows instead of 256).
+    # The CDF tables arrive bh-MAJOR (nh*n_tiles, LANE): bin = bh*LANE+lo,
+    # row bh*n_tiles + tile holds bins [bh*128, bh*128+128) of that tile
+    # (round 4 — the bin's hi part folded off the contraction like the
+    # tile-histogram kernel; the one-hot build halves to 128 compare
+    # rows). Per bh half, the banded slice selects the window's tile rows
+    # and the matmul pair selects each tile's CDF at the pixel's lo bin;
+    # the bh halves then combine by a per-pixel (bh == h) blend.
     #
-    # Bilinear weights fold into an (n_rows*nh, K) matrix — columns have
-    # <=4 nonzeros (the bh-match zeroes the other hi half); corners
-    # falling on the same tile accumulate, matching the reference's
-    # formula exactly. The matrix is SEPARABLE:
-    # wmat[(ty*tiles_x+tx)*nh+bh] = wy[ty]*wx[tx]*(bh == bin//LANE) with
-    # wy = (1-dy | dy | 0) and wx = (1-dx | dx | 0); collapsed corners
-    # (ty0==ty1 at edges) sum to (1-dy)+dy inside one factor, which equals
-    # the old 4-term form exactly for the power-of-two tile sizes of the
-    # standard path and to 1 ulp otherwise (both far inside the kernel's
-    # bf16-CDF tolerance). The row/column/bh index planes below are
-    # grid-constant, so Mosaic hoists them. Invalid pixels carry
-    # bin == n_bins -> bh == nh, which matches no row: their wmat column
-    # is all-zero and the output is 0 (the old all-zero-one-hot behavior).
-    rows2 = n_rows * nh
-    q = jax.lax.broadcasted_iota(jnp.int32, (rows2, k), 0)
-    trow = q // (tiles_x * nh)
-    rest = q % (tiles_x * nh)
-    tcol = rest // nh
-    bh_r = rest % nh
+    # The bilinear weighting is applied FACTORED instead of via a
+    # materialized (n_rows, K) weight matrix: wx (tiles_x rows) multiplies
+    # tile-columns, per-tile-row partial sums reduce groups of tiles_x
+    # rows, and wy (band_ty rows) blends the tile-row sums — ~2x fewer
+    # VPU ops than the dense wmat build, numerically the same sum
+    # reassociated (the CDF values are bf16-split-reconstructed to ~1e-5,
+    # far above f32 reassociation noise). Collapsed corners (ty0==ty1 /
+    # tx0==tx1 at edges) still accumulate inside one factor, matching the
+    # reference's 4-term formula exactly. Invalid pixels carry
+    # bin == n_bins -> bh == nh matches no half: output 0 (the old
+    # all-zero-one-hot behavior).
     bins = bin_ref[:]  # (1,K)
     bh = bins // LANE
-    wy = (jnp.where(trow == ty0, 1.0 - dy, 0.0)
-          + jnp.where(trow == ty1, dy, 0.0))
-    wx = (jnp.where(tcol == tx0, 1.0 - dx, 0.0)
-          + jnp.where(tcol == tx1, dx, 0.0))
-    wmat = wy * wx * (bh_r == bh).astype(jnp.float32)
-    # select-bin-first: per-pixel CDF value of EVERY resident (tile, bh)
-    # row at the pixel's lo bin. The CDF table is hi/lo-split into two
-    # planes stored f32 (values bf16-rounded; cast here is exact) so the
-    # banded dynamic slice stays on 8-sublane f32 tiling. The one-hot is
-    # exact in bf16, so selection reconstructs the f32 CDF to ~1e-5.
     onehot_lo = (
         (bins % LANE) == jax.lax.broadcasted_iota(jnp.int32, (LANE, k), 0)
     ).astype(jnp.bfloat16)
-    pt = jax.lax.dot_general(  # (rows2, K)
-        cdhi.astype(jnp.bfloat16), onehot_lo,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    pt = pt + jax.lax.dot_general(
-        cdlo.astype(jnp.bfloat16), onehot_lo,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    out_ref[:] = jnp.sum(wmat * pt, axis=0, keepdims=True)
+
+    def sel(table_ref, h):
+        s0 = h * n_tiles + start
+        if not isinstance(s0, int):
+            # h*n_tiles is a tiles_x multiple; keep the 8-sublane
+            # alignment hint through the addition
+            s0 = pl.multiple_of(s0, tiles_x)
+        rows = table_ref[pl.ds(s0, n_rows), :]
+        return jax.lax.dot_general(
+            rows.astype(jnp.bfloat16), onehot_lo,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    ptb = jnp.zeros((n_rows, k), jnp.float32)
+    for h in range(nh):
+        pt_h = sel(cdhi_ref, h) + sel(cdlo_ref, h)
+        ptb = ptb + pt_h * (bh == h).astype(jnp.float32)
+
+    tcol8 = jax.lax.broadcasted_iota(jnp.int32, (tiles_x, k), 0)
+    wx = (jnp.where(tcol8 == tx0, 1.0 - dx, 0.0)
+          + jnp.where(tcol8 == tx1, dx, 0.0))
+    n_band = n_rows // tiles_x
+    wpt = jnp.concatenate([wx] * n_band, axis=0) * ptb
+    s = jnp.concatenate(
+        [jnp.sum(wpt[j * tiles_x:(j + 1) * tiles_x], axis=0, keepdims=True)
+         for j in range(n_band)], axis=0)  # (n_band, K)
+    trowb = jax.lax.broadcasted_iota(jnp.int32, (n_band, k), 0)
+    wy = (jnp.where(trowb == ty0, 1.0 - dy, 0.0)
+          + jnp.where(trowb == ty1, dy, 0.0))
+    out_ref[:] = jnp.sum(wy * s, axis=0, keepdims=True)
 
 
 @functools.partial(
@@ -429,11 +430,15 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
                     and (_CLAHE_K - 1) // cols + 2 <= tile_h) else tiles_y
     kern = functools.partial(_clahe_kernel, tiles_x, tiles_y, tile_h, tile_w,
                              n_bins, cols, band_ty)
-    # (tile, bin) tables fold to ((tile, bin_hi), bin_lo) rows — see the
-    # kernel's factoring comment; row t*nh+bh holds bins [bh*128, bh*128+128)
+    # (tile, bin) tables fold to bh-MAJOR (bin_hi, tile, bin_lo) rows — see
+    # the kernel's factoring comment; row bh*n_tiles+t holds bins
+    # [bh*128, bh*128+128) of tile t, so the banded window slices each bh
+    # half contiguously
     nh = n_bins // LANE
-    cdhi2 = cdhi.reshape(n_tiles * nh, LANE)
-    cdlo2 = cdlo.reshape(n_tiles * nh, LANE)
+    cdhi2 = cdhi.reshape(n_tiles, nh, LANE).transpose(1, 0, 2).reshape(
+        n_tiles * nh, LANE)
+    cdlo2 = cdlo.reshape(n_tiles, nh, LANE).transpose(1, 0, 2).reshape(
+        n_tiles * nh, LANE)
     out = pl.pallas_call(
         kern,
         grid=(g,),
