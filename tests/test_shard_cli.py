@@ -203,3 +203,28 @@ def test_shard_with_warp_exact(safe_dir, tmp_path):
     # georeferencing carried identically
     assert TiffReader(ref).geo_info().geotransform == \
         TiffReader(shd).geo_info().geotransform
+
+
+def test_batch_shard_with_warp_matches_unsharded(tmp_path):
+    """Batched --shard-devices + --target-crs: the loader threads must
+    request the row-sharded warp (parallel/batch.py forwards the context
+    var), and the warped, sharded output must match the unsharded fast
+    path."""
+    from sarpro_tpu.parallel.batch import process_directory_pipelined
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    fixtures.make_safe(indir, name="w.SAFE", pols=("vv",), seed=9)
+    params = ProcessingParams(
+        bit_depth=BitDepthArg.U8, polarization=Polarization.VV,
+        autoscale=AutoscaleStrategy.ROBUST, size=64,
+        target_crs="EPSG:4326", resample_alg="cubic",
+    )
+    outdir = tmp_path / "out"
+    report = process_directory_pipelined(indir, outdir, params,
+                                         prefetch=2, shard_devices=8)
+    assert report.processed == 1 and report.errors == 0
+    ref = tmp_path / "ref.tiff"
+    api.process_safe_to_path(indir / "w.SAFE", ref, params, fast=True)
+    np.testing.assert_array_equal(
+        TiffReader(outdir / "w.SAFE.tiff").read(1), TiffReader(ref).read(1))
