@@ -176,7 +176,7 @@ def main():
 
     results = {"device": str(dev)}
 
-    # ---- cfg6: 8486^2 (144 MP/band) single-program regime -----------------
+    # ---- cfg6: 8486^2 (72 MP/band, 144 MP dual) single-program regime -----
     side6 = 8486
     prof6 = fullres_stages(side6)
     vv6 = _gen(jax.random.PRNGKey(2), 5.0, side6)
@@ -193,7 +193,7 @@ def main():
                  accounted_ms=round(acct6, 1),
                  residual_ms=round(total6 - acct6, 1),
                  mp_per_s=round(2 * side6 * side6 / 1e6 / (total6 / 1e3), 0))
-    results["cfg6_fullres_144mp_band"] = prof6
+    results["cfg6_fullres_72mp_band"] = prof6
     del vv6, vh6
     print(json.dumps({"cfg6": prof6}, indent=2), file=sys.stderr)
 

@@ -162,7 +162,7 @@ def main():
     vh6 = vh[:side6, :side6]
     _ = force(vv6)
     results.append(timeit(
-        "cfg6: full-res 144MP/band dual synRGB, CLAHE (single program)",
+        "cfg6: full-res 72MP/band (144MP dual) synRGB, CLAHE (single program)",
         functools.partial(fused.synrgb_pipeline, vv6, vh6,
                           strategy=AutoscaleStrategy.CLAHE,
                           target_size=None, pad=False),

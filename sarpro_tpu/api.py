@@ -445,25 +445,20 @@ def _process_safe_to_path_fast(input, output, params: ProcessingParams,
                 dn1, strategy=params.autoscale, copol=True, target_size=size,
                 pad=params.pad, resample_alg=alg0)
 
-    if warping and shard_devices:
-        # the warp executes inside the reader open; request row sharding of
-        # its sampling pass over the device mesh (VERDICT r3 item 4 — the
-        # reference's headline config is warp + synRGB)
-        from .io import warp as warp_mod
+    # the warp executes inside the reader open; request row sharding of its
+    # sampling pass over the device mesh (VERDICT r3 item 4 — the
+    # reference's headline config is warp + synRGB). Setting the var to 0
+    # (its default) when not sharding keeps one open call.
+    from .io import warp as warp_mod
 
-        token = warp_mod.SHARD_DEVICES.set(shard_devices)
-        try:
-            reader = SafeReader.open_with_options(
-                input, _pol_to_reader_hint(params.polarization), target_arg,
-                resample, params.size, band_stage=band_stage,
-            )
-        finally:
-            warp_mod.SHARD_DEVICES.reset(token)
-    else:
+    token = warp_mod.SHARD_DEVICES.set(shard_devices if warping else 0)
+    try:
         reader = SafeReader.open_with_options(
             input, _pol_to_reader_hint(params.polarization), target_arg,
             resample, params.size, band_stage=band_stage,
         )
+    finally:
+        warp_mod.SHARD_DEVICES.reset(token)
     alg = alg0
     if pol.kind in ("vv", "vh", "hh", "hv"):
         fast_path.save_single_band_fast(

@@ -249,15 +249,25 @@ def dct_blocks_streamed(img, chunk_rows: int = CHUNK_ROWS) -> np.ndarray:
     coefficient array for the entropy-only encoder — (3|1, BH, BW, 8, 8)
     int16 — without materializing full-image f32 planes in HBM.
 
-    All chunk programs are dispatched BEFORE the first fetch: dispatch is
-    async, so the d2h of chunk k overlaps the compute of chunks > k
-    instead of serializing with it (each blocking fetch through the RPC
-    tunnel costs ~27 ms of latency on top of the bytes)."""
+    Dispatch runs a BOUNDED window ahead of the fetches: the d2h of chunk
+    k overlaps the compute of chunks k+1/k+2 (each blocking fetch through
+    the RPC tunnel costs ~27 ms of latency on top of the bytes) without
+    keeping every chunk's int16 coefficient output alive in HBM at once —
+    unbounded fan-out would hold the whole coefficient array (~6 B/px for
+    RGB) next to the u8 input and OOM the very scenes this module exists
+    for."""
     rows = img.shape[0]
     step = max(chunk_rows // 8 * 8, 8)  # 8-aligned interior boundaries
-    outs = [_pass_dct_chunk(img, r0, n)
-            for r0, n in _chunk_starts(rows, step)]
-    parts = [np.asarray(o) for o in outs]
+    ahead = 2
+    starts = _chunk_starts(rows, step)
+    pending = [_pass_dct_chunk(img, r0, n) for r0, n in starts[:ahead + 1]]
+    parts = []
+    for i in range(len(starts)):
+        if i + ahead + 1 < len(starts):
+            r0, n = starts[i + ahead + 1]
+            pending.append(_pass_dct_chunk(img, r0, n))
+        parts.append(np.asarray(pending[i]))
+        pending[i] = None  # release the device buffer
     return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
 
 

@@ -161,3 +161,36 @@ def test_overlapped_band_staging_byte_identical(safe_dir, tmp_path,
                         classmethod(no_stage_open))
     api.process_safe_to_path(safe_dir, plain, params, fast=True)
     assert staged.read_bytes() == plain.read_bytes()
+
+
+def test_fast_multiband_engages_band_staging(tmp_path):
+    """The file API's multiband fast path must actually dispatch band 1's
+    device program during band 2's load (VERDICT r2 item 1). The reader
+    hint is 'all_pairs', whose complete pairs must route through the
+    overlapped load_pair — this asserts ENGAGEMENT (staged_band1 set), not
+    just output equality, so the overlap cannot silently regress to
+    sequential loads again."""
+    import fixtures
+
+    from sarpro_tpu import api
+    from sarpro_tpu.io.safe import SafeReader
+
+    base = fixtures.make_safe(tmp_path, name="st.SAFE", seed=6)
+    staged = []
+    orig = SafeReader.open_with_options.__func__
+
+    def spy(cls, *a, **kw):
+        r = orig(cls, *a, **kw)
+        staged.append(r.staged_band1 is not None)
+        return r
+
+    try:
+        SafeReader.open_with_options = classmethod(spy)
+        params = ProcessingParams(
+            format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+            autoscale=AutoscaleStrategy.CLAHE, size=48)
+        api.process_safe_to_path(base, tmp_path / "st.jpg", params,
+                                 fast=True)
+    finally:
+        SafeReader.open_with_options = classmethod(orig)
+    assert staged == [True], staged

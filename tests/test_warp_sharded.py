@@ -140,3 +140,45 @@ def test_warp_to_crs_sharded_matches_unsharded(rng, mesh, tmp_path):
     w = np.asarray(want.data)
     np.testing.assert_allclose(g, w, rtol=5e-5, atol=1e-3)
     assert (g == w).mean() > 0.98
+
+
+def test_multiband_warp_engages_sharded_sampler(rng, tmp_path, monkeypatch):
+    """Dual-pol + target_crs + shard-devices: load_pair runs band loads in
+    a ThreadPoolExecutor, and context vars do not cross pool threads by
+    default — the loads must copy the caller's context or the sharded warp
+    silently never engages for exactly the headline (warp + synRGB)
+    config. Asserts engagement, not just output equality."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import fixtures
+
+    import sarpro_tpu.parallel.warp as pwarp
+    from sarpro_tpu import api
+    from sarpro_tpu.params import ProcessingParams
+    from sarpro_tpu.types import (
+        AutoscaleStrategy, OutputFormat, Polarization,
+    )
+
+    calls = []
+    real = pwarp.warp_sample_sharded
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(pwarp, "warp_sample_sharded", spy)
+    base = fixtures.make_safe(tmp_path, name="mb.SAFE", seed=5)
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.CLAHE, size=64,
+        target_crs="EPSG:4326", resample_alg="cubic",
+    )
+    out = tmp_path / "mb.jpg"
+    api.process_safe_to_path(base, out, params, shard_devices=8)
+    assert calls and all(calls), \
+        "sharded warp sampler never engaged for the dual-pol warp config"
+    ref = tmp_path / "ref.jpg"
+    api.process_safe_to_path(base, ref, params, fast=True)
+    assert out.read_bytes() == ref.read_bytes()
