@@ -507,25 +507,75 @@ def _dct8_basis():
     return t.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=1)
+def _dct_pair_split():
+    """Pair-of-blocks 2D-DCT operator as three bf16 terms (hi + residuals).
+
+    The per-block 2D FDCT in the host's transposed layout is one 64x64
+    linear map: out[(i*8+j)] = sum_{l,k} T[i,k]*T[j,l] * blk[l,k]. Two
+    horizontally adjacent blocks share a (128,128) block-diagonal operator
+    so the contraction fills the MXU's native tile (the M->128 shape rule
+    from ops/kernels.py) instead of two K=8 contractions.
+
+    Input-row order: the operator's rows are ordered [(col-in-pair kk)*8 +
+    row-in-block l] — exactly the row-major flatten of the TRANSPOSED
+    (8, 16·npair) block-row slab — so the device-side pack is one minor-dim
+    swapaxes plus pure reshapes. The measured alternative (a 6-D
+    pack transpose at 8-granularity) cost 3.6x more than the whole matmul.
+    With kk = 8h+k (h = block-of-pair), rows 64h+k*8+l land in the h-th
+    diagonal block: W[64h + k*8+l, 64h + i*8+j] = T[i,k]*T[j,l].
+
+    Accuracy: the pixel operand (level-shifted u8, ints in [-128,127]) is
+    EXACT in bf16, so only the operator needs splitting — three terms give
+    ~24 operator mantissa bits, keeping worst-case coefficient error far
+    inside the ±1 oracle contract (tests/test_native.py:276)."""
+    import ml_dtypes
+    u = np.arange(8, dtype=np.float64)
+    s = np.where(u == 0, np.sqrt(1.0 / 8.0), np.sqrt(2.0 / 8.0))
+    t = s[:, None] * np.cos((2.0 * u[None, :] + 1.0) * u[:, None] * np.pi / 16.0)
+    wh = np.einsum("ik,jl->klij", t, t).reshape(64, 64)
+    w = np.zeros((128, 128), dtype=np.float64)
+    w[:64, :64] = wh
+    w[64:, 64:] = wh
+    w0 = w.astype(ml_dtypes.bfloat16)
+    w1 = (w - w0.astype(np.float64)).astype(ml_dtypes.bfloat16)
+    w2 = (w - w0.astype(np.float64) - w1.astype(np.float64)).astype(
+        ml_dtypes.bfloat16)
+    return w0, w1, w2
+
+
 def jpeg_dct_planes(planes_u8):
     """u8 image planes (c, rows, cols) → quantized q100 JPEG DCT blocks
     (c, ceil(rows/8), ceil(cols/8), 8, 8) int16 — the JPEG front-end (level
-    shift, 8x8 FDCT, q100 quantize) as two tiny in-graph contractions, so
-    the host encoder pays entropy coding only. Per-block layout is the
-    TRANSPOSED coefficient matrix, matching the native encoder's fdct8x8
-    (native/jpegenc.cpp) and its zigzag table."""
+    shift, 8x8 FDCT, q100 quantize), so the host encoder pays entropy
+    coding only. Per-block layout is the TRANSPOSED coefficient matrix,
+    matching the native encoder's fdct8x8 (native/jpegenc.cpp) and its
+    zigzag table.
+
+    Implementation: each 8-row block-row slab transposes to (width, 8) —
+    one minor-dim swapaxes — whose row-major flatten IS the pair-of-blocks
+    128-vector sequence for the row-permuted operator (_dct_pair_split),
+    and one (...,128)x(128,128) block-diagonal matmul applies the whole
+    2D FDCT as three single-pass bf16 MXU contractions (split operator,
+    exact pixel operand). Replaces two K=8 HIGHEST einsums: 60.2 → 19.1 ms
+    per 72 Mpx RGB (with ycbcr_planes) on v5e, previously the heaviest
+    device stage in benchmarks/device_profile.json."""
     c, rows, cols = planes_u8.shape
-    rh, rw = -(-rows // 8) * 8, -(-cols // 8) * 8
+    nbh, nbw = -(-rows // 8), -(-cols // 8)
+    npair = -(-nbw // 2)
+    rh, rw = nbh * 8, npair * 16
     x = planes_u8
     if (rh, rw) != (rows, cols):
-        # the host encoder edge-replicates partial border blocks
+        # the host encoder edge-replicates partial border blocks; the
+        # extra pad block of an odd-width pair is sliced off below
         x = jnp.pad(x, ((0, 0), (0, rh - rows), (0, rw - cols)), mode="edge")
-    x = x.astype(jnp.float32) - 128.0
-    b = x.reshape(c, rh // 8, 8, rw // 8, 8).transpose(0, 1, 3, 2, 4)
-    t = _dct8_basis()
-    # host layout: C = (T·B·Tᵀ)ᵀ → C[i,j] = Σ_{k,l} T[i,k]·B[l,k]·T[j,l]
-    out = jnp.einsum("ik,...lk,jl->...ij", t, b, t,
-                     precision=jax.lax.Precision.HIGHEST)
+    # level-shifted u8 is ints in [-128,127]: exact in bf16
+    xb = (x.astype(jnp.bfloat16) - 128.0).reshape(c, nbh, 8, rw)
+    v = jnp.swapaxes(xb, -1, -2).reshape(c, nbh, npair, 128)
+    out = functools.reduce(jnp.add, (
+        jnp.dot(v, jnp.asarray(w), preferred_element_type=jnp.float32)
+        for w in _dct_pair_split()))
+    out = out.reshape(c, nbh, npair * 2, 8, 8)[:, :, :nbw]
     # q100: all-ones quantizers — just round (ties-to-even like lrintf)
     return jnp.clip(jnp.round(out), -32767.0, 32767.0).astype(jnp.int16)
 
