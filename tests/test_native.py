@@ -291,6 +291,13 @@ def test_fused_dct_planes_match_oracle(rng):
     got = np.asarray(fused.jpeg_dct_planes(odd))
     assert got.shape == (3, 5, 6, 8, 8)
     assert np.abs(got.astype(int) - _dct_oracle(rep).astype(int)).max() <= 1
+    # odd BLOCK count in width: the pair-of-blocks operator computes an
+    # extra pad block that must be sliced off (fused._dct_pair_split)
+    oddblocks = planes[:, :, :40]
+    got = np.asarray(fused.jpeg_dct_planes(oddblocks))
+    assert got.shape == (3, 5, 5, 8, 8)
+    assert np.abs(got.astype(int)
+                  - _dct_oracle(oddblocks).astype(int)).max() <= 1
 
 
 @needs_native
