@@ -232,6 +232,13 @@ def main():
     oddp = jnp.asarray(pl[:, :1021, :1019])
     got = np.asarray(jax.jit(F.jpeg_dct_planes)(oddp))
     check("jpeg_dct odd-size shape", got.shape == (3, 128, 128, 8, 8))
+    # odd BLOCK count: the pair-of-blocks operator's pad block slice-off
+    oddb = pl[:, :1024, :1016]
+    got = np.asarray(jax.jit(F.jpeg_dct_planes)(jnp.asarray(oddb)))
+    want = jpeg_dct_oracle(oddb)
+    dmax = int(np.abs(got.astype(int) - want.astype(int)).max())
+    check("jpeg_dct odd block count", got.shape == (3, 128, 127, 8, 8)
+          and dmax <= 1, f"shape={got.shape} maxdiff={dmax}")
 
     print(f"\n{len(FAILURES)} failure(s)")
     write_results(str(jax.devices()[0]))

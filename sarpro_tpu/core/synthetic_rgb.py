@@ -82,9 +82,14 @@ def formula_tables(lut_r, lut_g, lut_b, eps, gain, guard_b2: bool):
     """Host-side tables for the formulaic synRGB kernel.
 
     Returns (tr, tg, amb_id, amb_val) float32 numpy arrays:
-      tr (32,16): rows 0:16 = lut_r[a*16+b] by [b,a]; rows 16:32 =
-        ln(lut_r+eps) + 10*ln(255*gain) (gain folded; -1000 sentinel at 0)
-      tg (32,16): same for lut_g without the gain fold
+      tr (64,16): rows 0:16 = lut_r[a*16+b] by [b,a]; rows 16:64 = the
+        ln plane ln(lut_r+eps) + 10*ln(255*gain) (gain folded; -1000
+        sentinel at 0) as THREE bf16 split terms t0/t1/t2 so the kernel's
+        stage-1 select is ONE single-pass bf16 MXU matmul (the one-hot
+        operand is exact in bf16) instead of a multi-pass HIGHEST
+        emulation; the kernel folds (t0+t1)+t2 in f32 and the ambiguity
+        set below is computed against that exact folded value
+      tg (64,16): same for lut_g without the gain fold
       amb_id (PAD,1) / amb_val (1,PAD): packed b1*256+b2 ids and exact
         table values of the boundary-ambiguous pairs (padded with -1/0)
     """
@@ -101,21 +106,44 @@ def formula_tables(lut_r, lut_g, lut_b, eps, gain, guard_b2: bool):
     lnr_fold = np.where(lnr <= _SYNF_SENTINEL, _SYNF_SENTINEL,
                         lnr + 10.0 * np.log(scale64))
 
+    import ml_dtypes
+
+    def split3(ln32):
+        """bf16 hi + two residual terms of an f32 plane, plus the exact
+        f32 value the kernel reconstructs as fl32((t0+t1)+t2)."""
+        t0 = ln32.astype(ml_dtypes.bfloat16).astype(np.float32)
+        r1 = ln32 - t0
+        t1 = r1.astype(ml_dtypes.bfloat16).astype(np.float32)
+        t2 = (r1 - t1).astype(ml_dtypes.bfloat16).astype(np.float32)
+        return t0, t1, t2, (t0 + t1) + t2
+
     def pack2(vals, lns):
-        m = np.empty((32, 16), np.float32)
+        m = np.empty((64, 16), np.float32)
         m[0:16] = vals.reshape(16, 16).T.astype(np.float32)  # [b, a]
-        m[16:32] = lns.reshape(16, 16).T.astype(np.float32)
-        return m
+        t0, t1, t2, dev = split3(lns.reshape(16, 16).T.astype(np.float32))
+        m[16:32], m[32:48], m[48:64] = t0, t1, t2
+        return m, dev.T.reshape(-1)  # dev back in [a*16+b] order
 
-    tr = pack2(lr, lnr_fold)
-    tg = pack2(lg, lng)
+    tr, dev_lnr = pack2(lr, lnr_fold)
+    tg, dev_lng = pack2(lg, lng)
 
-    # f64 reference formula over the full domain -> ambiguity set
+    # f64 reference formula over the full domain -> ambiguity set; ALSO
+    # evaluate with the device's exact folded f32 ln values so split
+    # rounding can never move a pair across an integer boundary silently
     a64 = np.exp(0.1 * (lnr[:, None] - lng[None, :])) * scale64
     ac = np.clip(a64, 0.0, 255.0)
     cand = np.floor(ac + 0.5).astype(np.int32)
     margin = np.abs(ac - np.floor(ac) - 0.5)
-    bad = (cand != tab.astype(np.int32)) | (margin < SYNF_MARGIN)
+    # the device computes exp(0.1*(dev_lnr - dev_lng)) with no further
+    # scaling: the gain is folded into dev_lnr (sentinel rows skip the
+    # fold, but exp(~-100) rounds to 0 under either convention)
+    a_dev = np.exp(0.1 * (dev_lnr[:, None].astype(np.float64)
+                          - dev_lng[None, :].astype(np.float64)))
+    acd = np.clip(a_dev, 0.0, 255.0)
+    cand_dev = np.floor(acd + 0.5).astype(np.int32)
+    margin_dev = np.abs(acd - np.floor(acd) - 0.5)
+    bad = ((cand != tab.astype(np.int32)) | (margin < SYNF_MARGIN)
+           | (cand_dev != tab.astype(np.int32)) | (margin_dev < SYNF_MARGIN))
     if guard_b2:
         bad[:, 0] = False  # kernel's b2==0 guard forces 0 exactly
     ids = np.nonzero(bad.reshape(-1))[0]

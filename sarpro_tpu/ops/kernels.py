@@ -603,38 +603,33 @@ def _synrgb_formula_kernel(guard_b2: bool, packed_ref, tr_ref, tg_ref,
     v1 = packed >> 8
     v2 = packed & 255
     io16 = jax.lax.broadcasted_iota(jnp.int32, (16, k), 0)
-    hi1 = ((v1 >> 4) == io16).astype(jnp.float32)  # (16, K)
+    hi1 = ((v1 >> 4) == io16).astype(jnp.bfloat16)  # (16, K)
     lo1 = ((v1 & 15) == io16).astype(jnp.float32)
-    hi2 = ((v2 >> 4) == io16).astype(jnp.float32)
+    hi2 = ((v2 >> 4) == io16).astype(jnp.bfloat16)
     lo2 = ((v2 & 15) == io16).astype(jnp.float32)
-    # stage 1, split by precision need: the VALUE rows (0:16) hold u8
-    # integers — exact in bf16 — so their select runs as a single-pass
-    # bf16 matmul (one-hot x exact ints, f32 accumulate: exact); only the
-    # LN rows (16:32) need HIGHEST (multi-pass bf16 emulation) to keep the
-    # f32 ln planes exact. Splitting halves the HIGHEST matmul's M.
-    m_rv = jax.lax.dot_general(
-        tr_ref[0:16, :], hi1, (((1,), (0,)), ((), ())),
+    # stage 1: ONE single-pass bf16 matmul per operand. The one-hot is
+    # exact in bf16 and every table row is bf16-rounded by construction
+    # (values are u8 ints; the f32 ln plane is pre-split into three bf16
+    # terms, rows 16:64 — core/synthetic_rgb.py formula_tables), so no
+    # HIGHEST multi-pass emulation is needed: M=64 in one MXU pass
+    # replaces the former 1 value pass + 6 HIGHEST passes at M=16.
+    m_r = jax.lax.dot_general(
+        tr_ref[:].astype(jnp.bfloat16), hi1, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    m_rl = jax.lax.dot_general(
-        tr_ref[16:32, :], hi1, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    m_gv = jax.lax.dot_general(
-        tg_ref[0:16, :], hi2, (((1,), (0,)), ((), ())),
+    m_g = jax.lax.dot_general(
+        tg_ref[:].astype(jnp.bfloat16), hi2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    m_gl = jax.lax.dot_general(
-        tg_ref[16:32, :], hi2, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # fold the split ln terms in f32 — (t0+t1)+t2, the exact order the
+    # table builder simulates when computing the ambiguity set
+    mr_ln = (m_r[16:32, :] + m_r[32:48, :]) + m_r[48:64, :]
+    mg_ln = (m_g[16:32, :] + m_g[32:48, :]) + m_g[48:64, :]
     # stage 2: one-nonzero f32 FMA over the 16 lo rows — exact selection
-    r = jnp.sum(m_rv * lo1, axis=0, keepdims=True)
-    lnr = jnp.sum(m_rl * lo1, axis=0, keepdims=True)
-    g = jnp.sum(m_gv * lo2, axis=0, keepdims=True)
-    lng = jnp.sum(m_gl * lo2, axis=0, keepdims=True)
+    r = jnp.sum(m_r[0:16, :] * lo1, axis=0, keepdims=True)
+    lnr = jnp.sum(mr_ln * lo1, axis=0, keepdims=True)
+    g = jnp.sum(m_g[0:16, :] * lo2, axis=0, keepdims=True)
+    lng = jnp.sum(mg_ln * lo2, axis=0, keepdims=True)
     # gain is folded into the r ln plane (lnr += 10*ln(gain))
     bf = jnp.exp((lnr - lng) * jnp.float32(0.1))
     blue = jnp.floor(jnp.clip(bf, 0.0, 255.0) + jnp.float32(0.5))
@@ -668,8 +663,8 @@ def _synrgb_formula_pallas(b1, b2, tr, tg, amb_id, amb_val, guard_b2):
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, _SYNRGB_K), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((32, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((32, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_SYNF_AMB_PAD, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _SYNF_AMB_PAD), lambda i: (0, 0),

@@ -111,8 +111,9 @@ def test_formula_f32_simulation_bit_exact():
     for (lut_r, lut_g, lut_b), eps, gain, guard in sets:
         tr, tg, amb_id, amb_val = srgb.formula_tables(
             lut_r, lut_g, lut_b, eps, gain, guard)
-        lnr = tr[16:32].T.reshape(-1)  # gain folded
-        lng = tg[16:32].T.reshape(-1)
+        # fold the three bf16 split terms exactly as the kernel does
+        lnr = ((tr[16:32] + tr[32:48]) + tr[48:64]).T.reshape(-1)  # gain folded
+        lng = ((tg[16:32] + tg[32:48]) + tg[48:64]).T.reshape(-1)
         d = (lnr[:, None] - lng[None, :]).astype(np.float32)
         bf = np.exp(np.float32(0.1) * d).astype(np.float32)
         blue = np.floor(np.clip(bf, 0.0, 255.0) + np.float32(0.5))
