@@ -301,19 +301,28 @@ def tile_histogram(bin_flat, cols, tiles_x, tiles_y, tile_h, tile_w,
 # ---------------------------------------------------------------------------
 # CLAHE bilinear CDF lookup
 # ---------------------------------------------------------------------------
-_CLAHE_K = 8192  # VMEM-bound: bf16 one-hot (256,K) + two (n_tiles,K) f32
+_CLAHE_K = 8192  # VMEM-bound: bf16 one-hot (128,K) + (band*group,K) f32 dot
 
 
 def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
                   n_bins: int, cols: int, band_ty: int, base_ref, off_ref,
-                  bin_ref, cdhi_ref, cdlo_ref, out_ref):
+                  bin_ref, cdtab_ref, out_ref):
+    # (r, c) are recovered from the flat pixel index — saves two stream
+    # inputs. The global block index streams through SMEM so chunked
+    # invocations (huge rasters) share one compiled kernel. `off_ref`
+    # carries a global row offset so row-sharded shards (shard_map)
+    # interpolate with their true raster coordinates.
+    #
+    # The CDF selection is ONE matmul: the table arrives with tile-row
+    # bands contiguous across (bin_hi half, bf16 plane) — row layout
+    # (tile_row, bin_hi, plane, tile_col) — so the banded window is a
+    # single dynamic slice and the dot runs at M = band_ty * nh * 2 *
+    # tiles_x (96 for the standard 8x8/256 grid). The previous form
+    # issued 2*nh separate M=24 dots (bh-major tables, hi/lo planes as
+    # two inputs), each using 24/128 of the systolic array's result
+    # rows — stacking them measured 1.42 -> 1.15 ms/4M, bit-identical.
     k = _CLAHE_K
     i = pl.program_id(0)
-    # recover (r, c) from the flat pixel index — saves two stream inputs.
-    # The global block index streams through SMEM so chunked invocations
-    # (huge rasters) share one compiled kernel. `off_ref` carries a global
-    # row offset so row-sharded shards (shard_map) interpolate with their
-    # true raster coordinates.
     gb = base_ref[i % 8, 0]
     off = off_ref[0, 0]
     flat = gb * k + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
@@ -333,76 +342,60 @@ def _clahe_kernel(tiles_x: int, tiles_y: int, tile_h: int, tile_w: int,
     tx1 = jnp.clip(txi + 1, 0, tiles_x - 1)
 
     nh = n_bins // LANE
-    n_tiles = tiles_x * tiles_y
+    group = nh * 2 * tiles_x  # table rows per tile-row
     if band_ty < tiles_y:
         # tile-row banding: one block spans <= tile_h-2 raster rows (host
         # guard), so every pixel's ty0/ty1 falls in a 3-tile-row window
         # anchored by the block's FIRST row — the selection matmul then
-        # contracts over band_ty*tiles_x rows instead of all n_tiles
-        # (64 -> 24 for the standard 8x8 grid). The band start is computed
-        # with the SAME f32 expression as the per-pixel path so an exact
-        # tile boundary can't disagree between the two.
+        # contracts over band_ty*group rows instead of all tiles_y*group.
+        # The band start is computed with the SAME f32 expression as the
+        # per-pixel path so an exact tile boundary can't disagree between
+        # the two.
         r0 = gb * k // cols + off
         rf0 = r0.astype(jnp.float32) / np.float32(tile_h) - 0.5
         a = jnp.clip(jnp.floor(rf0).astype(jnp.int32), 0, tiles_y - band_ty)
-        start = pl.multiple_of(a * tiles_x, tiles_x)
+        start = pl.multiple_of(a * group, group)
         ty0 = ty0 - a
         ty1 = ty1 - a
-        n_rows = band_ty * tiles_x
+        n_band = band_ty
     else:
         start = 0
-        n_rows = n_tiles
+        n_band = tiles_y
 
-    # The CDF tables arrive bh-MAJOR (nh*n_tiles, LANE): bin = bh*LANE+lo,
-    # row bh*n_tiles + tile holds bins [bh*128, bh*128+128) of that tile
-    # (round 4 — the bin's hi part folded off the contraction like the
-    # tile-histogram kernel; the one-hot build halves to 128 compare
-    # rows). Per bh half, the banded slice selects the window's tile rows
-    # and the matmul pair selects each tile's CDF at the pixel's lo bin;
-    # the bh halves then combine by a per-pixel (bh == h) blend.
-    #
-    # The bilinear weighting is applied FACTORED instead of via a
-    # materialized (n_rows, K) weight matrix: wx (tiles_x rows) multiplies
-    # tile-columns, per-tile-row partial sums reduce groups of tiles_x
-    # rows, and wy (band_ty rows) blends the tile-row sums — ~2x fewer
-    # VPU ops than the dense wmat build, numerically the same sum
-    # reassociated (the CDF values are bf16-split-reconstructed to ~1e-5,
-    # far above f32 reassociation noise). Collapsed corners (ty0==ty1 /
-    # tx0==tx1 at edges) still accumulate inside one factor, matching the
-    # reference's 4-term formula exactly. Invalid pixels carry
-    # bin == n_bins -> bh == nh matches no half: output 0 (the old
-    # all-zero-one-hot behavior).
     bins = bin_ref[:]  # (1,K)
     bh = bins // LANE
     onehot_lo = (
         (bins % LANE) == jax.lax.broadcasted_iota(jnp.int32, (LANE, k), 0)
     ).astype(jnp.bfloat16)
+    rows = cdtab_ref[pl.ds(start, n_band * group), :]
+    p = jax.lax.dot_general(  # (n_band*group, K)
+        rows.astype(jnp.bfloat16), onehot_lo,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
 
-    def sel(table_ref, h):
-        s0 = h * n_tiles + start
-        if not isinstance(s0, int):
-            # h*n_tiles is a tiles_x multiple; keep the 8-sublane
-            # alignment hint through the addition
-            s0 = pl.multiple_of(s0, tiles_x)
-        rows = table_ref[pl.ds(s0, n_rows), :]
-        return jax.lax.dot_general(
-            rows.astype(jnp.bfloat16), onehot_lo,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-
-    ptb = jnp.zeros((n_rows, k), jnp.float32)
-    for h in range(nh):
-        pt_h = sel(cdhi_ref, h) + sel(cdlo_ref, h)
-        ptb = ptb + pt_h * (bh == h).astype(jnp.float32)
-
+    # The bilinear weighting is applied FACTORED instead of via a
+    # materialized (rows, K) weight matrix: per tile-row, the two bf16
+    # planes fold and the bh halves blend by a per-pixel (bh == h) mask,
+    # then wx (tiles_x rows) multiplies tile-columns and reduces, and wy
+    # (band_ty rows) blends the tile-row sums — ~2x fewer VPU ops than a
+    # dense weight build, numerically the same sum reassociated (the CDF
+    # values are bf16-split-reconstructed to ~1e-5, far above f32
+    # reassociation noise). Collapsed corners (ty0==ty1 / tx0==tx1 at
+    # edges) still accumulate inside one factor, matching the reference's
+    # 4-term formula exactly. Invalid pixels carry bin == n_bins ->
+    # bh == nh matches no half: output 0.
     tcol8 = jax.lax.broadcasted_iota(jnp.int32, (tiles_x, k), 0)
     wx = (jnp.where(tcol8 == tx0, 1.0 - dx, 0.0)
           + jnp.where(tcol8 == tx1, dx, 0.0))
-    n_band = n_rows // tiles_x
-    wpt = jnp.concatenate([wx] * n_band, axis=0) * ptb
-    s = jnp.concatenate(
-        [jnp.sum(wpt[j * tiles_x:(j + 1) * tiles_x], axis=0, keepdims=True)
-         for j in range(n_band)], axis=0)  # (n_band, K)
+    srows = []
+    for j in range(n_band):
+        acc = jnp.zeros((tiles_x, k), jnp.float32)
+        for h in range(nh):
+            r0j = j * group + h * 2 * tiles_x
+            pt_h = p[r0j:r0j + tiles_x] + p[r0j + tiles_x:r0j + 2 * tiles_x]
+            acc = acc + pt_h * (bh == h).astype(jnp.float32)
+        srows.append(jnp.sum(wx * acc, axis=0, keepdims=True))
+    s = jnp.concatenate(srows, axis=0)  # (n_band, K)
     trowb = jax.lax.broadcasted_iota(jnp.int32, (n_band, k), 0)
     wy = (jnp.where(trowb == ty0, 1.0 - dy, 0.0)
           + jnp.where(trowb == ty1, dy, 0.0))
@@ -428,17 +421,16 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
     # 8-sublane aligned, hence tiles_x % 8.
     band_ty = 3 if (tiles_y > 3 and tiles_x % 8 == 0
                     and (_CLAHE_K - 1) // cols + 2 <= tile_h) else tiles_y
-    kern = functools.partial(_clahe_kernel, tiles_x, tiles_y, tile_h, tile_w,
-                             n_bins, cols, band_ty)
-    # (tile, bin) tables fold to bh-MAJOR (bin_hi, tile, bin_lo) rows — see
-    # the kernel's factoring comment; row bh*n_tiles+t holds bins
-    # [bh*128, bh*128+128) of tile t, so the banded window slices each bh
-    # half contiguously
+    kern = functools.partial(_clahe_kernel, tiles_x, tiles_y, tile_h,
+                             tile_w, n_bins, cols, band_ty)
     nh = n_bins // LANE
-    cdhi2 = cdhi.reshape(n_tiles, nh, LANE).transpose(1, 0, 2).reshape(
-        n_tiles * nh, LANE)
-    cdlo2 = cdlo.reshape(n_tiles, nh, LANE).transpose(1, 0, 2).reshape(
-        n_tiles * nh, LANE)
+    # combined row layout (tile_row, bin_hi, plane, tile_col): tile-row
+    # bands are contiguous across both bh halves and both bf16 planes, so
+    # the kernel's banded window is one dynamic slice / one matmul
+    cdtab = jnp.stack([
+        cdhi.reshape(tiles_y, tiles_x, nh, LANE).transpose(0, 2, 1, 3),
+        cdlo.reshape(tiles_y, tiles_x, nh, LANE).transpose(0, 2, 1, 3),
+    ], axis=2).reshape(tiles_y * nh * 2 * tiles_x, LANE)
     out = pl.pallas_call(
         kern,
         grid=(g,),
@@ -446,15 +438,13 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
             pl.BlockSpec((8, 1), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, _CLAHE_K), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles * nh, LANE), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles * nh, LANE), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tiles_y * nh * 2 * tiles_x, LANE),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _CLAHE_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, g * _CLAHE_K), jnp.float32),
-    )(base, off, b2, cdhi2, cdlo2)
+    )(base, off, b2, cdtab)
     return out.reshape(-1)[:n]
 
 
