@@ -278,8 +278,7 @@ def dct_blocks_streamed(img, chunk_rows: int = CHUNK_ROWS) -> np.ndarray:
 # host folds exactly (chunks in order, tail last), so results are
 # bit-identical to the per-chunk path.
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail"))
-def _scan_minmax(dn, chunk: int, k: int, tail: int):
+def _scan_minmax_impl(dn, chunk: int, k: int, tail: int):
     init = (jnp.int32(0), jnp.float32(np.inf), jnp.float32(-np.inf))
 
     def body(i, acc):
@@ -296,8 +295,11 @@ def _scan_minmax(dn, chunk: int, k: int, tail: int):
     return count, mn, mx
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail"))
-def _scan_stats(dn, count, mn, mx, chunk: int, k: int, tail: int):
+_scan_minmax = functools.partial(
+    jax.jit, static_argnames=("chunk", "k", "tail"))(_scan_minmax_impl)
+
+
+def _scan_stats_impl(dn, count, mn, mx, chunk: int, k: int, tail: int):
     """Histogram + centered moments over all chunks, finalized to the
     percentile dict in the same program (fused._stats_finalize)."""
     init = (jnp.zeros((NUM_BINS,), jnp.int32), jnp.float32(0.0),
@@ -314,10 +316,12 @@ def _scan_stats(dn, count, mn, mx, chunk: int, k: int, tail: int):
     return fused._stats_finalize(hist, count, mn, mx, sum_d, sum_dd)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail", "cols",
-                                             "tile_h", "tile_w"))
-def _scan_tile_hist(dn, low, high, chunk: int, k: int, tail: int, cols: int,
-                    tile_h: int, tile_w: int):
+_scan_stats = functools.partial(
+    jax.jit, static_argnames=("chunk", "k", "tail"))(_scan_stats_impl)
+
+
+def _scan_tile_hist_impl(dn, low, high, chunk: int, k: int, tail: int,
+                         cols: int, tile_h: int, tile_w: int):
     init = jnp.zeros((TILES_Y * TILES_X * CLAHE_BINS,), jnp.int32)
 
     def body(i, acc):
@@ -331,12 +335,14 @@ def _scan_tile_hist(dn, low, high, chunk: int, k: int, tail: int, cols: int,
     return hists
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0,),
-    static_argnames=("chunk", "k", "tail", "cols", "tile_h", "tile_w"))
-def _scan_apply_clahe(q16_buf, dn, low, high, max_val, cdfs, chunk: int,
-                      k: int, tail: int, cols: int, tile_h: int,
-                      tile_w: int):
+_scan_tile_hist = functools.partial(
+    jax.jit, static_argnames=("chunk", "k", "tail", "cols",
+                              "tile_h", "tile_w"))(_scan_tile_hist_impl)
+
+
+def _scan_apply_clahe_impl(q16_buf, dn, low, high, max_val, cdfs, chunk: int,
+                           k: int, tail: int, cols: int, tile_h: int,
+                           tile_w: int):
     init = (q16_buf, jnp.uint16(65535), jnp.uint16(0))
 
     def body(i, acc):
@@ -354,10 +360,14 @@ def _scan_apply_clahe(q16_buf, dn, low, high, max_val, cdfs, chunk: int,
     return buf, mn, mx
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("chunk", "k", "tail"))
-def _scan_apply_window(q16_buf, dn, low, high, gamma, max_val, chunk: int,
-                       k: int, tail: int):
+_scan_apply_clahe = functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("chunk", "k", "tail", "cols",
+                     "tile_h", "tile_w"))(_scan_apply_clahe_impl)
+
+
+def _scan_apply_window_impl(q16_buf, dn, low, high, gamma, max_val,
+                            chunk: int, k: int, tail: int):
     init = (q16_buf, jnp.uint16(65535), jnp.uint16(0))
 
     def body(i, acc):
@@ -373,9 +383,13 @@ def _scan_apply_window(q16_buf, dn, low, high, gamma, max_val, chunk: int,
     return buf, mn, mx
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("chunk", "k", "tail"))
-def _scan_apply_tamed(q16_buf, dn, low, high, chunk: int, k: int, tail: int):
+_scan_apply_window = functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("chunk", "k", "tail"))(_scan_apply_window_impl)
+
+
+def _scan_apply_tamed_impl(q16_buf, dn, low, high, chunk: int, k: int,
+                           tail: int):
     def body(i, buf):
         return _apply_tamed_chunk(buf, dn, low, high, i * chunk, chunk)
 
@@ -385,11 +399,13 @@ def _scan_apply_tamed(q16_buf, dn, low, high, chunk: int, k: int, tail: int):
     return buf
 
 
-@functools.partial(
+_scan_apply_tamed = functools.partial(
     jax.jit, donate_argnums=(0,),
-    static_argnames=("chunk", "k", "tail", "with_hist"))
-def _scan_scale_u8(u8_buf, q16_buf, mn, mx, chunk: int, k: int, tail: int,
-                   with_hist: bool):
+    static_argnames=("chunk", "k", "tail"))(_scan_apply_tamed_impl)
+
+
+def _scan_scale_u8_impl(u8_buf, q16_buf, mn, mx, chunk: int, k: int,
+                        tail: int, with_hist: bool):
     init = (u8_buf, jnp.zeros((256,), jnp.int32))
 
     def body(i, acc):
@@ -405,8 +421,12 @@ def _scan_scale_u8(u8_buf, q16_buf, mn, mx, chunk: int, k: int, tail: int,
     return buf, hist
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail"))
-def _scan_u8_hist(b, chunk: int, k: int, tail: int):
+_scan_scale_u8 = functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("chunk", "k", "tail", "with_hist"))(_scan_scale_u8_impl)
+
+
+def _scan_u8_hist_impl(b, chunk: int, k: int, tail: int):
     def body(i, acc):
         return acc + _u8_hist_chunk(b, i * chunk, chunk)
 
@@ -468,13 +488,80 @@ def _cdfs_from_hists(hists, rows_global: int, cols: int, tile_h: int,
     return fused._clahe_cdfs(hists, rows_global, cols, tile_h, tile_w)
 
 
-def _band_stats(dn, chunk_rows: int):
-    if dn.size <= _DEVICE_ACC_MAX_PIXELS:
-        rows = dn.shape[0]
-        k, tail = _plan(rows, chunk_rows)
-        count, mn, mx = _scan_minmax(dn, chunk_rows, k, tail)
-        return _scan_stats(dn, count, mn, mx, chunk_rows, k, tail)
-    return _band_stats_hostacc(dn, _chunk_starts(dn.shape[0], chunk_rows))
+# ---------------------------------------------------------------------------
+# Fused per-band programs. Each device dispatch through the axon tunnel costs
+# a ~27 ms RPC, so the streamed path packs everything between host sync
+# points into ONE program: (minmax → stats → finalize → window) and
+# (tile-hist → CDFs → apply → u16→u8 scale [+hist]). Per band that is two
+# dispatches plus at most one fetch, vs six dispatches as separate scans —
+# ~8 RPCs saved on a dual-band scene. Bit-identity with the separate scans
+# is structural (the same loop bodies compose; XLA does not reassociate
+# float reductions) and locked by tests/test_streamed.py.
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail",
+                                             "strategy", "tamed_copol"))
+def _scan_band_stats_window(dn, chunk: int, k: int, tail: int,
+                            strategy: AutoscaleStrategy,
+                            tamed_copol: bool | None):
+    count, mn, mx = _scan_minmax_impl(dn, chunk, k, tail)
+    s = _scan_stats_impl(dn, count, mn, mx, chunk, k, tail)
+    if tamed_copol is not None and strategy is AutoscaleStrategy.TAMED:
+        # band-specific tamed window (fused._band_u8 / autoscale.rs:710-742)
+        low = (jnp.minimum(s["p02"], s["p05"]) if tamed_copol else s["p05"])
+        high = s["p99"]
+        gamma = jnp.float32(1.0)
+    else:
+        low, high, gamma = fused._window(s, strategy)
+    return s, low, high, gamma
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "k", "tail", "cols", "tile_h",
+                              "tile_w", "with_hist", "to_u8"))
+def _scan_clahe_band(dn, low, high, max_val, chunk: int, k: int, tail: int,
+                     cols: int, tile_h: int, tile_w: int, with_hist: bool,
+                     to_u8: bool):
+    rows = dn.shape[0]
+    hists32 = _scan_tile_hist_impl(dn, low, high, chunk, k, tail, cols,
+                                   tile_h, tile_w)
+    cdfs = fused._clahe_cdfs(hists32, rows, cols, tile_h, tile_w)
+    q16 = jnp.zeros((rows, cols), jnp.uint16)
+    q16, mn_j, mx_j = _scan_apply_clahe_impl(q16, dn, low, high, max_val,
+                                             cdfs, chunk, k, tail, cols,
+                                             tile_h, tile_w)
+    if not to_u8:
+        return q16, jnp.zeros((256,), jnp.int32)
+    u8 = jnp.zeros((rows, cols), jnp.uint8)
+    return _scan_scale_u8_impl(u8, q16, mn_j, mx_j, chunk, k, tail,
+                               with_hist)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail",
+                                             "with_hist", "to_u8"))
+def _scan_window_band(dn, low, high, gamma, max_val, chunk: int, k: int,
+                      tail: int, with_hist: bool, to_u8: bool):
+    rows, cols = dn.shape
+    q16 = jnp.zeros((rows, cols), jnp.uint16)
+    q16, mn_j, mx_j = _scan_apply_window_impl(q16, dn, low, high, gamma,
+                                              max_val, chunk, k, tail)
+    if not to_u8:
+        return q16, jnp.zeros((256,), jnp.int32)
+    u8 = jnp.zeros((rows, cols), jnp.uint8)
+    return _scan_scale_u8_impl(u8, q16, mn_j, mx_j, chunk, k, tail,
+                               with_hist)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail",
+                                             "with_hist"))
+def _scan_tamed_band(dn, low, high, chunk: int, k: int, tail: int,
+                     with_hist: bool):
+    rows, cols = dn.shape
+    q16 = jnp.zeros((rows, cols), jnp.uint16)
+    q16 = _scan_apply_tamed_impl(q16, dn, low, high, chunk, k, tail)
+    u8 = q16.astype(jnp.uint8)
+    if with_hist:
+        return u8, _scan_u8_hist_impl(u8, chunk, k, tail)
+    return u8, jnp.zeros((256,), jnp.int32)
 
 
 def _band_stats_hostacc(dn, chunks):
@@ -546,14 +633,20 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
                      tamed_copol: bool | None = None,
                      bit_depth: BitDepth = BitDepth.U8,
                      chunk_rows: int = CHUNK_ROWS,
-                     collect_hist: bool = False):
+                     collect_hist: bool = False,
+                     device_hist: bool = False):
     """One full-res band DN → u8 (or u16 for grayscale U16), chunked.
     Semantics mirror fused._band_u8 / fused.grayscale_pipeline. With
     `collect_hist`, also returns the u8 output's 256-bin histogram
     (accumulated inside the scale pass — no extra device passes).
 
-    Every pass is one scanned device program; the whole band costs ~5
-    dispatches and at most one host fetch (the collected histogram)."""
+    Bands within the device int32-accumulation ceiling run as TWO fused
+    device programs (stats+window, then the full apply chain) and at most
+    one host fetch (the collected histogram); larger bands fall back to
+    per-chunk passes with host-int64 accumulation. With `device_hist`, a
+    device-accumulated histogram is returned as the device int32 array
+    (fetch deferred to the caller); host-accumulated bands return host
+    int64 regardless."""
     dn = jnp.asarray(dn)  # numpy input would re-upload per chunk pass
     rows, cols = dn.shape
     # per-chunk int32 reductions require chunk pixels < 2^31; a chunk never
@@ -562,10 +655,40 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
     k, tail = _plan(rows, chunk_rows)
     device_acc = dn.size <= _DEVICE_ACC_MAX_PIXELS
     chunks = _chunk_starts(rows, chunk_rows)
-    s = _band_stats(dn, chunk_rows)
+    tamed = tamed_copol is not None and strategy is AutoscaleStrategy.TAMED
 
+    if device_acc:
+        _s, low, high, gamma = _scan_band_stats_window(
+            dn, chunk_rows, k, tail, strategy, tamed_copol)
+        if tamed:
+            u8, h = _scan_tamed_band(dn, low, high, chunk_rows, k, tail,
+                                     collect_hist)
+            if not collect_hist:
+                return u8
+            return u8, (h if device_hist else
+                        np.asarray(h).astype(np.int64))
+        max_val = jnp.float32(bit_depth.max_val)
+        to_u8 = bit_depth is not BitDepth.U16
+        if strategy is AutoscaleStrategy.CLAHE:
+            tile_h = -(-rows // TILES_Y)
+            tile_w = -(-cols // TILES_X)
+            out, h = _scan_clahe_band(dn, low, high, max_val, chunk_rows, k,
+                                      tail, cols, tile_h, tile_w,
+                                      collect_hist and to_u8, to_u8)
+        else:
+            out, h = _scan_window_band(dn, low, high, gamma, max_val,
+                                       chunk_rows, k, tail,
+                                       collect_hist and to_u8, to_u8)
+        if not collect_hist:
+            return out
+        if not to_u8:
+            return out, np.zeros(256, np.int64)  # u16 never consumes this
+        return out, (h if device_hist else np.asarray(h).astype(np.int64))
+
+    # --- host-accumulation path (bands beyond the int32 device ceiling) ---
+    s = _band_stats_hostacc(dn, chunks)
     q16 = jnp.zeros((rows, cols), jnp.uint16)
-    if tamed_copol is not None and strategy is AutoscaleStrategy.TAMED:
+    if tamed:
         # band-specific tamed window goes straight to u8 with NO global
         # rescale (fused._band_u8 / autoscale.rs:710-742)
         low = jnp.where(tamed_copol, jnp.minimum(s["p02"], s["p05"]), s["p05"])
@@ -574,9 +697,6 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
         u8 = q16.astype(jnp.uint8)
         if not collect_hist:
             return u8
-        if device_acc:
-            h = _scan_u8_hist(u8, chunk_rows, k, tail)
-            return u8, np.asarray(h).astype(np.int64)
         hist = np.zeros(256, np.int64)
         for r0, n in chunks:
             hist += np.asarray(_pass_u8_hist(u8, r0, n), np.int64)
@@ -586,16 +706,12 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
     if strategy is AutoscaleStrategy.CLAHE:
         tile_h = -(-rows // TILES_Y)
         tile_w = -(-cols // TILES_X)
-        if device_acc:
-            hists32 = _scan_tile_hist(dn, low, high, chunk_rows, k, tail,
-                                      cols, tile_h, tile_w)
-        else:
-            hists = np.zeros(TILES_Y * TILES_X * CLAHE_BINS, np.int64)
-            for r0, n in chunks:
-                hists += np.asarray(
-                    _pass_tile_hist(dn, low, high, r0, n, cols, tile_h,
-                                    tile_w), np.int64)
-            hists32 = jnp.asarray(hists, jnp.int32)
+        hists = np.zeros(TILES_Y * TILES_X * CLAHE_BINS, np.int64)
+        for r0, n in chunks:
+            hists += np.asarray(
+                _pass_tile_hist(dn, low, high, r0, n, cols, tile_h,
+                                tile_w), np.int64)
+        hists32 = jnp.asarray(hists, jnp.int32)
         cdfs = _cdfs_from_hists(hists32, rows, cols, tile_h, tile_w)
         q16, mn_j, mx_j = _scan_apply_clahe(q16, dn, low, high, max_val,
                                             cdfs, chunk_rows, k, tail, cols,
@@ -613,12 +729,10 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
     # q16 min/max fold stayed on device, so this phase adds at most ONE
     # fetch (the histogram, when collected)
     u8 = jnp.zeros((rows, cols), jnp.uint8)
-    if device_acc or not collect_hist:
-        u8, h = _scan_scale_u8(u8, q16, mn_j, mx_j, chunk_rows, k, tail,
-                               collect_hist)
-        if not collect_hist:
-            return u8
-        return u8, np.asarray(h).astype(np.int64)
+    if not collect_hist:
+        u8, _h = _scan_scale_u8(u8, q16, mn_j, mx_j, chunk_rows, k, tail,
+                                False)
+        return u8
     # >int32-pixel band with a collected histogram: per-chunk passes with
     # exact host-int64 accumulation
     hist = np.zeros(256, np.int64)
@@ -655,13 +769,19 @@ def synrgb_streamed(vv_dn, vh_dn,
     if suppressed is None:
         suppressed = strategy in (AutoscaleStrategy.TAMED,
                                   AutoscaleStrategy.CLAHE)
+    # device_hist defers each band's histogram fetch until BOTH bands'
+    # programs are dispatched, so band 1's fetch rides the tunnel while
+    # band 2 computes (hostacc bands return host int64 already)
     r1 = band_u8_streamed(vv_dn, strategy, True if tamed else None,
-                          chunk_rows=chunk_rows, collect_hist=suppressed)
+                          chunk_rows=chunk_rows, collect_hist=suppressed,
+                          device_hist=True)
     r2 = band_u8_streamed(vh_dn, strategy, False if tamed else None,
-                          chunk_rows=chunk_rows, collect_hist=suppressed)
+                          chunk_rows=chunk_rows, collect_hist=suppressed,
+                          device_hist=True)
     b1, h1 = r1 if suppressed else (r1, None)
     b2, h2 = r2 if suppressed else (r2, None)
-    hist = (h1 + h2) if suppressed else None
+    hist = (np.asarray(h1).astype(np.int64)
+            + np.asarray(h2).astype(np.int64)) if suppressed else None
     if pad:
         m = max(rows, cols)
         if suppressed:
