@@ -123,7 +123,19 @@ def save_single_band_fast(
     mesh = (_build_shard_mesh(shard_devices, in_rows,
                               target_size is None and not pad)
             if shard_devices else None)
-    if mesh is not None:
+    if mesh is not None and _is_big_scene(in_rows, in_cols, target_size):
+        # big scene + mesh: the whole-block shard_map would materialize
+        # full LOCAL f32 intermediates (OOM past the fused budget per
+        # shard) — the row-sharded STREAMED programs keep per-shard HBM
+        # bounded at any shard count (core/streamed.py)
+        from .streamed import grayscale_streamed
+
+        if format is OutputFormat.JPEG:
+            gray_layout = preferred_gray_layout()
+        out = grayscale_streamed(dn, strategy=strategy, bit_depth=depth,
+                                 pad=pad, jpeg_dct=gray_layout == "dct",
+                                 mesh=mesh)
+    elif mesh is not None:
         import jax.numpy as jnp
 
         from ..parallel import sharded
@@ -223,7 +235,16 @@ def save_multiband_fast(
     meta_snapshot = metadata.copy() if (metadata is not None
                                         and write_pool is not None) else metadata
     if format is OutputFormat.TIFF:
-        if mesh is not None:
+        if mesh is not None and big:
+            # big scene + mesh: row-sharded streamed programs (bounded
+            # per-shard HBM at any shard count — see save_single_band_fast)
+            from .streamed import grayscale_streamed
+
+            gray = functools.partial(grayscale_streamed, strategy=strategy,
+                                     bit_depth=bit_depth, pad=pad, mesh=mesh)
+            b1 = np.asarray(gray(dn1))
+            b2 = np.asarray(gray(dn2))
+        elif mesh is not None:
             import jax.numpy as jnp
 
             from ..parallel import sharded
@@ -260,7 +281,15 @@ def save_multiband_fast(
             ds.flush()
             logger.info("fast: saved %s", output)
     else:
-        if mesh is not None:
+        if mesh is not None and big:
+            from .streamed import synrgb_streamed
+
+            order = ("dct" if preferred_synrgb_layout() == "dct"
+                     else "rgb")
+            rgb = np.asarray(synrgb_streamed(
+                dn1, dn2, strategy=strategy, pad=pad, layout=order,
+                mesh=mesh))
+        elif mesh is not None:
             import jax.numpy as jnp
 
             from ..parallel import sharded

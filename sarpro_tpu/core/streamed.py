@@ -38,10 +38,13 @@ Peak HBM: inputs + one q16 staging buffer + output — ~9 GB for the
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger("sarpro")
 
 from ..types import AutoscaleStrategy, BitDepth
 from .clahe import CLAHE_BINS, TILES_X, TILES_Y
@@ -91,27 +94,30 @@ def _hist_chunk(dn, mn, mx, r0, n: int):
 
 
 def _tile_hist_chunk(dn, low, high, r0, n: int, cols: int,
-                     tile_h: int, tile_w: int):
+                     tile_h: int, tile_w: int, row_base=0):
+    """`r0` slices the LOCAL raster; `r0 + row_base` is the GLOBAL row
+    offset into the CLAHE tile geometry (row_base != 0 only under the
+    row-sharded mesh path, where `dn` is one shard's block)."""
     from ..ops import tile_histogram
 
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
     norm = fused._clahe_norm(db, mask, low, high)
     bin_m = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
-                              row_offset=r0)
+                              row_offset=r0 + row_base)
     return tile_histogram(bin_m.ravel(), cols, TILES_X, TILES_Y, tile_h,
-                          tile_w, row_offset=r0, n_bins=CLAHE_BINS)
+                          tile_w, row_offset=r0 + row_base, n_bins=CLAHE_BINS)
 
 
 def _apply_clahe_chunk(q16_buf, dn, low, high, max_val, cdfs, r0, n: int,
-                       cols: int, tile_h: int, tile_w: int):
+                       cols: int, tile_h: int, tile_w: int, row_base=0):
     from ..ops import clahe_lookup
 
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
     norm = fused._clahe_norm(db, mask, low, high)
     bin_flat = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
-                                 row_offset=r0).ravel()
+                                 row_offset=r0 + row_base).ravel()
     eq = clahe_lookup(bin_flat, cdfs, cols, TILES_X, TILES_Y, tile_h,
-                      tile_w, row_offset=r0).reshape(n, cols)
+                      tile_w, row_offset=r0 + row_base).reshape(n, cols)
     q = jnp.trunc(jnp.clip(eq, 0.0, 1.0) * max_val)
     q16 = jnp.where(mask, q, 0.0).astype(jnp.uint16)
     return (jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0),
@@ -278,7 +284,10 @@ def dct_blocks_streamed(img, chunk_rows: int = CHUNK_ROWS) -> np.ndarray:
 # host folds exactly (chunks in order, tail last), so results are
 # bit-identical to the per-chunk path.
 # ---------------------------------------------------------------------------
-def _scan_minmax_impl(dn, chunk: int, k: int, tail: int):
+def _scan_minmax_raw(dn, chunk: int, k: int, tail: int):
+    """Fold WITHOUT the empty-band normalization: the row-sharded path must
+    combine the raw ±inf accumulators across shards first (a locally-empty
+    shard would otherwise clamp its min to 0 and poison the global pmin)."""
     init = (jnp.int32(0), jnp.float32(np.inf), jnp.float32(-np.inf))
 
     def body(i, acc):
@@ -289,9 +298,19 @@ def _scan_minmax_impl(dn, chunk: int, k: int, tail: int):
     if tail:
         c, a, b = _minmax_chunk(dn, k * chunk, tail)
         count, mn, mx = count + c, jnp.minimum(mn, a), jnp.maximum(mx, b)
-    # empty-band normalization (same as the host fold)
+    return count, mn, mx
+
+
+def _minmax_normalize(count, mn, mx):
+    """Empty-band normalization (same as the host fold)."""
     mn = jnp.where(count == 0, jnp.float32(0.0), mn)
     mx = jnp.where(count == 0, jnp.float32(0.0), mx)
+    return mn, mx
+
+
+def _scan_minmax_impl(dn, chunk: int, k: int, tail: int):
+    count, mn, mx = _scan_minmax_raw(dn, chunk, k, tail)
+    mn, mx = _minmax_normalize(count, mn, mx)
     return count, mn, mx
 
 
@@ -299,9 +318,9 @@ _scan_minmax = functools.partial(
     jax.jit, static_argnames=("chunk", "k", "tail"))(_scan_minmax_impl)
 
 
-def _scan_stats_impl(dn, count, mn, mx, chunk: int, k: int, tail: int):
-    """Histogram + centered moments over all chunks, finalized to the
-    percentile dict in the same program (fused._stats_finalize)."""
+def _scan_stats_raw(dn, mn, mx, chunk: int, k: int, tail: int):
+    """Histogram + centered-moment fold over all chunks (pre-finalize: the
+    row-sharded path psums these across shards before the shared finalize)."""
     init = (jnp.zeros((NUM_BINS,), jnp.int32), jnp.float32(0.0),
             jnp.float32(0.0))
 
@@ -313,6 +332,13 @@ def _scan_stats_impl(dn, count, mn, mx, chunk: int, k: int, tail: int):
     if tail:
         h, sd, sdd = _hist_chunk(dn, mn, mx, k * chunk, tail)
         hist, sum_d, sum_dd = hist + h, sum_d + sd, sum_dd + sdd
+    return hist, sum_d, sum_dd
+
+
+def _scan_stats_impl(dn, count, mn, mx, chunk: int, k: int, tail: int):
+    """Histogram + centered moments over all chunks, finalized to the
+    percentile dict in the same program (fused._stats_finalize)."""
+    hist, sum_d, sum_dd = _scan_stats_raw(dn, mn, mx, chunk, k, tail)
     return fused._stats_finalize(hist, count, mn, mx, sum_d, sum_dd)
 
 
@@ -321,17 +347,17 @@ _scan_stats = functools.partial(
 
 
 def _scan_tile_hist_impl(dn, low, high, chunk: int, k: int, tail: int,
-                         cols: int, tile_h: int, tile_w: int):
+                         cols: int, tile_h: int, tile_w: int, row_base=0):
     init = jnp.zeros((TILES_Y * TILES_X * CLAHE_BINS,), jnp.int32)
 
     def body(i, acc):
         return acc + _tile_hist_chunk(dn, low, high, i * chunk, chunk, cols,
-                                      tile_h, tile_w)
+                                      tile_h, tile_w, row_base)
 
     hists = jax.lax.fori_loop(0, k, body, init)
     if tail:
         hists = hists + _tile_hist_chunk(dn, low, high, k * chunk, tail,
-                                         cols, tile_h, tile_w)
+                                         cols, tile_h, tile_w, row_base)
     return hists
 
 
@@ -342,20 +368,20 @@ _scan_tile_hist = functools.partial(
 
 def _scan_apply_clahe_impl(q16_buf, dn, low, high, max_val, cdfs, chunk: int,
                            k: int, tail: int, cols: int, tile_h: int,
-                           tile_w: int):
+                           tile_w: int, row_base=0):
     init = (q16_buf, jnp.uint16(65535), jnp.uint16(0))
 
     def body(i, acc):
         buf, a, b = _apply_clahe_chunk(acc[0], dn, low, high, max_val, cdfs,
                                        i * chunk, chunk, cols, tile_h,
-                                       tile_w)
+                                       tile_w, row_base)
         return buf, jnp.minimum(acc[1], a), jnp.maximum(acc[2], b)
 
     buf, mn, mx = jax.lax.fori_loop(0, k, body, init)
     if tail:
         buf, a, b = _apply_clahe_chunk(buf, dn, low, high, max_val, cdfs,
                                        k * chunk, tail, cols, tile_h,
-                                       tile_w)
+                                       tile_w, row_base)
         mn, mx = jnp.minimum(mn, a), jnp.maximum(mx, b)
     return buf, mn, mx
 
@@ -564,6 +590,123 @@ def _scan_tamed_band(dn, low, high, chunk: int, k: int, tail: int,
     return u8, jnp.zeros((256,), jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Row-sharded band program (the multi-chip story for scenes whose PER-SHARD
+# block still exceeds the fused single-program HBM budget; SURVEY §2.5).
+# Each device scans ITS row block with the same chunk bodies; the reduction
+# points become collectives over ICI: psum for the integer histograms /
+# counts / moments, pmin/pmax for the dB and q16 extrema. CLAHE tile
+# geometry stays GLOBAL — the chunk bodies take `row_base = axis_index *
+# local_rows` so bin/tile assignment is identical to the unsharded scan.
+# Integer reductions and min/max combine exactly, so every strategy except
+# Adaptive is BYTE-IDENTICAL to the unsharded streamed path (Adaptive
+# differs only through the f32 moment-summation order — same contract as
+# parallel/sharded.py, tests/test_streamed_sharded.py).
+# ---------------------------------------------------------------------------
+def _sharded_band_body(dn_l, chunk: int, k: int, tail: int,
+                       strategy: AutoscaleStrategy,
+                       tamed_copol: bool | None, max_val: float,
+                       to_u8: bool, with_hist: bool, cols: int,
+                       tile_h: int, tile_w: int, rows_g: int, local: int,
+                       axis: str):
+    count, mn, mx = _scan_minmax_raw(dn_l, chunk, k, tail)
+    count = jax.lax.psum(count, axis)
+    mn = jax.lax.pmin(mn, axis)
+    mx = jax.lax.pmax(mx, axis)
+    mn, mx = _minmax_normalize(count, mn, mx)
+    hist, sd, sdd = _scan_stats_raw(dn_l, mn, mx, chunk, k, tail)
+    s = fused._stats_finalize(
+        jax.lax.psum(hist, axis), count, mn, mx,
+        jax.lax.psum(sd, axis), jax.lax.psum(sdd, axis))
+
+    if tamed_copol is not None and strategy is AutoscaleStrategy.TAMED:
+        low = (jnp.minimum(s["p02"], s["p05"]) if tamed_copol else s["p05"])
+        high = s["p99"]
+        q16 = jnp.zeros((local, cols), jnp.uint16)
+        q16 = _scan_apply_tamed_impl(q16, dn_l, low, high, chunk, k, tail)
+        u8 = q16.astype(jnp.uint8)
+        h = (jax.lax.psum(_scan_u8_hist_impl(u8, chunk, k, tail), axis)
+             if with_hist else jnp.zeros((256,), jnp.int32))
+        return u8, h
+
+    low, high, gamma = fused._window(s, strategy)
+    mv = jnp.float32(max_val)
+    q16 = jnp.zeros((local, cols), jnp.uint16)
+    if strategy is AutoscaleStrategy.CLAHE:
+        row_base = jax.lax.axis_index(axis).astype(jnp.int32) * local
+        hists = jax.lax.psum(
+            _scan_tile_hist_impl(dn_l, low, high, chunk, k, tail, cols,
+                                 tile_h, tile_w, row_base), axis)
+        cdfs = fused._clahe_cdfs(hists, rows_g, cols, tile_h, tile_w)
+        q16, mn_j, mx_j = _scan_apply_clahe_impl(
+            q16, dn_l, low, high, mv, cdfs, chunk, k, tail, cols, tile_h,
+            tile_w, row_base)
+    else:
+        q16, mn_j, mx_j = _scan_apply_window_impl(
+            q16, dn_l, low, high, gamma, mv, chunk, k, tail)
+    # q16 extrema combine exactly; int32 carries the u16 range losslessly
+    # (uint16 is not a portable collective dtype on all backends)
+    mn_j = jax.lax.pmin(mn_j.astype(jnp.int32), axis)
+    mx_j = jax.lax.pmax(mx_j.astype(jnp.int32), axis)
+    if not to_u8:
+        return q16, jnp.zeros((256,), jnp.int32)
+    u8 = jnp.zeros((local, cols), jnp.uint8)
+    u8, h = _scan_scale_u8_impl(u8, q16, mn_j, mx_j, chunk, k, tail,
+                                with_hist)
+    return u8, (jax.lax.psum(h, axis) if with_hist else h)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "k", "tail", "strategy", "tamed_copol",
+                     "max_val", "to_u8", "with_hist", "cols", "tile_h",
+                     "tile_w", "rows_g", "local", "mesh"))
+def _sharded_band_program(dn, chunk: int, k: int, tail: int,
+                          strategy: AutoscaleStrategy,
+                          tamed_copol: bool | None, max_val: float,
+                          to_u8: bool, with_hist: bool, cols: int,
+                          tile_h: int, tile_w: int, rows_g: int,
+                          local: int, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    def per_device(dn_l):
+        return _sharded_band_body(
+            dn_l, chunk, k, tail, strategy, tamed_copol, max_val, to_u8,
+            with_hist, cols, tile_h, tile_w, rows_g, local, "row")
+
+    return jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P("row", None),),
+        out_specs=(P("row", None), P()),
+        check_vma=False,
+    )(dn)
+
+
+def _band_u8_streamed_sharded(dn, strategy: AutoscaleStrategy,
+                              tamed_copol: bool | None,
+                              bit_depth: BitDepth, chunk_rows: int,
+                              collect_hist: bool, mesh):
+    """Row-sharded variant of the device-accumulation fast path: ONE
+    shard_map program per band (stats+window+apply fused; collectives at
+    the reduction points). Returns (out, hist) with `out` row-sharded on
+    the mesh and `hist` a replicated device int32 array."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rows, cols = dn.shape
+    n = mesh.shape["row"]
+    local = rows // n
+    dn = jax.device_put(dn, NamedSharding(mesh, P("row", None)))
+    chunk = max(min(chunk_rows, local, (2**31 - 1) // max(cols, 1)), 1)
+    k, tail = _plan(local, chunk)
+    to_u8 = bit_depth is not BitDepth.U16
+    tile_h = -(-rows // TILES_Y)
+    tile_w = -(-cols // TILES_X)
+    return _sharded_band_program(
+        dn, chunk, k, tail, strategy, tamed_copol,
+        float(bit_depth.max_val), to_u8, collect_hist and to_u8, cols,
+        tile_h, tile_w, rows, local, mesh)
+
+
 def _band_stats_hostacc(dn, chunks):
     count = np.int64(0)
     mn = np.float32(np.inf)
@@ -634,7 +777,8 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
                      bit_depth: BitDepth = BitDepth.U8,
                      chunk_rows: int = CHUNK_ROWS,
                      collect_hist: bool = False,
-                     device_hist: bool = False):
+                     device_hist: bool = False,
+                     mesh=None):
     """One full-res band DN → u8 (or u16 for grayscale U16), chunked.
     Semantics mirror fused._band_u8 / fused.grayscale_pipeline. With
     `collect_hist`, also returns the u8 output's 256-bin histogram
@@ -646,7 +790,14 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
     per-chunk passes with host-int64 accumulation. With `device_hist`, a
     device-accumulated histogram is returned as the device int32 array
     (fetch deferred to the caller); host-accumulated bands return host
-    int64 regardless."""
+    int64 regardless.
+
+    With `mesh` (a 'row'-axis device mesh), the band row-shards across the
+    devices and runs ONE shard_map program with collectives at the
+    reduction points — every strategy except Adaptive stays byte-identical
+    (see _sharded_band_body). Falls back to unsharded when the rows don't
+    split evenly or the band exceeds the int32 device-accumulation
+    ceiling."""
     dn = jnp.asarray(dn)  # numpy input would re-upload per chunk pass
     rows, cols = dn.shape
     # per-chunk int32 reductions require chunk pixels < 2^31; a chunk never
@@ -656,6 +807,23 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
     device_acc = dn.size <= _DEVICE_ACC_MAX_PIXELS
     chunks = _chunk_starts(rows, chunk_rows)
     tamed = tamed_copol is not None and strategy is AutoscaleStrategy.TAMED
+
+    if mesh is not None:
+        n = mesh.shape.get("row", 1)
+        if device_acc and n >= 2 and rows % n == 0:
+            out, h = _band_u8_streamed_sharded(
+                dn, strategy, tamed_copol, bit_depth, chunk_rows,
+                collect_hist, mesh)
+            if not collect_hist:
+                return out
+            to_u8 = tamed or bit_depth is not BitDepth.U16
+            if not to_u8:
+                return out, np.zeros(256, np.int64)
+            return out, (h if device_hist else
+                         np.asarray(h).astype(np.int64))
+        logger.warning(
+            "streamed: %d rows don't shard over %d 'row' devices (or band "
+            "exceeds the int32 device ceiling); running unsharded", rows, n)
 
     if device_acc:
         _s, low, high, gamma = _scan_band_stats_window(
@@ -755,13 +923,18 @@ def _suppressed_floor_host(hist: np.ndarray, total_pixels: int):
 def synrgb_streamed(vv_dn, vh_dn,
                     strategy: AutoscaleStrategy = AutoscaleStrategy.CLAHE,
                     suppressed: bool | None = None, pad: bool = False,
-                    chunk_rows: int = CHUNK_ROWS, layout: str = "rgb"):
+                    chunk_rows: int = CHUNK_ROWS, layout: str = "rgb",
+                    mesh=None):
     """Full-res dual-pol DN → synthetic-RGB u8, chunked multi-pass.
     Matches fused.synrgb_pipeline(target_size=None) semantics.
 
     `layout="dct"` appends the chunked device JPEG front-end and returns
     the host int16 coefficient array for the entropy-only encoder (same
-    contract as fused channel_order="dct")."""
+    contract as fused channel_order="dct").
+
+    With `mesh`, the heavy per-band work row-shards across the devices
+    (see band_u8_streamed); the cheap u8 pad/compose/DCT tail runs on the
+    sharded bands with XLA-propagated shardings."""
     vv_dn = jnp.asarray(vv_dn)
     vh_dn = jnp.asarray(vh_dn)
     rows, cols = vv_dn.shape
@@ -774,10 +947,10 @@ def synrgb_streamed(vv_dn, vh_dn,
     # band 2 computes (hostacc bands return host int64 already)
     r1 = band_u8_streamed(vv_dn, strategy, True if tamed else None,
                           chunk_rows=chunk_rows, collect_hist=suppressed,
-                          device_hist=True)
+                          device_hist=True, mesh=mesh)
     r2 = band_u8_streamed(vh_dn, strategy, False if tamed else None,
                           chunk_rows=chunk_rows, collect_hist=suppressed,
-                          device_hist=True)
+                          device_hist=True, mesh=mesh)
     b1, h1 = r1 if suppressed else (r1, None)
     b2, h2 = r2 if suppressed else (r2, None)
     hist = (np.asarray(h1).astype(np.int64)
@@ -823,16 +996,21 @@ def synrgb_streamed(vv_dn, vh_dn,
 
 def grayscale_streamed(dn, strategy: AutoscaleStrategy = AutoscaleStrategy.STANDARD,
                        bit_depth: BitDepth = BitDepth.U8, pad: bool = False,
-                       chunk_rows: int = CHUNK_ROWS, jpeg_dct: bool = False):
+                       chunk_rows: int = CHUNK_ROWS, jpeg_dct: bool = False,
+                       mesh=None):
     """Full-res single-band DN → u8/u16 grayscale, chunked multi-pass.
     Matches fused.grayscale_pipeline(target_size=None) semantics.
 
     `jpeg_dct` (U8 only) appends the chunked device JPEG front-end and
     returns the (BH, BW, 8, 8) int16 host coefficient array (same contract
-    as fused grayscale_pipeline(jpeg_dct=True))."""
+    as fused grayscale_pipeline(jpeg_dct=True)).
+
+    With `mesh`, the band row-shards across the devices
+    (see band_u8_streamed)."""
     dn = jnp.asarray(dn)
     rows, cols = dn.shape
-    out = band_u8_streamed(dn, strategy, None, bit_depth, chunk_rows)
+    out = band_u8_streamed(dn, strategy, None, bit_depth, chunk_rows,
+                           mesh=mesh)
     if pad:
         out = fused._pad_square(out, rows, cols)
     if jpeg_dct:
