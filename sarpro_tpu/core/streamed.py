@@ -515,128 +515,64 @@ def _cdfs_from_hists(hists, rows_global: int, cols: int, tile_h: int,
 
 
 # ---------------------------------------------------------------------------
-# Fused per-band programs. Each device dispatch through the axon tunnel costs
-# a ~27 ms RPC, so the streamed path packs everything between host sync
-# points into ONE program: (minmax → stats → finalize → window) and
-# (tile-hist → CDFs → apply → u16→u8 scale [+hist]). Per band that is two
-# dispatches plus at most one fetch, vs six dispatches as separate scans —
-# ~8 RPCs saved on a dual-band scene. Bit-identity with the separate scans
+# Fused per-band program. Each device dispatch through the axon tunnel costs
+# a ~27 ms RPC, so the streamed path packs a band's ENTIRE chain — minmax →
+# stats → finalize → window → (tile-hist → CDFs →) apply → u16→u8 scale
+# [+hist] — into ONE program: one dispatch plus at most one fetch per band,
+# vs six dispatches as separate scans. Bit-identity with the separate scans
 # is structural (the same loop bodies compose; XLA does not reassociate
 # float reductions) and locked by tests/test_streamed.py.
+#
+# The SAME body serves the row-sharded mesh mode (`axis` set, run inside
+# shard_map): the reduction points become collectives over ICI — psum for
+# the integer histograms / counts / moments, pmin/pmax for the extrema —
+# and the CLAHE chunk bodies take `row_base = axis_index · local_rows` so
+# bin/tile assignment is identical to the unsharded scan. Integer
+# reductions and min/max combine exactly, so every strategy except
+# Adaptive is BYTE-IDENTICAL across shard counts (Adaptive differs only
+# through the f32 moment-summation order — same contract as
+# parallel/sharded.py; tests/test_streamed_sharded.py).
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail",
-                                             "strategy", "tamed_copol"))
-def _scan_band_stats_window(dn, chunk: int, k: int, tail: int,
-                            strategy: AutoscaleStrategy,
-                            tamed_copol: bool | None):
-    count, mn, mx = _scan_minmax_impl(dn, chunk, k, tail)
-    s = _scan_stats_impl(dn, count, mn, mx, chunk, k, tail)
-    if tamed_copol is not None and strategy is AutoscaleStrategy.TAMED:
-        # band-specific tamed window (fused._band_u8 / autoscale.rs:710-742)
-        low = (jnp.minimum(s["p02"], s["p05"]) if tamed_copol else s["p05"])
-        high = s["p99"]
-        gamma = jnp.float32(1.0)
-    else:
-        low, high, gamma = fused._window(s, strategy)
-    return s, low, high, gamma
-
-
-@functools.partial(
-    jax.jit, static_argnames=("chunk", "k", "tail", "cols", "tile_h",
-                              "tile_w", "with_hist", "to_u8"))
-def _scan_clahe_band(dn, low, high, max_val, chunk: int, k: int, tail: int,
-                     cols: int, tile_h: int, tile_w: int, with_hist: bool,
-                     to_u8: bool):
-    rows = dn.shape[0]
-    hists32 = _scan_tile_hist_impl(dn, low, high, chunk, k, tail, cols,
-                                   tile_h, tile_w)
-    cdfs = fused._clahe_cdfs(hists32, rows, cols, tile_h, tile_w)
-    q16 = jnp.zeros((rows, cols), jnp.uint16)
-    q16, mn_j, mx_j = _scan_apply_clahe_impl(q16, dn, low, high, max_val,
-                                             cdfs, chunk, k, tail, cols,
-                                             tile_h, tile_w)
-    if not to_u8:
-        return q16, jnp.zeros((256,), jnp.int32)
-    u8 = jnp.zeros((rows, cols), jnp.uint8)
-    return _scan_scale_u8_impl(u8, q16, mn_j, mx_j, chunk, k, tail,
-                               with_hist)
-
-
-@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail",
-                                             "with_hist", "to_u8"))
-def _scan_window_band(dn, low, high, gamma, max_val, chunk: int, k: int,
-                      tail: int, with_hist: bool, to_u8: bool):
-    rows, cols = dn.shape
-    q16 = jnp.zeros((rows, cols), jnp.uint16)
-    q16, mn_j, mx_j = _scan_apply_window_impl(q16, dn, low, high, gamma,
-                                              max_val, chunk, k, tail)
-    if not to_u8:
-        return q16, jnp.zeros((256,), jnp.int32)
-    u8 = jnp.zeros((rows, cols), jnp.uint8)
-    return _scan_scale_u8_impl(u8, q16, mn_j, mx_j, chunk, k, tail,
-                               with_hist)
-
-
-@functools.partial(jax.jit, static_argnames=("chunk", "k", "tail",
-                                             "with_hist"))
-def _scan_tamed_band(dn, low, high, chunk: int, k: int, tail: int,
-                     with_hist: bool):
-    rows, cols = dn.shape
-    q16 = jnp.zeros((rows, cols), jnp.uint16)
-    q16 = _scan_apply_tamed_impl(q16, dn, low, high, chunk, k, tail)
-    u8 = q16.astype(jnp.uint8)
-    if with_hist:
-        return u8, _scan_u8_hist_impl(u8, chunk, k, tail)
-    return u8, jnp.zeros((256,), jnp.int32)
-
-
-# ---------------------------------------------------------------------------
-# Row-sharded band program (the multi-chip story for scenes whose PER-SHARD
-# block still exceeds the fused single-program HBM budget; SURVEY §2.5).
-# Each device scans ITS row block with the same chunk bodies; the reduction
-# points become collectives over ICI: psum for the integer histograms /
-# counts / moments, pmin/pmax for the dB and q16 extrema. CLAHE tile
-# geometry stays GLOBAL — the chunk bodies take `row_base = axis_index *
-# local_rows` so bin/tile assignment is identical to the unsharded scan.
-# Integer reductions and min/max combine exactly, so every strategy except
-# Adaptive is BYTE-IDENTICAL to the unsharded streamed path (Adaptive
-# differs only through the f32 moment-summation order — same contract as
-# parallel/sharded.py, tests/test_streamed_sharded.py).
-# ---------------------------------------------------------------------------
-def _sharded_band_body(dn_l, chunk: int, k: int, tail: int,
-                       strategy: AutoscaleStrategy,
-                       tamed_copol: bool | None, max_val: float,
-                       to_u8: bool, with_hist: bool, cols: int,
-                       tile_h: int, tile_w: int, rows_g: int, local: int,
-                       axis: str):
+def _band_body(dn_l, chunk: int, k: int, tail: int,
+               strategy: AutoscaleStrategy, tamed_copol: bool | None,
+               max_val: float, to_u8: bool, with_hist: bool, cols: int,
+               tile_h: int, tile_w: int, rows_g: int, local: int,
+               axis: str | None):
     count, mn, mx = _scan_minmax_raw(dn_l, chunk, k, tail)
-    count = jax.lax.psum(count, axis)
-    mn = jax.lax.pmin(mn, axis)
-    mx = jax.lax.pmax(mx, axis)
+    if axis is not None:
+        count = jax.lax.psum(count, axis)
+        mn = jax.lax.pmin(mn, axis)
+        mx = jax.lax.pmax(mx, axis)
     mn, mx = _minmax_normalize(count, mn, mx)
     hist, sd, sdd = _scan_stats_raw(dn_l, mn, mx, chunk, k, tail)
-    s = fused._stats_finalize(
-        jax.lax.psum(hist, axis), count, mn, mx,
-        jax.lax.psum(sd, axis), jax.lax.psum(sdd, axis))
+    if axis is not None:
+        hist = jax.lax.psum(hist, axis)
+        sd = jax.lax.psum(sd, axis)
+        sdd = jax.lax.psum(sdd, axis)
+    s = fused._stats_finalize(hist, count, mn, mx, sd, sdd)
 
     if tamed_copol is not None and strategy is AutoscaleStrategy.TAMED:
+        # band-specific tamed window (fused._band_u8 / autoscale.rs:710-742)
         low = (jnp.minimum(s["p02"], s["p05"]) if tamed_copol else s["p05"])
         high = s["p99"]
         q16 = jnp.zeros((local, cols), jnp.uint16)
         q16 = _scan_apply_tamed_impl(q16, dn_l, low, high, chunk, k, tail)
         u8 = q16.astype(jnp.uint8)
-        h = (jax.lax.psum(_scan_u8_hist_impl(u8, chunk, k, tail), axis)
-             if with_hist else jnp.zeros((256,), jnp.int32))
-        return u8, h
+        if not with_hist:
+            return u8, jnp.zeros((256,), jnp.int32)
+        h = _scan_u8_hist_impl(u8, chunk, k, tail)
+        return u8, (jax.lax.psum(h, axis) if axis is not None else h)
 
     low, high, gamma = fused._window(s, strategy)
     mv = jnp.float32(max_val)
     q16 = jnp.zeros((local, cols), jnp.uint16)
     if strategy is AutoscaleStrategy.CLAHE:
-        row_base = jax.lax.axis_index(axis).astype(jnp.int32) * local
-        hists = jax.lax.psum(
-            _scan_tile_hist_impl(dn_l, low, high, chunk, k, tail, cols,
-                                 tile_h, tile_w, row_base), axis)
+        row_base = (jax.lax.axis_index(axis).astype(jnp.int32) * local
+                    if axis is not None else 0)
+        hists = _scan_tile_hist_impl(dn_l, low, high, chunk, k, tail, cols,
+                                     tile_h, tile_w, row_base)
+        if axis is not None:
+            hists = jax.lax.psum(hists, axis)
         cdfs = fused._clahe_cdfs(hists, rows_g, cols, tile_h, tile_w)
         q16, mn_j, mx_j = _scan_apply_clahe_impl(
             q16, dn_l, low, high, mv, cdfs, chunk, k, tail, cols, tile_h,
@@ -645,15 +581,28 @@ def _sharded_band_body(dn_l, chunk: int, k: int, tail: int,
         q16, mn_j, mx_j = _scan_apply_window_impl(
             q16, dn_l, low, high, gamma, mv, chunk, k, tail)
     # q16 extrema combine exactly; int32 carries the u16 range losslessly
-    # (uint16 is not a portable collective dtype on all backends)
-    mn_j = jax.lax.pmin(mn_j.astype(jnp.int32), axis)
-    mx_j = jax.lax.pmax(mx_j.astype(jnp.int32), axis)
+    # (uint16 is not a portable collective dtype on all backends; the scale
+    # body converts to f32 either way)
+    mn_j = mn_j.astype(jnp.int32)
+    mx_j = mx_j.astype(jnp.int32)
+    if axis is not None:
+        mn_j = jax.lax.pmin(mn_j, axis)
+        mx_j = jax.lax.pmax(mx_j, axis)
     if not to_u8:
         return q16, jnp.zeros((256,), jnp.int32)
     u8 = jnp.zeros((local, cols), jnp.uint8)
     u8, h = _scan_scale_u8_impl(u8, q16, mn_j, mx_j, chunk, k, tail,
                                 with_hist)
-    return u8, (jax.lax.psum(h, axis) if with_hist else h)
+    if with_hist and axis is not None:
+        h = jax.lax.psum(h, axis)
+    return u8, h
+
+
+_scan_band_full = functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "k", "tail", "strategy", "tamed_copol",
+                     "max_val", "to_u8", "with_hist", "cols", "tile_h",
+                     "tile_w", "rows_g", "local", "axis"))(_band_body)
 
 
 @functools.partial(
@@ -667,10 +616,12 @@ def _sharded_band_program(dn, chunk: int, k: int, tail: int,
                           to_u8: bool, with_hist: bool, cols: int,
                           tile_h: int, tile_w: int, rows_g: int,
                           local: int, mesh):
+    """Row-sharded band program: _band_body under shard_map with the
+    'row' mesh axis as its collective axis (SURVEY §2.5)."""
     from jax.sharding import PartitionSpec as P
 
     def per_device(dn_l):
-        return _sharded_band_body(
+        return _band_body(
             dn_l, chunk, k, tail, strategy, tamed_copol, max_val, to_u8,
             with_hist, cols, tile_h, tile_w, rows_g, local, "row")
 
@@ -784,8 +735,8 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
     `collect_hist`, also returns the u8 output's 256-bin histogram
     (accumulated inside the scale pass — no extra device passes).
 
-    Bands within the device int32-accumulation ceiling run as TWO fused
-    device programs (stats+window, then the full apply chain) and at most
+    Bands within the device int32-accumulation ceiling run as ONE fused
+    device program (stats → window → apply chain, _band_body) and at most
     one host fetch (the collected histogram); larger bands fall back to
     per-chunk passes with host-int64 accumulation. With `device_hist`, a
     device-accumulated histogram is returned as the device int32 array
@@ -826,27 +777,14 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
             "exceeds the int32 device ceiling); running unsharded", rows, n)
 
     if device_acc:
-        _s, low, high, gamma = _scan_band_stats_window(
-            dn, chunk_rows, k, tail, strategy, tamed_copol)
-        if tamed:
-            u8, h = _scan_tamed_band(dn, low, high, chunk_rows, k, tail,
-                                     collect_hist)
-            if not collect_hist:
-                return u8
-            return u8, (h if device_hist else
-                        np.asarray(h).astype(np.int64))
-        max_val = jnp.float32(bit_depth.max_val)
-        to_u8 = bit_depth is not BitDepth.U16
-        if strategy is AutoscaleStrategy.CLAHE:
-            tile_h = -(-rows // TILES_Y)
-            tile_w = -(-cols // TILES_X)
-            out, h = _scan_clahe_band(dn, low, high, max_val, chunk_rows, k,
-                                      tail, cols, tile_h, tile_w,
-                                      collect_hist and to_u8, to_u8)
-        else:
-            out, h = _scan_window_band(dn, low, high, gamma, max_val,
-                                       chunk_rows, k, tail,
-                                       collect_hist and to_u8, to_u8)
+        # the whole band — stats, window, apply, scale — is ONE dispatch
+        to_u8 = tamed or bit_depth is not BitDepth.U16
+        tile_h = -(-rows // TILES_Y)
+        tile_w = -(-cols // TILES_X)
+        out, h = _scan_band_full(
+            dn, chunk_rows, k, tail, strategy, tamed_copol,
+            float(bit_depth.max_val), bit_depth is not BitDepth.U16,
+            collect_hist and to_u8, cols, tile_h, tile_w, rows, rows, None)
         if not collect_hist:
             return out
         if not to_u8:
