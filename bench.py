@@ -40,9 +40,15 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent
 BASELINE_NO_WARP_MS = 348.21  # reference README.md:63, --target-crs none
+# The reference's HEADLINE configuration: same scene WITH reprojection +
+# padding (tamed autoscale, cubic) in ~1.5 s (README.md:8,63). The with-warp
+# arm below measures our framework on those terms.
+BASELINE_WITH_WARP_MS = 1500.0
 # 32 MB h2d + d2h at ~16 GB/s; the 'dct' layout fetches int16 coefficient
 # blocks (25 MB) instead of u8 YCbCr planes (12.6 MB) — charge for it
 PCIE_ALLOWANCE_MS = {"dct": 4.0}  # default 3.0 for u8-image layouts
+# warp arm: 2x ~23 MB f32 mid planes h2d + 25 MB dct coefficient fetch
+PCIE_ALLOWANCE_WARP_MS = 5.0
 
 
 def _p50(fn, n, warmup=1):
@@ -276,6 +282,11 @@ def degraded_main(outage: str) -> None:
             },
             "carried_device_terms_from": carried_from,
             **carried_extra,
+            "with_warp": (
+                {**last["extra"]["with_warp"], "carried": True,
+                 "carried_from": carried_from}
+                if last is not None and "with_warp" in last.get("extra", {})
+                else None),
             "host_read_floor_ms": round(floor_ms, 1),
             "read_reduce_vs_floor": round(read["ms"] / floor_ms, 2)
             if floor_ms == floor_ms else None,
@@ -433,6 +444,46 @@ def main():
             k: bool(v < 150.0) for k, v in projected.items()},
     }
 
+    # ---- 5. with-warp arm: the reference's ACTUAL headline config ---------
+    # (VERDICT r4 item 1: dual 400MP GRD -> auto-UTM reprojection + padding
+    # -> 2048 tamed synRGB JPEG, ~1.5 s on the reference machine)
+    wb = e2e_mod.run_breakdown_warp()
+    e2e_warp = e2e_mod.run_e2e_warp(runs=2)
+    est_warp = (wb["read_reduce_ms"] + wb["auto_crs_ms"] + wb["warp_plan_ms"]
+                + wb["device_tail_ms"] + wb["jpeg_write_ms"]
+                + PCIE_ALLOWANCE_WARP_MS)
+    warp_host_fixed = (wb["auto_crs_ms"] + wb["warp_plan_ms"]
+                       + wb["device_tail_ms"] + PCIE_ALLOWANCE_WARP_MS)
+    wread = wb["host_stage_stats"]["read_reduce"]["min_ms"]
+    projected_warp = {}
+    for n in (1, 2, 4, 8, 12):
+        ent_n = ent_min / n + (concat_ms if n > 1 else 0.0)
+        projected_warp[f"{n}c_dram_fixed"] = round(
+            max(floor_ms, wread / n) + warp_host_fixed + ent_n, 1)
+        read_b = max(floor_ms / 2.0, wread / n) if n >= 2 else wread
+        projected_warp[f"{n}c_dram_2x"] = round(
+            read_b + warp_host_fixed + ent_n, 1)
+    with_warp = {
+        "estimate_ms": round(est_warp, 1),
+        "vs_baseline_with_warp": round(BASELINE_WITH_WARP_MS / est_warp, 2),
+        "baseline_ms": BASELINE_WITH_WARP_MS,
+        "baseline_source": "reference README.md:8,63 — ~1.5 s dual-band "
+                           "400MP -> 2048 synRGB JPEG with reprojection + "
+                           "padding, tamed, cubic, 12-core M4 Pro",
+        "breakdown": wb,
+        "pcie_allowance_ms": PCIE_ALLOWANCE_WARP_MS,
+        "e2e_raw_tunnel_p50_ms": round(e2e_warp["p50_ms"], 1),
+        "e2e_raw_tunnel_times_ms": e2e_warp["times_ms"],
+        "vs_baseline_raw_tunnel": round(
+            BASELINE_WITH_WARP_MS / e2e_warp["p50_ms"], 2),
+        "projected_multicore_ms": projected_warp,
+        "note": "same composition conventions as the no-warp arm: host "
+                "stages min-of-reps over two subprocess windows, device "
+                "chain rep-differenced in one jit, transfers replaced by a "
+                "PCIe allowance; the entropy min reuses the no-warp arm's "
+                "quiet-phase measurement (same 2048 q100 frame cost)",
+    }
+
     payload = {
         "metric": "400MP dual-pol SAFE disk->2048 CLAHE synRGB JPEG e2e p50 "
                   "ESTIMATE (sum of measured stages, tunnel replaced by 3ms "
@@ -442,6 +493,8 @@ def main():
         "vs_baseline": round(BASELINE_NO_WARP_MS / estimate, 2),
         "extra": {
             "vs_baseline_estimated": round(BASELINE_NO_WARP_MS / estimate, 2),
+            "vs_baseline_with_warp": with_warp["vs_baseline_with_warp"],
+            "with_warp": with_warp,
             "estimate_serial_sum_ms": round(estimate_serial, 1),
             "pipelined_note": "primary value charges only the post-read "
                               "device tail (band 1's program + h2d overlap "

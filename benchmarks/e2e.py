@@ -325,6 +325,231 @@ def run_breakdown() -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# With-warp arm — the reference's ACTUAL headline configuration
+# (/root/reference/README.md:8,63: dual-band 400 MP GRD → 2048×2048 synRGB
+# JPEG WITH reprojection + padding, Tamed autoscale, cubic resampling,
+# ~1.5 s on the 12-core M4 Pro). The full-size bench SAFE carries the same
+# 5×5 WGS84 GCP lattice real S1 GRD products do, so auto-CRS resolves a UTM
+# zone and the warp runs the production TPS + two-stage host-reduce +
+# tiled-Pallas-sampler path.
+# ---------------------------------------------------------------------------
+
+_WARP_HOST_STAGE_SNIPPET = """\
+import sys, time, json
+import numpy as np
+sys.path.insert(0, {repo!r})
+from sarpro_tpu.io import geodesy
+from sarpro_tpu.io import warp as warp_mod
+from sarpro_tpu.io.raster import RasterReader
+
+# auto-CRS resolution (GCP centroid -> UTM zone; once per product)
+ts = []
+for _ in range(5):
+    t0 = time.perf_counter()
+    target = geodesy.resolve_auto_target_crs({base!r})
+    ts.append((time.perf_counter() - t0) * 1000.0)
+auto_ms = min(ts)
+
+plan_ms = 0.0
+read_min = 0.0
+read_p50 = 0.0
+for p in {paths!r}:
+    reader = RasterReader(p)
+    # warp plan: TPS fit from the GCP lattice + coarse inverse-mapping grid
+    # (the real pipeline plans once per band)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        plan = warp_mod.plan_warp(reader, target, "cubic", 2048)
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    plan_ms += min(ts)
+    two = warp_mod.two_stage_plan(plan, reader.metadata.size_x,
+                                  reader.metadata.size_y)
+    mid_rows, mid_cols = two[0], two[1]
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        arr = reader.read_band_resampled(1, mid_cols, mid_rows, "average")
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    read_min += min(ts)
+    read_p50 += float(np.percentile(ts, 50))
+    np.save({out!r} + "/warpmid_" + p.rsplit("/", 1)[1] + ".npy", arr)
+    np.save({out!r} + "/warpmap_" + p.rsplit("/", 1)[1] + ".npy",
+            np.stack([two[2], two[3]]))
+    reader.close()
+print(json.dumps({{"read_ms": read_min, "read_p50_ms": read_p50,
+                   "plan_ms": plan_ms, "auto_crs_ms": auto_ms,
+                   "target": target, "mid": [mid_rows, mid_cols],
+                   "reps": 5}}))
+"""
+
+
+def run_e2e_warp(runs: int = 3) -> dict:
+    """p50 raw wall of the real --fast with-warp pipeline (rides the RPC
+    tunnel: ~45 MB of mid planes h2d + the coefficient fetch d2h)."""
+    from sarpro_tpu import api
+    from sarpro_tpu.params import ProcessingParams
+    from sarpro_tpu.types import AutoscaleStrategy, OutputFormat, Polarization
+
+    base = ensure_fullsize_safe()
+    out = DATA / "e2e_warp.jpg"
+    params = ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.TAMED, size=2048, pad=True,
+        target_crs="auto", resample_alg="cubic",
+    )
+    times = []
+    for i in range(runs + 1):  # first run is warmup (jit compile)
+        t0 = time.perf_counter()
+        api.process_safe_to_path(base, out, params, fast=True)
+        dt = (time.perf_counter() - t0) * 1000.0
+        if i > 0:
+            times.append(dt)
+    return {
+        "p50_ms": float(np.percentile(times, 50)),
+        "times_ms": [round(t, 1) for t in times],
+        "config": "disk 400MP dual-pol SAFE -> auto-UTM warp (cubic, TPS "
+                  "from GCPs) -> 2048 tamed synRGB JPEG (--fast), pad",
+    }
+
+
+def run_breakdown_warp() -> dict:
+    """Stage composition of the with-warp headline, same conventions as
+    run_breakdown: host stages are min-of-reps in clean subprocesses,
+    device stages rep-differenced inside one jit, transfers replaced by the
+    PCIe allowance in bench.py's composition."""
+    import jax
+    import jax.numpy as jnp
+
+    from sarpro_tpu.core import fused
+    from sarpro_tpu.io.warp import _warp_sample_block
+    from sarpro_tpu.ops.kernels import use_pallas
+    from sarpro_tpu.ops.warp_kernel import warp_sample_tiled
+    from sarpro_tpu.types import AutoscaleStrategy
+
+    base = ensure_fullsize_safe()
+    # band 1 = VV (copol), band 2 = VH — the multiband pipeline's order
+    paths = sorted((base / "measurement").glob("*.tiff"),
+                   key=lambda p: 0 if "-vv-" in p.name else 1)
+    stage_dir = DATA / "stages"
+    stage_dir.mkdir(exist_ok=True)
+
+    host = _run_host_stage(_WARP_HOST_STAGE_SNIPPET.format(
+        repo=str(REPO), base=str(base), paths=[str(p) for p in paths],
+        out=str(stage_dir)))
+    mids = [np.load(stage_dir / f"warpmid_{p.name}.npy") for p in paths]
+    maps = [np.load(stage_dir / f"warpmap_{p.name}.npy") for p in paths]
+    dev = [jnp.asarray(m) for m in mids]
+    for d in dev:
+        np.asarray(d[0, 0])  # force the ship before timing anything
+
+    out_size = 2048  # target_size -ts sizing: square source -> 2048x2048
+
+    def warp_dev(m, map_xy):
+        """The production sampler (Pallas tiled; XLA fallback) — callable
+        inside a jit: planning is host numpy at trace time."""
+        w = None
+        if use_pallas():
+            w = warp_sample_tiled(m, map_xy[0], map_xy[1], out_size,
+                                  out_size, "cubic")
+        if w is None:
+            w = _warp_sample_block(
+                m, jnp.asarray(map_xy[0], jnp.float32),
+                jnp.asarray(map_xy[1], jnp.float32),
+                out_size, out_size, "cubic", jnp.int32(0), out_size)
+        return w
+
+    def t(fn):
+        t0 = time.perf_counter()
+        r = fn()
+        return (time.perf_counter() - t0) * 1000.0, r
+
+    def reps_runner(r, make):
+        @jax.jit
+        def run(a, b):
+            acc = jnp.int32(0)
+            for i in range(r):
+                acc = acc + make(a + i, b + i)
+            return acc
+        run(dev[0], dev[1])  # compile
+        return lambda: int(np.asarray(run(dev[0], dev[1])))
+
+    def rep_diff(make):
+        one = reps_runner(1, make)
+        many = reps_runner(6, make)
+        t1 = min(t(one)[0] for _ in range(3))
+        t6 = min(t(many)[0] for _ in range(3))
+        return max((t6 - t1) / 5.0, 0.0)
+
+    from sarpro_tpu import _native
+    from sarpro_tpu.io.writers.jpeg import preferred_synrgb_layout
+
+    layout = "dct" if _native.available() else preferred_synrgb_layout()
+    strat = AutoscaleStrategy.TAMED
+
+    def _stage(x, map_xy, copol):
+        return fused.synrgb_band_stage(
+            warp_dev(x, map_xy), strategy=strat, copol=copol,
+            target_size=out_size, pad=True)
+
+    # full post-read device chain: warp-sample both bands + tamed band
+    # stages + suppressed combine + JPEG front-end
+    full_ms = rep_diff(lambda a, b: jnp.max(fused.synrgb_combine_stage(
+        _stage(a, maps[0], True), _stage(b, maps[1], False), strategy=strat,
+        suppressed=None, channel_order=layout).astype(jnp.int32)))
+    # band 1's share (hidden under band 2's disk read by the overlapped
+    # fast path — load_pair dispatches it from the loader thread)
+    stage1_ms = rep_diff(
+        lambda a, b: _stage(a, maps[0], True)[0, 0].astype(jnp.int32))
+    tail_ms = max(full_ms - stage1_ms, 0.0)
+
+    out = fused.synrgb_combine_stage(
+        _stage(dev[0], maps[0], True), _stage(dev[1], maps[1], False),
+        strategy=strat, suppressed=None, channel_order=layout)
+    _ = int(np.asarray(out.ravel()[0]))
+    npy = stage_dir / "synrgb_warp_out.npy"
+    np.save(npy, np.asarray(out))
+    write = _run_host_stage(_JPEG_STAGE_SNIPPET.format(
+        repo=str(REPO), npy=str(npy), jpg=str(DATA / "bd_warp.jpg"),
+        layout=layout))
+    # second read window (host DRAM phases — see run_breakdown)
+    host2 = _run_host_stage(_WARP_HOST_STAGE_SNIPPET.format(
+        repo=str(REPO), base=str(base), paths=[str(p) for p in paths],
+        out=str(stage_dir)))
+    best = host if host["read_ms"] <= host2["read_ms"] else host2
+    return {
+        "read_reduce_ms": round(best["read_ms"], 1),
+        "host_stage_stats": {
+            "read_reduce": {
+                "min_ms": round(min(host["read_ms"], host2["read_ms"]), 1),
+                "p50_ms": round(best["read_p50_ms"], 1),
+                "windows": 2, "reps_per_window": best.get("reps", 5),
+                "both_window_mins_ms": [round(host["read_ms"], 1),
+                                        round(host2["read_ms"], 1)],
+            },
+        },
+        "auto_crs_ms": round(min(host["auto_crs_ms"],
+                                 host2["auto_crs_ms"]), 1),
+        "warp_plan_ms": round(min(host["plan_ms"], host2["plan_ms"]), 1),
+        "target_crs": best["target"],
+        "mid_dims": best["mid"],
+        "device_full_chain_ms": round(full_ms, 1),
+        "device_band1_hidden_ms": round(stage1_ms, 1),
+        "device_tail_ms": round(tail_ms, 1),
+        "jpeg_write_ms": round(write["ms"], 1),
+        "jpeg_layout": layout,
+        "note": "read = dual-band host box reduce to the warp's ~1.25x-"
+                "output intermediate (same single source traversal as the "
+                "no-warp stage); plan = per-band TPS fit + inverse-mapping "
+                "grid; device chain = tiled Pallas warp sample x2 + tamed "
+                "band stages + suppressed synRGB + JPEG front-end, "
+                "rep-differenced in one jit; the overlapped fast path hides "
+                "band 1's chain under band 2's disk read",
+    }
+
+
 if __name__ == "__main__":
-    res = {"e2e": run_e2e(), "breakdown": run_breakdown()}
+    res = {"e2e": run_e2e(), "breakdown": run_breakdown(),
+           "e2e_warp": run_e2e_warp(), "breakdown_warp": run_breakdown_warp()}
     print(json.dumps(res, indent=2))
