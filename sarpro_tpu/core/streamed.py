@@ -649,12 +649,19 @@ def _band_u8_streamed_sharded(dn, strategy: AutoscaleStrategy,
     dn = jax.device_put(dn, NamedSharding(mesh, P("row", None)))
     chunk = max(min(chunk_rows, local, (2**31 - 1) // max(cols, 1)), 1)
     k, tail = _plan(local, chunk)
+    # mirror the unsharded caller exactly: the program's to_u8 governs only
+    # the non-tamed global u16->u8 rescale, but the hist flag must include
+    # the tamed term (the TAMED path emits u8 internally and consults
+    # with_hist directly in _band_body) — otherwise TAMED+U16+collect_hist
+    # would return an all-zero histogram the caller treats as collected
+    tamed = tamed_copol is not None and strategy is AutoscaleStrategy.TAMED
     to_u8 = bit_depth is not BitDepth.U16
     tile_h = -(-rows // TILES_Y)
     tile_w = -(-cols // TILES_X)
     return _sharded_band_program(
         dn, chunk, k, tail, strategy, tamed_copol,
-        float(bit_depth.max_val), to_u8, collect_hist and to_u8, cols,
+        float(bit_depth.max_val), to_u8,
+        collect_hist and (tamed or to_u8), cols,
         tile_h, tile_w, rows, local, mesh)
 
 
@@ -772,9 +779,18 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
                 return out, np.zeros(256, np.int64)
             return out, (h if device_hist else
                          np.asarray(h).astype(np.int64))
-        logger.warning(
-            "streamed: %d rows don't shard over %d 'row' devices (or band "
-            "exceeds the int32 device ceiling); running unsharded", rows, n)
+        # name the actual failed condition (row divisibility vs the device
+        # int32 accumulation ceiling); a 1-device mesh is simply unsharded
+        # execution, not worth an operator warning
+        if not device_acc:
+            logger.warning(
+                "streamed: band (%dx%d) exceeds the int32 device-"
+                "accumulation ceiling (%d px); running unsharded",
+                rows, cols, _DEVICE_ACC_MAX_PIXELS)
+        elif n >= 2:
+            logger.warning(
+                "streamed: %d rows don't split evenly over %d 'row' "
+                "devices; running unsharded", rows, n)
 
     if device_acc:
         # the whole band — stats, window, apply, scale — is ONE dispatch

@@ -191,9 +191,11 @@ def plan_tiled_warp(map_x: np.ndarray, map_y: np.ndarray, src_h: int,
 
     `plan_rows` lays tiles over MORE rows than the true output (the
     row-sharded warp pads the grid so every shard gets an equal tile-row
-    block); mapping normalization stays in true-output coordinates, and
-    rows past `out_rows` land on clipped corner fits (their samples fall
-    outside every planned window → 0, and the caller trims them)."""
+    block); mapping normalization stays in true-output coordinates. The
+    corner lattice clamps to `out_rows - 1`, so padded tiles get
+    constant-in-r coefficient fits that REPLICATE row `out_rows - 1`'s
+    mapping — they sample real source data, and the caller MUST trim the
+    output back to `out_rows` (both callers do)."""
     if method not in _TAPS:
         return None
     if src_h < WIN_R or src_w < WIN_C:

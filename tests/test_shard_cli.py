@@ -226,5 +226,9 @@ def test_batch_shard_with_warp_matches_unsharded(tmp_path):
     assert report.processed == 1 and report.errors == 0
     ref = tmp_path / "ref.tiff"
     api.process_safe_to_path(indir / "w.SAFE", ref, params, fast=True)
-    np.testing.assert_array_equal(
-        TiffReader(outdir / "w.SAFE.tiff").read(1), TiffReader(ref).read(1))
+    # sharded vs unsharded warp samplers are separately compiled and can
+    # differ by one f32 ulp on FMA-sensitive shapes → at most one
+    # quantization level after autoscale (see test_warp_sharded.py)
+    a = TiffReader(outdir / "w.SAFE.tiff").read(1).astype(np.int32)
+    b = TiffReader(ref).read(1).astype(np.int32)
+    assert np.abs(a - b).max() <= 1

@@ -181,4 +181,14 @@ def test_multiband_warp_engages_sharded_sampler(rng, tmp_path, monkeypatch):
         "sharded warp sampler never engaged for the dual-pol warp config"
     ref = tmp_path / "ref.jpg"
     api.process_safe_to_path(base, ref, params, fast=True)
-    assert out.read_bytes() == ref.read_bytes()
+    # the separately-compiled sharded/unsharded samplers can diverge by one
+    # f32 ulp on FMA-sensitive shapes (see
+    # test_warp_to_crs_sharded_matches_unsharded), which after quantization
+    # is at most one u8 level — compare decoded pixels at that tolerance
+    # instead of encoder bytes, which amplify a single-level flip
+    if out.read_bytes() != ref.read_bytes():
+        import PIL.Image
+
+        a = np.asarray(PIL.Image.open(out)).astype(np.int32)
+        b = np.asarray(PIL.Image.open(ref)).astype(np.int32)
+        assert np.abs(a - b).max() <= 3  # ±1 input level through q100 JPEG
