@@ -130,9 +130,7 @@ def main():
             return jnp.stack([c.astype(jnp.float32), a, b])
 
         def _hist_probe(i, d):
-            h, sd, sdd = streamed._hist_chunk(d + i.astype(d.dtype), mn, mx,
-                                              r0, n)
-            return h.astype(jnp.float32) + sd + sdd
+            return streamed._hist_chunk(d + i.astype(d.dtype), mn, mx, r0, n)
 
         def _scale_probe(i, q):
             buf, h = streamed._scale_u8_chunk(u8z, q + i.astype(q.dtype),
@@ -141,7 +139,7 @@ def main():
 
         st = {}
         st["db_minmax"] = rep_diff(_minmax_probe, dn)
-        st["db_hist_moments"] = rep_diff(_hist_probe, dn)
+        st["db_hist"] = rep_diff(_hist_probe, dn)
         st["clahe_tile_hist"] = rep_diff(
             lambda i, d: streamed._tile_hist_chunk(
                 d + i.astype(d.dtype), low, high, r0, n, cols, tile_h,
@@ -162,16 +160,18 @@ def main():
                 rgb + i.astype(rgb.dtype))), jnp.concatenate(
                 [b1[..., None], b2[..., None], b1[..., None]], axis=-1))
 
-        per_band = (st["db_minmax"] + st["db_hist_moments"]
+        per_band = (st["db_minmax"] + st["db_hist"]
                     + st["clahe_tile_hist"] + st["clahe_apply_lookup"]
                     + st["scale_u16_u8_hist"])
         return {
             "stage_ms_per_chunk": {k: round(v, 2) for k, v in st.items()},
             "chunk_rows": n, "chunks": nchunks,
             "per_band_pass_sum_ms": round(per_band * nchunks, 1),
-            "note": "stage values are per chunk body (rep-differenced); a "
-                    "full scene costs chunks x per-chunk per band for the "
-                    "band passes, once for compose/dct",
+            "note": "stage values are per chunk body, each rep-differenced "
+                    "as a STANDALONE program; inside the real single "
+                    "program XLA fuses/overlaps adjacent stages, so these "
+                    "are UPPER BOUNDS on in-program cost and their sum is "
+                    "NOT additive (see stage_overlap_recovered_ms)",
         }
 
     results = {"device": str(dev)}
@@ -189,10 +189,18 @@ def main():
     stages6 = prof6["stage_ms_per_chunk"]
     acct6 = (2 * prof6["per_band_pass_sum_ms"]
              + stages6.get("synrgb_compose_formula", 0.0))
-    prof6.update(total_program_ms=round(total6, 1),
-                 accounted_ms=round(acct6, 1),
-                 residual_ms=round(total6 - acct6, 1),
-                 mp_per_s=round(2 * side6 * side6 / 1e6 / (total6 / 1e3), 0))
+    prof6.update(
+        total_program_ms=round(total6, 1),
+        stage_sum_upper_bound_ms=round(acct6, 1),
+        stage_overlap_recovered_ms=round(max(acct6 - total6, 0.0), 1),
+        unattributed_ms=round(max(total6 - acct6, 0.0), 1),
+        additivity_note=(
+            "total_program_ms is the ground truth; the standalone stage sum "
+            "exceeds it because XLA overlaps/fuses stages inside the single "
+            "program — stage_overlap_recovered_ms is that compiler gain. "
+            "Per-stage ms/4Mpx rates derived from stage_ms_per_chunk are "
+            "upper bounds, not budgets (VERDICT r4 item 6)"),
+        mp_per_s=round(2 * side6 * side6 / 1e6 / (total6 / 1e3), 0))
     results["cfg6_fullres_72mp_band"] = prof6
     del vv6, vh6
     print(json.dumps({"cfg6": prof6}, indent=2), file=sys.stderr)
@@ -238,10 +246,13 @@ def main():
         "stage_ms": {k: round(v, 2) for k, v in t4.items()},
         "total_program_ms": round(total4, 1),
         "total_program_dct_ms": round(total4b, 1),
-        "accounted_ms": round(acct4, 1),
-        "residual_ms": round(total4 - acct4, 1),
-        "note": "resample+band stages run once per band; residual = "
-                "pad/layout glue. cfg4b adds jpeg_frontend_2048.",
+        "stage_sum_upper_bound_ms": round(acct4, 1),
+        "stage_overlap_recovered_ms": round(max(acct4 - total4, 0.0), 1),
+        "unattributed_ms": round(max(total4 - acct4, 0.0), 1),
+        "note": "resample+band stages run once per band; standalone stage "
+                "bodies over-count what XLA overlaps inside the single "
+                "program (see cfg6 additivity_note); any unattributed_ms "
+                "is pad/layout glue. cfg4b adds jpeg_frontend_2048.",
     }
     print(json.dumps({"cfg4": results["cfg4_headline_400mp_to_2048"]},
                      indent=2), file=sys.stderr)

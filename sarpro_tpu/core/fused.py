@@ -72,15 +72,9 @@ def _stats(db, mask, row_axis: str | None = None):
     from ..ops import histogram as _hist_kernel
 
     hist = _hist_kernel(_db_bin_index(db, mask, mn, mx), NUM_BINS)
-    shift = (mn + mx) * 0.5
-    d = jnp.where(mask, db - shift, 0.0)
-    sum_d = jnp.sum(d)
-    sum_dd = jnp.sum(d * d)
     if row_axis is not None:
         hist = jax.lax.psum(hist, row_axis)
-        sum_d = jax.lax.psum(sum_d, row_axis)
-        sum_dd = jax.lax.psum(sum_dd, row_axis)
-    return _stats_finalize(hist, count, mn, mx, sum_d, sum_dd)
+    return _stats_finalize(hist, count, mn, mx)
 
 
 def _db_bin_index(db, mask, mn, mx):
@@ -109,15 +103,29 @@ def _tamed_quantize_u8(db, mask, low, high):
     return jnp.where(mask, q, 0.0)
 
 
-def _stats_finalize(hist, count, mn, mx, sum_d, sum_dd):
-    """Moments + histogram → the stats dict (shared by the fused single
-    program and the streamed big-scene path, which accumulates the moments
-    chunk-wise first)."""
+def _stats_finalize(hist, count, mn, mx):
+    """Histogram → moments + percentiles (shared by the fused single
+    program, the streamed big-scene path, and the sharded variants).
+
+    mean/std are derived FROM the int32 histogram (bin centers, Adaptive's
+    only consumers) rather than from per-pixel f32 moment sums: integer
+    histogram adds commute exactly, so every execution strategy — fused,
+    streamed (any chunk size), row-sharded (any shard count) — computes
+    byte-identical mean/std from the same (4096,) arithmetic, making
+    Adaptive bit-stable across strategies (VERDICT r4 item 7; the old f32
+    moment sums reordered across chunk/shard boundaries). Accuracy cost vs
+    exact moments is O(bin width) = span/4096 (~0.02 dB on real scenes),
+    inside the fast path's documented f32-vs-f64 tolerance; exact mode
+    (core/stats.py) keeps the reference's host-f64 Welford moments."""
     span = mx - mn
     n = jnp.maximum(count.astype(jnp.float32), 1.0)
-    m1 = sum_d / n
-    mean = (mn + mx) * 0.5 + m1
-    var = jnp.maximum(sum_dd / n - m1 * m1, 0.0)
+    hf = hist[:NUM_BINS].astype(jnp.float32)
+    centers = jnp.arange(NUM_BINS, dtype=jnp.float32) + 0.5  # bin units
+    bw_m = span / NUM_BINS
+    m1 = jnp.sum(hf * centers) / n
+    m2 = jnp.sum(hf * centers * centers) / n
+    mean = mn + m1 * bw_m
+    var = jnp.maximum(m2 - m1 * m1, 0.0) * bw_m * bw_m
     std = jnp.where(count > 1, jnp.sqrt(var), 0.0)
 
     # percentile inversion (reference: autoscale.rs:120-140, vectorized)

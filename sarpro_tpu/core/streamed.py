@@ -27,10 +27,10 @@ made the 704 MP/band scene 7.3 s; the scanned passes bring it to ~12
 dispatches and 3 fetches total.
 
 Integer accumulations (histograms, counts) are exact, min/max combine
-exactly, and every per-pixel op runs the same kernels with a global
-`row_offset` — so CLAHE/Robust/Standard/Equalized/Tamed/Default outputs are
-BIT-IDENTICAL to the fused program (tested); Adaptive differs only through
-the f32 moment-summation order (mean/std enter its window thresholds).
+exactly, every per-pixel op runs the same kernels with a global
+`row_offset`, and Adaptive's mean/std are derived from the integer
+histogram (fused._stats_finalize) — so ALL strategy outputs, Adaptive
+included, are BIT-IDENTICAL to the fused program (tested).
 
 Peak HBM: inputs + one q16 staging buffer + output — ~9 GB for the
 26544² (~704 MP/band) dual-pol scene that OOMs the single program.
@@ -87,10 +87,7 @@ def _hist_chunk(dn, mn, mx, r0, n: int):
     from ..ops import histogram
 
     db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
-    hist = histogram(fused._db_bin_index(db, mask, mn, mx), NUM_BINS)
-    shift = (mn + mx) * 0.5
-    d = jnp.where(mask, db - shift, 0.0)
-    return hist, jnp.sum(d), jnp.sum(d * d)
+    return histogram(fused._db_bin_index(db, mask, mn, mx), NUM_BINS)
 
 
 def _tile_hist_chunk(dn, low, high, r0, n: int, cols: int,
@@ -319,27 +316,27 @@ _scan_minmax = functools.partial(
 
 
 def _scan_stats_raw(dn, mn, mx, chunk: int, k: int, tail: int):
-    """Histogram + centered-moment fold over all chunks (pre-finalize: the
-    row-sharded path psums these across shards before the shared finalize)."""
-    init = (jnp.zeros((NUM_BINS,), jnp.int32), jnp.float32(0.0),
-            jnp.float32(0.0))
+    """Histogram fold over all chunks (pre-finalize: the row-sharded path
+    psums it across shards before the shared finalize). Moments are derived
+    from the histogram in fused._stats_finalize — integer bin adds commute
+    exactly, so the chunked fold is byte-identical to the fused program for
+    every strategy including Adaptive."""
+    init = jnp.zeros((NUM_BINS,), jnp.int32)
 
     def body(i, acc):
-        h, sd, sdd = _hist_chunk(dn, mn, mx, i * chunk, chunk)
-        return acc[0] + h, acc[1] + sd, acc[2] + sdd
+        return acc + _hist_chunk(dn, mn, mx, i * chunk, chunk)
 
-    hist, sum_d, sum_dd = jax.lax.fori_loop(0, k, body, init)
+    hist = jax.lax.fori_loop(0, k, body, init)
     if tail:
-        h, sd, sdd = _hist_chunk(dn, mn, mx, k * chunk, tail)
-        hist, sum_d, sum_dd = hist + h, sum_d + sd, sum_dd + sdd
-    return hist, sum_d, sum_dd
+        hist = hist + _hist_chunk(dn, mn, mx, k * chunk, tail)
+    return hist
 
 
 def _scan_stats_impl(dn, count, mn, mx, chunk: int, k: int, tail: int):
-    """Histogram + centered moments over all chunks, finalized to the
-    percentile dict in the same program (fused._stats_finalize)."""
-    hist, sum_d, sum_dd = _scan_stats_raw(dn, mn, mx, chunk, k, tail)
-    return fused._stats_finalize(hist, count, mn, mx, sum_d, sum_dd)
+    """Histogram over all chunks, finalized to the percentile dict in the
+    same program (fused._stats_finalize)."""
+    hist = _scan_stats_raw(dn, mn, mx, chunk, k, tail)
+    return fused._stats_finalize(hist, count, mn, mx)
 
 
 _scan_stats = functools.partial(
@@ -528,10 +525,9 @@ def _cdfs_from_hists(hists, rows_global: int, cols: int, tile_h: int,
 # the integer histograms / counts / moments, pmin/pmax for the extrema —
 # and the CLAHE chunk bodies take `row_base = axis_index · local_rows` so
 # bin/tile assignment is identical to the unsharded scan. Integer
-# reductions and min/max combine exactly, so every strategy except
-# Adaptive is BYTE-IDENTICAL across shard counts (Adaptive differs only
-# through the f32 moment-summation order — same contract as
-# parallel/sharded.py; tests/test_streamed_sharded.py).
+# reductions and min/max combine exactly, and Adaptive's mean/std come
+# from the integer histogram, so EVERY strategy is BYTE-IDENTICAL across
+# shard counts (tests/test_streamed_sharded.py).
 # ---------------------------------------------------------------------------
 def _band_body(dn_l, chunk: int, k: int, tail: int,
                strategy: AutoscaleStrategy, tamed_copol: bool | None,
@@ -544,12 +540,10 @@ def _band_body(dn_l, chunk: int, k: int, tail: int,
         mn = jax.lax.pmin(mn, axis)
         mx = jax.lax.pmax(mx, axis)
     mn, mx = _minmax_normalize(count, mn, mx)
-    hist, sd, sdd = _scan_stats_raw(dn_l, mn, mx, chunk, k, tail)
+    hist = _scan_stats_raw(dn_l, mn, mx, chunk, k, tail)
     if axis is not None:
         hist = jax.lax.psum(hist, axis)
-        sd = jax.lax.psum(sd, axis)
-        sdd = jax.lax.psum(sdd, axis)
-    s = fused._stats_finalize(hist, count, mn, mx, sd, sdd)
+    s = fused._stats_finalize(hist, count, mn, mx)
 
     if tamed_copol is not None and strategy is AutoscaleStrategy.TAMED:
         # band-specific tamed window (fused._band_u8 / autoscale.rs:710-742)
@@ -680,34 +674,33 @@ def _band_stats_hostacc(dn, chunks):
     mn_j = jnp.asarray(mn)
     mx_j = jnp.asarray(mx)
     hist = np.zeros(NUM_BINS, np.int64)
-    sum_d = np.float32(0.0)
-    sum_dd = np.float32(0.0)
     for r0, n in chunks:
-        h, sd, sdd = _pass_hist(dn, mn_j, mx_j, r0, n)
-        hist += np.asarray(h, np.int64)
-        sum_d = np.float32(sum_d + np.asarray(sd))
-        sum_dd = np.float32(sum_dd + np.asarray(sdd))
+        hist += np.asarray(_pass_hist(dn, mn_j, mx_j, r0, n), np.int64)
     if count > np.iinfo(np.int32).max:
         # >2.1 Gpx valid pixels: the device finalize's int32 count/cumsum
         # would wrap — invert the percentiles host-side from the int64
         # histogram instead (same formulas, f64 intermediates)
-        return _stats_finalize_host(hist, count, float(mn), float(mx),
-                                    float(sum_d), float(sum_dd))
+        return _stats_finalize_host(hist, count, float(mn), float(mx))
     return fused._stats_finalize(
         jnp.asarray(hist, jnp.int32),
         jnp.asarray(np.int32(count)),
-        mn_j, mx_j, jnp.asarray(sum_d), jnp.asarray(sum_dd))
+        mn_j, mx_j)
 
 
-def _stats_finalize_host(hist, count, mn, mx, sum_d, sum_dd):
+def _stats_finalize_host(hist, count, mn, mx):
     """Host-f64 mirror of fused._stats_finalize for bands whose valid-pixel
     count exceeds int32 (the streamed path exists to remove size ceilings;
-    the device finalize keeps bit-parity for everything below it)."""
+    the device finalize keeps bit-parity for everything below it). Moments
+    come from the histogram like the device finalize."""
     span = mx - mn
     n = max(float(count), 1.0)
-    m1 = sum_d / n
-    mean = (mn + mx) * 0.5 + m1
-    var = max(sum_dd / n - m1 * m1, 0.0)
+    centers = np.arange(NUM_BINS, dtype=np.float64) + 0.5
+    hf = np.asarray(hist[:NUM_BINS], np.float64)
+    bw_m = span / NUM_BINS
+    m1 = float(np.sum(hf * centers)) / n
+    m2 = float(np.sum(hf * centers * centers)) / n
+    mean = mn + m1 * bw_m
+    var = max(m2 - m1 * m1, 0.0) * bw_m * bw_m
     std = np.sqrt(var) if count > 1 else 0.0
     cum = np.cumsum(hist)
     pct_values = np.asarray(fused._PCT_VALUES, np.float64)
@@ -752,8 +745,8 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
 
     With `mesh` (a 'row'-axis device mesh), the band row-shards across the
     devices and runs ONE shard_map program with collectives at the
-    reduction points — every strategy except Adaptive stays byte-identical
-    (see _sharded_band_body). Falls back to unsharded when the rows don't
+    reduction points — every strategy stays byte-identical, Adaptive
+    included (see _band_body). Falls back to unsharded when the rows don't
     split evenly or the band exceeds the int32 device-accumulation
     ceiling."""
     dn = jnp.asarray(dn)  # numpy input would re-upload per chunk pass

@@ -407,6 +407,39 @@ def plan_warp(reader, target_crs: str, resample_alg: Optional[str] = None,
                     map_x=map_x, map_y=map_y)
 
 
+def two_stage_plan(plan: WarpPlan, src_cols: int, src_rows: int):
+    """Two-stage pre-reduce decision for strong-reduction warps.
+
+    Returns None (sample the full-resolution source directly), or
+    `(mid_rows, mid_cols, map_x, map_y)`: the area-average intermediate size
+    (~1.25x the output resolution) and the plan's inverse mapping rescaled
+    from source pixels into intermediate pixels (pixel-center convention:
+    centers map by the size ratio). Pre-downsampling anti-aliases (gdalwarp's
+    `-ts` path samples full-res and aliases) and shrinks the sampling working
+    set ahead of the tiled warp kernel."""
+    # nan-aware: proj_pipe targets can leave out-of-domain grid nodes nan
+    with np.errstate(invalid="ignore"):
+        sx_est = ((np.nanmax(plan.map_x) - np.nanmin(plan.map_x) + 1)
+                  / max(plan.out_cols, 1))
+        sy_est = ((np.nanmax(plan.map_y) - np.nanmin(plan.map_y) + 1)
+                  / max(plan.out_rows, 1))
+    scale_est = max(
+        sx_est if np.isfinite(sx_est) else 1.0,
+        sy_est if np.isfinite(sy_est) else 1.0,
+        1.0,
+    )
+    if scale_est < 2.0:
+        return None
+    factor = scale_est / 1.25
+    mid_rows = max(int(np.ceil(src_rows / factor)), 1)
+    mid_cols = max(int(np.ceil(src_cols / factor)), 1)
+    ry = mid_rows / src_rows
+    rx = mid_cols / src_cols
+    map_x = (plan.map_x + 0.5) * rx - 0.5
+    map_y = (plan.map_y + 0.5) * ry - 0.5
+    return mid_rows, mid_cols, map_x, map_y
+
+
 def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
                 target_size: Optional[int] = None,
                 geolocation_grid: Optional[np.ndarray] = None) -> WarpResult:
@@ -420,11 +453,8 @@ def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
     src_cols = reader.metadata.size_x
     src_rows = reader.metadata.size_y
 
-    # Two-stage warp for strong reductions: pre-downsample (area average) to
-    # ~1.25x the output resolution, then sample the small intermediate. This
-    # anti-aliases (gdalwarp's -ts path samples full-res and aliases) and
-    # shrinks the sampling working set ahead of the tiled warp kernel.
-    # The pre-reduce runs ON THE HOST through the reader's native single-pass
+    # Two-stage warp for strong reductions (see two_stage_plan). The
+    # pre-reduce runs ON THE HOST through the reader's native single-pass
     # box reducer (read_band_resampled, the same windows the device resampler
     # builds) — the source bytes are touched once from disk and only the
     # ~1.25x-output intermediate ships to HBM, instead of materializing and
@@ -432,19 +462,9 @@ def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
     # This makes the with-warp read stage cost what the no-warp
     # downsample-on-read stage costs (the reference pays a full gdalwarp VRT
     # pass here, sentinel1.rs:988-1071).
-    # nan-aware: proj_pipe targets can leave out-of-domain grid nodes nan
-    with np.errstate(invalid="ignore"):
-        sx_est = (np.nanmax(map_x) - np.nanmin(map_x) + 1) / max(out_cols, 1)
-        sy_est = (np.nanmax(map_y) - np.nanmin(map_y) + 1) / max(out_rows, 1)
-    scale_est = max(
-        sx_est if np.isfinite(sx_est) else 1.0,
-        sy_est if np.isfinite(sy_est) else 1.0,
-        1.0,
-    )
-    if scale_est >= 2.0:
-        factor = scale_est / 1.25
-        mid_rows = max(int(np.ceil(src_rows / factor)), 1)
-        mid_cols = max(int(np.ceil(src_cols / factor)), 1)
+    two = two_stage_plan(plan, src_cols, src_rows)
+    if two is not None:
+        mid_rows, mid_cols, map_x, map_y = two
         # host-side streaming reduce straight from disk; falls back to a
         # full read + device resample inside read_band_resampled* when the
         # native reducer or the layout does not apply (identical windows
@@ -452,12 +472,6 @@ def warp_to_crs(reader, target_crs: str, resample_alg: Optional[str] = None,
         # resampler's own coefficient builder)
         src = reader.read_band_resampled_to_device(1, mid_cols, mid_rows,
                                                    "average")
-        # rescale the mapping from source pixels to intermediate pixels
-        # (pixel-center convention: centers map by the size ratio)
-        ry = mid_rows / src_rows
-        rx = mid_cols / src_cols
-        map_x = (map_x + 0.5) * rx - 0.5
-        map_y = (map_y + 0.5) * ry - 0.5
         logger.info("Warp two-stage: source %dx%d -> %dx%d (host reduce) "
                     "before sampling", src_cols, src_rows, mid_cols, mid_rows)
     else:

@@ -71,9 +71,9 @@ def test_sharded_grayscale_batch(rng, mesh):
         exact=True, label="robust-u16")
 
 
-def test_sharded_adaptive_tolerance(rng, mesh):
-    """ADAPTIVE consumes mean/std whose cross-shard float sums reorder;
-    outputs stay within 1 quantization level."""
+def test_sharded_adaptive_bit_identical(rng, mesh):
+    """ADAPTIVE's mean/std derive from the psum'd integer histogram, so the
+    sharded program matches the unsharded one exactly (VERDICT r4 item 7)."""
     n_scene = mesh.shape["scene"]
     rows = 32 * mesh.shape["row"]
     dn = np.stack([sar_like(rng, (rows, 64)) for _ in range(n_scene)])
@@ -84,7 +84,7 @@ def test_sharded_adaptive_tolerance(rng, mesh):
         out,
         lambda i: fused.grayscale_pipeline(
             dn[i], strategy=AutoscaleStrategy.ADAPTIVE, bit_depth=BitDepth.U8),
-        exact=False, label="adaptive")
+        exact=True, label="adaptive")
 
 
 def test_gspmd_fallback_resample_pad_matches_unsharded(rng, mesh):

@@ -2,10 +2,8 @@
 
 The streamed path (core/streamed.py) accumulates integer histograms and
 exact min/max across row chunks and applies per-pixel ops with global row
-offsets, so its output must be BIT-IDENTICAL to fused for every strategy
-whose window derives from percentiles/min/max (CLAHE, Robust, Standard,
-Equalized, Tamed, Default). Adaptive's window thresholds read mean/std,
-whose f32 summation order differs across chunks — tolerance there.
+offsets; mean/std (Adaptive's inputs) derive from the integer histogram,
+so the output must be BIT-IDENTICAL to fused for EVERY strategy.
 
 Chunk sizes are chosen so chunks cut CLAHE tiles mid-row and leave a ragged
 tail chunk.
@@ -64,15 +62,14 @@ def test_streamed_gray_dct_matches_fused(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_streamed_synrgb_adaptive_close(rng):
+def test_streamed_synrgb_adaptive_bit_identical(rng):
     vv = sar_like(rng, (160, 128))
     vh = sar_like(rng, (160, 128))
     want = np.asarray(fused.synrgb_pipeline(
         vv, vh, strategy=AutoscaleStrategy.ADAPTIVE, target_size=None))
     got = np.asarray(streamed.synrgb_streamed(
         vv, vh, strategy=AutoscaleStrategy.ADAPTIVE, chunk_rows=64))
-    diff = np.abs(got.astype(int) - want.astype(int))
-    assert (diff <= 2).mean() >= 0.99
+    np.testing.assert_array_equal(got, want)
 
 
 @pytest.mark.parametrize("bit_depth", [BitDepth.U8, BitDepth.U16])
@@ -157,12 +154,10 @@ def test_stats_finalize_host_mirrors_device():
     hist = rng.integers(0, 100000, fused.NUM_BINS).astype(np.int64)
     count = int(hist.sum())
     mn, mx = -42.0, -7.5
-    sum_d, sum_dd = 123.5, 8901.25
     dev = fused._stats_finalize(
         jnp.asarray(hist, jnp.int32), jnp.asarray(np.int32(count)),
-        jnp.float32(mn), jnp.float32(mx), jnp.float32(sum_d),
-        jnp.float32(sum_dd))
-    host = _stats_finalize_host(hist, count, mn, mx, sum_d, sum_dd)
+        jnp.float32(mn), jnp.float32(mx))
+    host = _stats_finalize_host(hist, count, mn, mx)
     for k in ("p01", "p02", "p05", "p25", "median", "p75", "p95", "p99",
               "mean", "std", "min", "max"):
         np.testing.assert_allclose(float(host[k]), float(np.asarray(dev[k])),
@@ -181,7 +176,7 @@ def test_stats_finalize_host_past_int32():
     hist = np.full(fused.NUM_BINS, per_bin, np.int64)
     count = int(hist.sum())
     assert count > np.iinfo(np.int32).max
-    s = _stats_finalize_host(hist, count, 0.0, 100.0, 0.0, 0.0)
+    s = _stats_finalize_host(hist, count, 0.0, 100.0)
     assert abs(float(s["median"]) - 50.0) < 0.1
     assert abs(float(s["p01"]) - 1.0) < 0.1
     assert abs(float(s["p99"]) - 99.0) < 0.1
