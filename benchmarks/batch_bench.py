@@ -218,6 +218,253 @@ def stage_ablation(indir: pathlib.Path, params, out_size: int,
     }
 
 
+_COLD_IO_SNIPPET = """\
+import sys, os, json, time, pathlib, shutil
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from sarpro_tpu import api
+from sarpro_tpu.params import ProcessingParams
+from sarpro_tpu.parallel.batch import process_directory_pipelined
+from sarpro_tpu.types import (AutoscaleStrategy, BitDepthArg, OutputFormat,
+                              Polarization)
+
+indir = pathlib.Path({indir!r})
+outroot = pathlib.Path({outroot!r})
+
+
+def evict():
+    # drop every scene byte from the page cache so each arm's reads are
+    # REAL disk I/O (measured ~75 MB/s, ~11% CPU on this host) instead of
+    # ~1 GB/s memcpy from cache
+    for p in indir.rglob("*"):
+        if p.is_file():
+            fd = os.open(p, os.O_RDONLY)
+            try:
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            finally:
+                os.close(fd)
+
+
+def arm_out(name):
+    out = outroot / name
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    return out
+
+
+results = {{}}
+configs = (
+    ("jpeg_synrgb", ProcessingParams(
+        format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+        autoscale=AutoscaleStrategy.CLAHE, size={out_size},
+        resample_alg=None)),
+    ("config5_multiband_u16_geotiff_4326_cubic", ProcessingParams(
+        format=OutputFormat.TIFF, bit_depth=BitDepthArg.U16,
+        polarization=Polarization.MULTIBAND,
+        target_crs="EPSG:4326", resample_alg="cubic", size={out_size})),
+)
+for cfg_name, params in configs:
+    arms = (
+        ("serial", lambda out, p=params: api.process_directory_to_path(
+            indir, out, p, fast=True)),
+        ("pipelined_prefetch2", lambda out, p=params:
+            process_directory_pipelined(indir, out, p, prefetch=2,
+                                        fast=True, device_batch=1)),
+    )
+    for name, fn in arms:  # warm-cache warmup compiles both arms' programs
+        fn(arm_out(cfg_name + "_" + name))
+    walls = {{name: [] for name, _ in arms}}
+    reports = {{}}
+    for _ in range({reps}):
+        for name, fn in arms:
+            evict()
+            t0 = time.perf_counter()
+            rep = fn(arm_out(cfg_name + "_" + name))
+            walls[name].append(time.perf_counter() - t0)
+            reports[name] = (rep.processed, rep.skipped, rep.errors)
+    results[cfg_name] = {{
+        name: {{"wall_s_median": round(float(np.median(w)), 2),
+                "wall_s_all": [round(x, 2) for x in w],
+                "processed": reports[name][0], "skipped": reports[name][1],
+                "errors": reports[name][2]}}
+        for name, w in walls.items()}}
+    s = results[cfg_name]
+    s["speedup"] = round(s["serial"]["wall_s_median"]
+                         / s["pipelined_prefetch2"]["wall_s_median"], 2)
+print(json.dumps(results))
+"""
+
+
+_OVERLAP_SNIPPET = """\
+import sys, os, json, time, pathlib, shutil
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from sarpro_tpu import api
+from sarpro_tpu.io import raster as raster_mod
+from sarpro_tpu.params import ProcessingParams
+from sarpro_tpu.parallel.batch import process_directory_pipelined
+from sarpro_tpu.types import AutoscaleStrategy, OutputFormat, Polarization
+
+indir = pathlib.Path({indir!r})
+outroot = pathlib.Path({outroot!r})
+params = ProcessingParams(
+    format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
+    autoscale=AutoscaleStrategy.CLAHE, size={out_size}, resample_alg=None)
+
+
+def evict():
+    for p in indir.rglob("*"):
+        if p.is_file():
+            fd = os.open(p, os.O_RDONLY)
+            try:
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            finally:
+                os.close(fd)
+
+
+def arm_out(name):
+    out = outroot / name
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    return out
+
+
+def serial(out):
+    return api.process_directory_to_path(indir, out, params, fast=True)
+
+
+def serial_direct(out):
+    tok = raster_mod.DIRECT_IO.set(True)
+    try:
+        return api.process_directory_to_path(indir, out, params, fast=True)
+    finally:
+        raster_mod.DIRECT_IO.reset(tok)
+
+
+def pipelined(out):
+    return process_directory_pipelined(indir, out, params, prefetch=2,
+                                       fast=True, device_batch=1)
+
+
+arms = (("serial_buffered", serial), ("serial_direct", serial_direct),
+        ("pipelined_prefetch2", pipelined))
+for name, fn in arms:  # warm-cache warmup compiles everything
+    fn(arm_out(name))
+walls = {{name: [] for name, _ in arms}}
+reports = {{}}
+for _ in range({reps}):
+    for name, fn in arms:
+        evict()
+        t0 = time.perf_counter()
+        rep = fn(arm_out(name))
+        walls[name].append(time.perf_counter() - t0)
+        reports[name] = (rep.processed, rep.skipped, rep.errors)
+res = {{
+    name: {{"wall_s_median": round(float(np.median(w)), 2),
+            "wall_s_all": [round(x, 2) for x in w],
+            "processed": reports[name][0], "skipped": reports[name][1],
+            "errors": reports[name][2]}}
+    for name, w in walls.items()}}
+res["speedup_vs_serial"] = round(
+    res["serial_buffered"]["wall_s_median"]
+    / res["pipelined_prefetch2"]["wall_s_median"], 2)
+res["speedup_overlap_only"] = round(
+    res["serial_direct"]["wall_s_median"]
+    / res["pipelined_prefetch2"]["wall_s_median"], 2)
+print(json.dumps(res))
+"""
+
+
+def run_overlap_arm(n_scenes: int = 4, side: int = 24000,
+                    out_size: int = 1024, reps: int = 3) -> dict:
+    """The arm that CAN exceed 1x (VERDICT r4 item 4): big scenes whose
+    O_DIRECT DMA read time (~2.7 GB/s at ~9% vCPU here) is comparable to
+    the per-scene compute, device = XLA CPU (no tunnel), page cache evicted
+    per rep. Three arms decompose the win:
+
+      * serial_buffered — the reference-semantics serial loop (inline
+        buffered reads).
+      * serial_direct — same loop with O_DIRECT reads: isolates the read
+        path's own speed from overlap.
+      * pipelined_prefetch2 — the pipelined driver (O_DIRECT loaders by
+        default): read DMA of scene N+1 genuinely overlaps scene N's
+        compute even on this 1-core host.
+
+    speedup_overlap_only (serial_direct/pipelined) is pure driver overlap;
+    speedup_vs_serial is what a user upgrading from the serial loop sees.
+    """
+    import subprocess
+
+    indir = ensure_scenes(n_scenes, side)
+    outroot = DATA / "overlap"
+    outroot.mkdir(parents=True, exist_ok=True)
+    snippet = _OVERLAP_SNIPPET.format(repo=str(REPO), indir=str(indir),
+                                      outroot=str(outroot),
+                                      out_size=out_size, reps=reps)
+    env = dict(__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run([sys.executable, "-c", snippet], env=env,
+                         capture_output=True, text=True, check=True)
+    results = json.loads(out.stdout.strip().splitlines()[-1])
+    results["config"] = (f"{n_scenes} scenes, {side}x{side} dual-pol u16 -> "
+                         f"{out_size} CLAHE synRGB JPEG (--fast), CPU "
+                         f"backend, page cache evicted per rep")
+    results["note"] = (
+        "big scenes make the loader's read stage (~0.9 s O_DIRECT DMA per "
+        "scene at ~2.7 GB/s, ~9% vCPU) comparable to the ~1.4 s per-scene "
+        "compute, so prefetch overlap is measurable even on one core; "
+        "through-tunnel arms cannot show this because one serialized RPC "
+        "link carries every byte both ways")
+    return results
+
+
+def run_cold_io(indir: pathlib.Path, out_size: int, reps: int = 3) -> dict:
+    """Cold-page-cache CPU-backend arms (VERDICT r4 item 4).
+
+    The through-tunnel arms above cannot show the pipelined driver's
+    overlap: every byte rides one serialized RPC link, so pipelined ==
+    serial by construction. This arm removes the tunnel (device = XLA CPU
+    in a subprocess) and makes the read stage REAL disk I/O by evicting
+    the scene files from the page cache before every rep — the loader
+    thread's disk DMA (~89% non-CPU) genuinely overlaps the consumer's
+    compute + encode even on this 1-core host. Two configs:
+
+      * jpeg_synrgb — the same config as the tunnel arms (CPU work/scene
+        ~1.4 s ≈ cold-read wall ~1.3 s: maximal overlap headroom).
+      * config5_multiband_u16_geotiff_4326_cubic — BASELINE.json config #5
+        as declared (multiband u16 GeoTIFF reprojected to EPSG:4326,
+        cubic); CPU work/scene ~0.3 s, so its ceiling is lower.
+    """
+    import subprocess
+
+    outroot = DATA / "cold_io"
+    outroot.mkdir(parents=True, exist_ok=True)
+    snippet = _COLD_IO_SNIPPET.format(repo=str(REPO), indir=str(indir),
+                                      outroot=str(outroot),
+                                      out_size=out_size, reps=reps)
+    env = dict(__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run([sys.executable, "-c", snippet], env=env,
+                         capture_output=True, text=True, check=True)
+    results = json.loads(out.stdout.strip().splitlines()[-1])
+    results["note"] = (
+        "device = XLA CPU backend in a fresh subprocess (no tunnel); page "
+        "cache evicted (posix_fadvise DONTNEED) before every rep so reads "
+        "are real ~75 MB/s disk DMA; serial vs prefetch-2 pipelined over "
+        "the same real directory APIs — the speedup is the driver's "
+        "read/compute/encode overlap, measurable because disk I/O and CPU "
+        "are independent resources even on this 1-core host")
+    return results
+
+
 def run(n_scenes: int = 6, side: int = 5000, out_size: int = 1024) -> dict:
     from sarpro_tpu.utils.compilation_cache import enable_compilation_cache
 
@@ -228,9 +475,15 @@ def run(n_scenes: int = 6, side: int = 5000, out_size: int = 1024) -> dict:
     from sarpro_tpu.types import AutoscaleStrategy, OutputFormat, Polarization
 
     indir = ensure_scenes(n_scenes, side)
+    # resample_alg=None = the CLI's batch semantics (reader heuristic →
+    # native average box reduce for the ≥4× reduction here). The
+    # ProcessingParams DEFAULT ("lanczos", the reference API default) would
+    # instead full-read and Lanczos-resample each band as a standalone
+    # device program INSIDE the loader threads — slower everywhere and
+    # device work where the pipelined loader must be host-only.
     params = ProcessingParams(
         format=OutputFormat.JPEG, polarization=Polarization.MULTIBAND,
-        autoscale=AutoscaleStrategy.CLAHE, size=out_size,
+        autoscale=AutoscaleStrategy.CLAHE, size=out_size, resample_alg=None,
     )
 
     arms = (
@@ -287,6 +540,8 @@ def run(n_scenes: int = 6, side: int = 5000, out_size: int = 1024) -> dict:
         / results["serial"]["scenes_per_s"], 2)
     results["stage_ablation"] = stage_ablation(indir, params, out_size,
                                                n_scenes)
+    results["cold_io_cpu_backend"] = run_cold_io(indir, out_size)
+    results["overlap_arm"] = run_overlap_arm()
     return results
 
 

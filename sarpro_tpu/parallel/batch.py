@@ -33,8 +33,9 @@ class _SceneLoad:
 
 
 def _load_scene(path: Path, params: ProcessingParams,
-                shard_devices: int = 0) -> _SceneLoad:
+                shard_devices: int = 0, direct_io: bool = True) -> _SceneLoad:
     from ..api import _pol_to_reader_hint, _resolve_target_args, scene_skip_reason
+    from ..io import raster as raster_mod
     from ..io.safe import DEFER_DEVICE_PUT, SafeReader
 
     # loader threads do host-only work (SAFE parse, strip reads, native box
@@ -42,6 +43,11 @@ def _load_scene(path: Path, params: ProcessingParams,
     # concurrent device_puts from loaders head-of-line-block the consumer's
     # fetches on serial transports
     DEFER_DEVICE_PUT.set(True)
+    # batch scans touch each scene once: O_DIRECT chunked DMA keeps the
+    # loader off the vCPU (~9% vs ~94% for the buffered fault path measured
+    # on this host) and out of the page cache, so the read genuinely
+    # overlaps the consumer's compute
+    raster_mod.DIRECT_IO.set(bool(direct_io))
     if shard_devices:
         # warps execute inside the reader open (the one loader stage that
         # legitimately dispatches device work); request the row-sharded
@@ -82,6 +88,7 @@ def process_directory_pipelined(
     device_batch: int = 4,
     progress=None,
     shard_devices: int = 0,
+    direct_io: bool = True,
 ):
     """Batch all SAFE subdirectories with `prefetch` scenes loading ahead.
 
@@ -105,6 +112,11 @@ def process_directory_pipelined(
     Pallas kernels — both satisfy the fast-mode contract (≤1 quantization
     bin vs exact mode), but a scene's bytes may differ by ±1 u8 step
     depending on whether it filled a bucket.
+
+    `direct_io` (default on) routes the loaders' contiguous-raster average
+    reads through O_DIRECT chunked DMA (io/raster.py): a batch scan touches
+    each scene once, so the page cache gains nothing, and the buffered
+    fault path burns a core copying pages that the DMA path doesn't.
 
     Returns a BatchReport (same counters as the reference's batch loops).
     """
@@ -261,7 +273,7 @@ def process_directory_pipelined(
                 except StopIteration:
                     return
                 pending.append(pool.submit(_load_scene, p, params,
-                                           shard_devices))
+                                           shard_devices, direct_io))
 
         def record_write(path, wfut):
             if wfut is None:

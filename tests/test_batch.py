@@ -65,10 +65,10 @@ def test_pipelined_batch_fault_isolation(tmp_path, monkeypatch):
     indir = _setup(tmp_path)
     real_load = batch_mod._load_scene
 
-    def flaky(path, params, shard_devices=0):
+    def flaky(path, params, shard_devices=0, direct_io=True):
         if path.name == "b.SAFE":
             raise RuntimeError("synthetic loader crash")
-        return real_load(path, params, shard_devices)
+        return real_load(path, params, shard_devices, direct_io)
 
     monkeypatch.setattr(batch_mod, "_load_scene", flaky)
     params = ProcessingParams(size=32, autoscale=AutoscaleStrategy.STANDARD)
