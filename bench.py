@@ -174,6 +174,56 @@ def host_read_floor_ms(paths) -> float:
     return total
 
 
+def dram_streams_probe(paths) -> dict:
+    """GB/s as a function of concurrent read-stream count (1/2/4/8) over
+    the bench band — the multicore projection's measured anchor (VERDICT r4
+    item 8). If 8 interleaved streams move no more bytes/s than 4, the one
+    core's probe already saturates the DRAM channel and aggregate bandwidth
+    would NOT scale with cores (the 'dram_fixed' model); rising bandwidth
+    means the core is latency-bound and extra cores add real bandwidth
+    ('dram_2x')."""
+    import mmap as _mmap
+
+    from sarpro_tpu import _native
+    from sarpro_tpu.io.tiffio import TiffReader
+
+    if not _native.available() or not hasattr(_native, "stream_sum_u16_n"):
+        return {}
+    p = paths[0]
+    t = TiffReader(p)
+    out = {}
+    with open(p, "rb") as fh:
+        mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+        try:
+            src = np.frombuffer(mm, dtype=np.uint16,
+                                count=t.height * t.width,
+                                offset=int(t.offsets[0]))
+            gb = src.nbytes / 1e9
+            for s in (1, 2, 4, 8):
+                best = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _native.stream_sum_u16_n(src, s)
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                out[f"streams_{s}"] = round(gb / best, 2)
+            del src
+        finally:
+            mm.close()
+    t.close()
+    if out:
+        sat = out["streams_8"] / max(out["streams_4"], 1e-9)
+        out["saturation_8v4"] = round(sat, 3)
+        out["interpretation"] = (
+            "8-stream bandwidth ≈ 4-stream: the single core saturates the "
+            "DRAM channel — aggregate read bandwidth would not scale with "
+            "cores, favoring the dram_fixed projection" if sat < 1.10 else
+            "8 streams beat 4: the single core is latency-bound, extra "
+            "cores would add real bandwidth, favoring the dram_2x "
+            "projection")
+    return out
+
+
 LAST_GOOD = REPO / "benchmarks" / "bench_last_good.json"
 
 _CPU_SYNRGB_SNIPPET = """\
@@ -402,8 +452,11 @@ def main():
         "min_ms", breakdown["read_reduce_ms"])
     ent_min = stats.get("jpeg_entropy", {}).get(
         "min_ms", breakdown["jpeg_write_ms"])
+    streams = dram_streams_probe(
+        sorted((base / "measurement").glob("*.tiff")))
     floor_model = {
         "dram_read_floor_ms": round(floor_ms, 1),
+        "dram_bandwidth_vs_streams_gbps": streams,
         "quiet_entropy_min_ms": round(ent_min, 1),
         "device_tail_ms": round(tail, 1),
         "pcie_allowance_ms": pcie_ms,

@@ -417,11 +417,14 @@ def run_overlap_arm(n_scenes: int = 4, side: int = 24000,
                          f"{out_size} CLAHE synRGB JPEG (--fast), CPU "
                          f"backend, page cache evicted per rep")
     results["note"] = (
-        "big scenes make the loader's read stage (~0.9 s O_DIRECT DMA per "
-        "scene at ~2.7 GB/s, ~9% vCPU) comparable to the ~1.4 s per-scene "
-        "compute, so prefetch overlap is measurable even on one core; "
-        "through-tunnel arms cannot show this because one serialized RPC "
-        "link carries every byte both ways")
+        "the 9+ GB working set exceeds every cache, so reads hit the real "
+        "disk (measured ~0.9 GB/s single-stream O_DIRECT, ~1.2 GB/s at "
+        "queue depth 4); the pipelined driver's wall converges to the "
+        "aggregate disk floor (all compute hidden behind DMA), while the "
+        "serial loop pays I/O + compute in sequence — and serial_buffered "
+        "additionally burns the core faulting pages (~94% CPU) instead of "
+        "DMA-waiting (~9%). Through-tunnel arms cannot show overlap "
+        "because one serialized RPC link carries every byte both ways")
     return results
 
 

@@ -132,37 +132,43 @@ def main():
         def _hist_probe(i, d):
             return streamed._hist_chunk(d + i.astype(d.dtype), mn, mx, r0, n)
 
-        def _scale_probe(i, q):
-            buf, h = streamed._scale_u8_chunk(u8z, q + i.astype(q.dtype),
-                                              _a, _b, r0, n, True)
-            return h + jnp.max(buf).astype(jnp.int32)
+        def _hist_q16_probe(i, q):
+            return streamed._u8hist_q16_chunk(q + i.astype(q.dtype),
+                                              _a, _b, r0, n)
+
+        # bins as the apply pass reads them back (staged by the tile-hist
+        # pass; the streamed path's real apply input since the q16 route)
+        bins = jnp.minimum(q16z + q16[:n] // 256, 256)
+        _ = force(bins)
 
         st = {}
         st["db_minmax"] = rep_diff(_minmax_probe, dn)
         st["db_hist"] = rep_diff(_hist_probe, dn)
-        st["clahe_tile_hist"] = rep_diff(
-            lambda i, d: streamed._tile_hist_chunk(
-                d + i.astype(d.dtype), low, high, r0, n, cols, tile_h,
-                tile_w), dn)
-        st["clahe_apply_lookup"] = rep_diff(
-            lambda i, d: streamed._apply_clahe_chunk(
-                q16z, d + i.astype(d.dtype), low, high, maxv, cdfs, r0, n,
-                cols, tile_h, tile_w)[0], dn)
-        st["scale_u16_u8_hist"] = rep_diff(_scale_probe, q16[:n])
+        st["clahe_tile_hist_stage"] = rep_diff(
+            lambda i, d: streamed._tile_hist_stage_chunk(
+                q16z, d + i.astype(d.dtype), low, high, r0, n, cols, tile_h,
+                tile_w)[1], dn)
+        st["clahe_apply_from_bins"] = rep_diff(
+            lambda i, b: streamed._apply_clahe_bins_chunk(
+                jnp.minimum(b + i.astype(b.dtype), 256), maxv, cdfs, r0, n,
+                cols, tile_h, tile_w)[0], bins)
+        st["u8hist_from_q16"] = rep_diff(_hist_q16_probe, q16[:n])
 
         from sarpro_tpu.ops.kernels import use_pallas
         if use_pallas():
-            st["synrgb_compose_formula"] = rep_diff(
-                lambda i, a, b: streamed._compose_suppressed_formula_chunk(
-                    rgbz, a + i.astype(a.dtype), b, r0, n, 25), b1, b2)
+            st["synrgb_compose_q16_formula"] = rep_diff(
+                lambda i, a, b: streamed._compose_suppressed_formula_q16_chunk(
+                    rgbz, a + i.astype(a.dtype), b, _a, _b, _a, _b,
+                    r0, n, 25), q16[:n], q16[:n])
         st["jpeg_ycbcr_dct"] = rep_diff(
             lambda i, rgb: fused.jpeg_dct_planes(fused.ycbcr_planes(
                 rgb + i.astype(rgb.dtype))), jnp.concatenate(
                 [b1[..., None], b2[..., None], b1[..., None]], axis=-1))
 
         per_band = (st["db_minmax"] + st["db_hist"]
-                    + st["clahe_tile_hist"] + st["clahe_apply_lookup"]
-                    + st["scale_u16_u8_hist"])
+                    + st["clahe_tile_hist_stage"]
+                    + st["clahe_apply_from_bins"]
+                    + st["u8hist_from_q16"])
         return {
             "stage_ms_per_chunk": {k: round(v, 2) for k, v in st.items()},
             "chunk_rows": n, "chunks": nchunks,
@@ -188,7 +194,7 @@ def main():
             target_size=None, pad=False), vv6, vh6)
     stages6 = prof6["stage_ms_per_chunk"]
     acct6 = (2 * prof6["per_band_pass_sum_ms"]
-             + stages6.get("synrgb_compose_formula", 0.0))
+             + stages6.get("synrgb_compose_q16_formula", 0.0))
     prof6.update(
         total_program_ms=round(total6, 1),
         stage_sum_upper_bound_ms=round(acct6, 1),
@@ -288,8 +294,8 @@ def main():
                             "per-pass dispatch overhead",
         "model_sum_ms": round(
             2 * sum(v for k, v in model7.items()
-                    if k != "synrgb_compose_formula")
-            + model7.get("synrgb_compose_formula", 0.0), 1),
+                    if k != "synrgb_compose_q16_formula")
+            + model7.get("synrgb_compose_q16_formula", 0.0), 1),
     }
 
     sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,

@@ -499,6 +499,40 @@ void box_reduce_u16_f32(const uint16_t* src, int64_t src_row0,
 // floor is this traversal time.
 // Returns a byte-fold checksum (not a u16 sum) — the value exists only to
 // keep the loads alive.
+// Stream-count-parametrized variant: traverses `n` u16 values with
+// `streams` interleaved read streams (1/2/4/8). Bandwidth as a function of
+// stream count bounds the DRAM controller's behavior for the multi-core
+// projection: if 8 spread streams move no more bytes/s than 4, the
+// single-core probe already saturates the channel (aggregate bandwidth
+// would NOT scale with cores — the projection's "dram_fixed" model); if
+// bandwidth keeps rising with stream count, the single core is
+// latency-bound and extra cores would add real bandwidth ("dram_2x").
+uint64_t stream_sum_u16_n(const uint16_t* src, int64_t n, int streams) {
+#if defined(__AVX512F__)
+    const int s = streams >= 8 ? 8 : streams >= 4 ? 4 : streams >= 2 ? 2 : 1;
+    const int64_t q = (n / s) & ~31LL;
+    __m512i acc[8];
+    for (int k = 0; k < s; ++k) acc[k] = _mm512_setzero_si512();
+    const __m512i z = _mm512_setzero_si512();
+    for (int64_t i = 0; i + 32 <= q; i += 32)
+        for (int k = 0; k < s; ++k)
+            acc[k] = _mm512_add_epi64(
+                acc[k],
+                _mm512_sad_epu8(_mm512_loadu_si512(src + k * q + i), z));
+    for (int k = 1; k < s; ++k) acc[0] = _mm512_add_epi64(acc[0], acc[k]);
+    uint64_t tmp[8];
+    _mm512_storeu_si512(tmp, acc[0]);
+    uint64_t out = 0;
+    for (int k = 0; k < 8; ++k) out += tmp[k];
+    for (int64_t i = s * q; i < n; ++i) out += src[i];
+    return out;
+#else
+    uint64_t out = 0;
+    for (int64_t i = 0; i < n; ++i) out += src[i];
+    return out;
+#endif
+}
+
 uint64_t stream_sum_u16(const uint16_t* src, int64_t n) {
 #if defined(__AVX512F__)
     const int64_t q = (n / 4) & ~31LL;

@@ -52,6 +52,11 @@ def _load() -> Optional[ctypes.CDLL]:
                                        i32p, i32p, i32p, i32p]
     lib.stream_sum_u16.restype = ctypes.c_uint64
     lib.stream_sum_u16.argtypes = [u16p, i64]
+    try:
+        lib.stream_sum_u16_n.restype = ctypes.c_uint64
+        lib.stream_sum_u16_n.argtypes = [u16p, i64, ctypes.c_int32]
+    except AttributeError:
+        return None  # stale .so — rebuild with native/build.py
     lib.jpeg_encode_ycbcr444.restype = i64
     lib.jpeg_encode_ycbcr444.argtypes = [u8p, u8p, u8p, i64, i64, u8p, i64,
                                          ctypes.c_int32]
@@ -156,6 +161,17 @@ def stream_sum_u16(src: np.ndarray) -> int:
     assert src.dtype == np.uint16 and src.flags.c_contiguous
     return int(lib.stream_sum_u16(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), src.size))
+
+
+def stream_sum_u16_n(src: np.ndarray, streams: int) -> int:
+    """Bandwidth probe with 1/2/4/8 interleaved read streams — bandwidth vs
+    stream count bounds whether the single core saturates the DRAM channel
+    (multicore projection anchor; see native/tiffcodec.cpp)."""
+    lib = _load()
+    assert src.dtype == np.uint16 and src.flags.c_contiguous
+    return int(lib.stream_sum_u16_n(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), src.size,
+        int(streams)))
 
 
 def jpeg_encode_ycbcr444(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,

@@ -105,6 +105,45 @@ def _tile_hist_chunk(dn, low, high, r0, n: int, cols: int,
                           tile_w, row_offset=r0 + row_base, n_bins=CLAHE_BINS)
 
 
+def _tile_hist_stage_chunk(bin_buf, dn, low, high, r0, n: int, cols: int,
+                           tile_h: int, tile_w: int, row_base=0):
+    """Tile-hist pass that ALSO stages the per-pixel CLAHE bins into the
+    u16 staging buffer (CLAHE_BINS = the invalid marker): the apply pass
+    reads them back instead of recomputing dB/norm/bins over the DN —
+    saving one full transcendental+binning traversal per band (VERDICT r4
+    item 5). The staged values are exactly what the apply would recompute
+    (same f32 expressions), so outputs stay byte-identical."""
+    from ..ops import tile_histogram
+
+    db, mask = fused._db_mask(jax.lax.dynamic_slice_in_dim(dn, r0, n, 0))
+    norm = fused._clahe_norm(db, mask, low, high)
+    bin_m = fused._clahe_bins(norm, mask, n, cols, tile_h, tile_w,
+                              row_offset=r0 + row_base)
+    hist = tile_histogram(bin_m.ravel(), cols, TILES_X, TILES_Y, tile_h,
+                          tile_w, row_offset=r0 + row_base,
+                          n_bins=CLAHE_BINS)
+    buf = jax.lax.dynamic_update_slice_in_dim(
+        bin_buf, bin_m.astype(jnp.uint16), r0, 0)
+    return buf, hist
+
+
+def _apply_clahe_bins_chunk(q16_buf, max_val, cdfs, r0, n: int, cols: int,
+                            tile_h: int, tile_w: int, row_base=0):
+    """CLAHE apply from the staged bins: reads the bin chunk from the SAME
+    buffer it overwrites with q16 (read-then-write per chunk; the scan
+    threads the buffer functionally so XLA aliases it in place)."""
+    from ..ops import clahe_lookup
+
+    bin_m = jax.lax.dynamic_slice_in_dim(q16_buf, r0, n, 0).astype(jnp.int32)
+    mask = bin_m < CLAHE_BINS
+    eq = clahe_lookup(bin_m.ravel(), cdfs, cols, TILES_X, TILES_Y, tile_h,
+                      tile_w, row_offset=r0 + row_base).reshape(n, cols)
+    q = jnp.trunc(jnp.clip(eq, 0.0, 1.0) * max_val)
+    q16 = jnp.where(mask, q, 0.0).astype(jnp.uint16)
+    return (jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0),
+            jnp.min(q16), jnp.max(q16))
+
+
 def _apply_clahe_chunk(q16_buf, dn, low, high, max_val, cdfs, r0, n: int,
                        cols: int, tile_h: int, tile_w: int, row_base=0):
     from ..ops import clahe_lookup
@@ -136,6 +175,20 @@ def _apply_tamed_chunk(q16_buf, dn, low, high, r0, n: int):
     return jax.lax.dynamic_update_slice_in_dim(q16_buf, q16, r0, 0)
 
 
+def _q16_u8_vals(q, mn, mx):
+    """u8 codes of the global u16→u8 double normalization — the ONE
+    arithmetic shared by the scale pass, the hist-only pass, and the
+    q16-composing chunks, so every route rounds identically (fused
+    ._scale_u16_to_u8 / autoscale.rs:348-364). For TAMED bands (already
+    u8-valued) callers pass mn=0, mx=255: scale is exactly 1 and the map
+    is the identity."""
+    mn = mn.astype(jnp.float32)
+    mx = mx.astype(jnp.float32)
+    scale = jnp.where(mx > mn, 255.0 / (mx - mn), 1.0)
+    val = round_half_up_nonneg((q.astype(jnp.float32) - mn) * scale)
+    return jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
+
+
 def _scale_u8_chunk(u8_buf, q16_buf, mn, mx, r0, n: int, with_hist: bool):
     """u16 → u8 double normalization of one chunk; with `with_hist`, also
     the chunk's u8 histogram (accumulated by the suppressed-synRGB floor —
@@ -143,14 +196,21 @@ def _scale_u8_chunk(u8_buf, q16_buf, mn, mx, r0, n: int, with_hist: bool):
     from ..ops import histogram
 
     q = jax.lax.dynamic_slice_in_dim(q16_buf, r0, n, 0)
-    mn = mn.astype(jnp.float32)
-    mx = mx.astype(jnp.float32)
-    scale = jnp.where(mx > mn, 255.0 / (mx - mn), 1.0)
-    val = round_half_up_nonneg((q.astype(jnp.float32) - mn) * scale)
-    u8 = jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)
+    u8 = _q16_u8_vals(q, mn, mx)
     hist = (histogram(u8.astype(jnp.int32).ravel(), 256) if with_hist
             else jnp.zeros((256,), jnp.int32))
     return jax.lax.dynamic_update_slice_in_dim(u8_buf, u8, r0, 0), hist
+
+
+def _u8hist_q16_chunk(q16_buf, mn, mx, r0, n: int):
+    """Histogram of the u8 codes WITHOUT materializing a u8 buffer — the
+    q16-composing synRGB route needs only the combined histogram (for the
+    suppressed floor) before composing straight from q16."""
+    from ..ops import histogram
+
+    q = jax.lax.dynamic_slice_in_dim(q16_buf, r0, n, 0)
+    u8 = _q16_u8_vals(q, mn, mx)
+    return histogram(u8.astype(jnp.int32).ravel(), 256)
 
 
 def _u8_hist_chunk(b, r0, n: int):
@@ -193,6 +253,54 @@ def _compose_suppressed_formula_chunk(rgb_buf, b1, b2, r0, n: int, fc: int):
 def _compose_default_chunk(rgb_buf, b1, b2, r0, n: int):
     c1 = jax.lax.dynamic_slice_in_dim(b1, r0, n, 0)
     c2 = jax.lax.dynamic_slice_in_dim(b2, r0, n, 0)
+    rgb = fused._synrgb_default(c1, c2)
+    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+
+
+# --- q16-composing variants: the bands stay in their q16 staging buffers
+# and the u16→u8 scale folds INTO the compose (VERDICT r4 item 5) — the
+# separate scale pass shrinks to a hist-only fold and no u8 planes are
+# ever materialized. u8 codes come from _q16_u8_vals (identical rounding),
+# and padded q16 zeros map to u8 0 exactly like the padded-u8 route
+# ((0-mn)·scale ≤ 0 clips to 0), so outputs are byte-identical.
+def _q16_chunk_codes(q1, q2, mn1, mx1, mn2, mx2, r0, n: int):
+    c1 = _q16_u8_vals(jax.lax.dynamic_slice_in_dim(q1, r0, n, 0), mn1, mx1)
+    c2 = _q16_u8_vals(jax.lax.dynamic_slice_in_dim(q2, r0, n, 0), mn2, mx2)
+    return c1, c2
+
+
+def _compose_suppressed_q16_chunk(rgb_buf, q1, q2, mn1, mx1, mn2, mx2,
+                                  floor_c, lut_r, lut_g, lut_b, r0, n: int):
+    from ..ops import synrgb_lookup
+
+    c1, c2 = _q16_chunk_codes(q1, q2, mn1, mx1, mn2, mx2, r0, n)
+    i1 = c1.astype(jnp.int32)
+    i2 = c2.astype(jnp.int32)
+    rgb = synrgb_lookup(i1.ravel(), i2.ravel(), lut_r, lut_g,
+                        lut_b).reshape(c1.shape + (3,))
+    water = ((i1.astype(jnp.float32) <= floor_c)
+             & (i2.astype(jnp.float32) <= floor_c))[..., None]
+    rgb = jnp.where(water, jnp.uint8(0), rgb)
+    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+
+
+def _compose_suppressed_formula_q16_chunk(rgb_buf, q1, q2, mn1, mx1, mn2,
+                                          mx2, r0, n: int, fc: int):
+    from ..ops import synrgb_lookup_formula
+    from .synthetic_rgb import suppressed_formula_tables
+
+    c1, c2 = _q16_chunk_codes(q1, q2, mn1, mx1, mn2, mx2, r0, n)
+    rgb = synrgb_lookup_formula(
+        c1.ravel(), c2.ravel(), *suppressed_formula_tables(fc),
+        guard_b2=False).reshape(c1.shape + (3,))
+    water = (c1 <= fc) & (c2 <= fc)
+    rgb = jnp.where(water[..., None], jnp.uint8(0), rgb)
+    return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
+
+
+def _compose_default_q16_chunk(rgb_buf, q1, q2, mn1, mx1, mn2, mx2, r0,
+                               n: int):
+    c1, c2 = _q16_chunk_codes(q1, q2, mn1, mx1, mn2, mx2, r0, n)
     rgb = fused._synrgb_default(c1, c2)
     return jax.lax.dynamic_update_slice_in_dim(rgb_buf, rgb, r0, 0)
 
@@ -363,6 +471,55 @@ _scan_tile_hist = functools.partial(
                               "tile_h", "tile_w"))(_scan_tile_hist_impl)
 
 
+def _scan_tile_hist_stage_impl(bin_buf, dn, low, high, chunk: int, k: int,
+                               tail: int, cols: int, tile_h: int,
+                               tile_w: int, row_base=0):
+    init = (bin_buf, jnp.zeros((TILES_Y * TILES_X * CLAHE_BINS,), jnp.int32))
+
+    def body(i, acc):
+        buf, h = _tile_hist_stage_chunk(acc[0], dn, low, high, i * chunk,
+                                        chunk, cols, tile_h, tile_w,
+                                        row_base)
+        return buf, acc[1] + h
+
+    buf, hists = jax.lax.fori_loop(0, k, body, init)
+    if tail:
+        buf, h = _tile_hist_stage_chunk(buf, dn, low, high, k * chunk, tail,
+                                        cols, tile_h, tile_w, row_base)
+        hists = hists + h
+    return buf, hists
+
+
+def _scan_apply_clahe_bins_impl(q16_buf, max_val, cdfs, chunk: int, k: int,
+                                tail: int, cols: int, tile_h: int,
+                                tile_w: int, row_base=0):
+    init = (q16_buf, jnp.uint16(65535), jnp.uint16(0))
+
+    def body(i, acc):
+        buf, a, b = _apply_clahe_bins_chunk(acc[0], max_val, cdfs,
+                                            i * chunk, chunk, cols, tile_h,
+                                            tile_w, row_base)
+        return buf, jnp.minimum(acc[1], a), jnp.maximum(acc[2], b)
+
+    buf, mn, mx = jax.lax.fori_loop(0, k, body, init)
+    if tail:
+        buf, a, b = _apply_clahe_bins_chunk(buf, max_val, cdfs, k * chunk,
+                                            tail, cols, tile_h, tile_w,
+                                            row_base)
+        mn, mx = jnp.minimum(mn, a), jnp.maximum(mx, b)
+    return buf, mn, mx
+
+
+def _scan_u8hist_q16_impl(q16_buf, mn, mx, chunk: int, k: int, tail: int):
+    def body(i, acc):
+        return acc + _u8hist_q16_chunk(q16_buf, mn, mx, i * chunk, chunk)
+
+    hist = jax.lax.fori_loop(0, k, body, jnp.zeros((256,), jnp.int32))
+    if tail:
+        hist = hist + _u8hist_q16_chunk(q16_buf, mn, mx, k * chunk, tail)
+    return hist
+
+
 def _scan_apply_clahe_impl(q16_buf, dn, low, high, max_val, cdfs, chunk: int,
                            k: int, tail: int, cols: int, tile_h: int,
                            tile_w: int, row_base=0):
@@ -501,6 +658,55 @@ def _scan_compose_default(rgb_buf, b1, b2, chunk: int, k: int, tail: int):
     return buf
 
 
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("chunk", "k", "tail"))
+def _scan_compose_suppressed_q16(rgb_buf, q1, q2, mn1, mx1, mn2, mx2,
+                                 floor_c, lut_r, lut_g, lut_b, chunk: int,
+                                 k: int, tail: int):
+    def body(i, buf):
+        return _compose_suppressed_q16_chunk(buf, q1, q2, mn1, mx1, mn2,
+                                             mx2, floor_c, lut_r, lut_g,
+                                             lut_b, i * chunk, chunk)
+
+    buf = jax.lax.fori_loop(0, k, body, rgb_buf)
+    if tail:
+        buf = _compose_suppressed_q16_chunk(buf, q1, q2, mn1, mx1, mn2, mx2,
+                                            floor_c, lut_r, lut_g, lut_b,
+                                            k * chunk, tail)
+    return buf
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("chunk", "k", "tail", "fc"))
+def _scan_compose_suppressed_formula_q16(rgb_buf, q1, q2, mn1, mx1, mn2,
+                                         mx2, chunk: int, k: int, tail: int,
+                                         fc: int):
+    def body(i, buf):
+        return _compose_suppressed_formula_q16_chunk(
+            buf, q1, q2, mn1, mx1, mn2, mx2, i * chunk, chunk, fc)
+
+    buf = jax.lax.fori_loop(0, k, body, rgb_buf)
+    if tail:
+        buf = _compose_suppressed_formula_q16_chunk(
+            buf, q1, q2, mn1, mx1, mn2, mx2, k * chunk, tail, fc)
+    return buf
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("chunk", "k", "tail"))
+def _scan_compose_default_q16(rgb_buf, q1, q2, mn1, mx1, mn2, mx2,
+                              chunk: int, k: int, tail: int):
+    def body(i, buf):
+        return _compose_default_q16_chunk(buf, q1, q2, mn1, mx1, mn2, mx2,
+                                          i * chunk, chunk)
+
+    buf = jax.lax.fori_loop(0, k, body, rgb_buf)
+    if tail:
+        buf = _compose_default_q16_chunk(buf, q1, q2, mn1, mx1, mn2, mx2,
+                                         k * chunk, tail)
+    return buf
+
+
 # ---------------------------------------------------------------------------
 # Stats
 # ---------------------------------------------------------------------------
@@ -533,7 +739,14 @@ def _band_body(dn_l, chunk: int, k: int, tail: int,
                strategy: AutoscaleStrategy, tamed_copol: bool | None,
                max_val: float, to_u8: bool, with_hist: bool, cols: int,
                tile_h: int, tile_w: int, rows_g: int, local: int,
-               axis: str | None):
+               axis: str | None, emit_q16: bool = False):
+    """With `emit_q16` (the synRGB compose-from-q16 route, VERDICT r4 item
+    5) the band returns `(q16, hist, mn, mx)` — the staging buffer plus the
+    scale scalars — and NO u8 plane is materialized: the u16→u8 scale runs
+    inline in the compose chunks (identical rounding via _q16_u8_vals) and
+    the histogram folds without a buffer write. TAMED bands return their
+    u8-valued buffer with (mn=0, mx=255), under which the scale map is
+    exactly the identity."""
     count, mn, mx = _scan_minmax_raw(dn_l, chunk, k, tail)
     if axis is not None:
         count = jax.lax.psum(count, axis)
@@ -551,6 +764,16 @@ def _band_body(dn_l, chunk: int, k: int, tail: int,
         high = s["p99"]
         q16 = jnp.zeros((local, cols), jnp.uint16)
         q16 = _scan_apply_tamed_impl(q16, dn_l, low, high, chunk, k, tail)
+        if emit_q16:
+            mn_j = jnp.int32(0)
+            mx_j = jnp.int32(255)
+            if with_hist:
+                h = _scan_u8hist_q16_impl(q16, mn_j, mx_j, chunk, k, tail)
+                if axis is not None:
+                    h = jax.lax.psum(h, axis)
+            else:
+                h = jnp.zeros((256,), jnp.int32)
+            return q16, h, mn_j, mx_j
         u8 = q16.astype(jnp.uint8)
         if not with_hist:
             return u8, jnp.zeros((256,), jnp.int32)
@@ -563,14 +786,16 @@ def _band_body(dn_l, chunk: int, k: int, tail: int,
     if strategy is AutoscaleStrategy.CLAHE:
         row_base = (jax.lax.axis_index(axis).astype(jnp.int32) * local
                     if axis is not None else 0)
-        hists = _scan_tile_hist_impl(dn_l, low, high, chunk, k, tail, cols,
-                                     tile_h, tile_w, row_base)
+        # the tile-hist pass stages its computed bins in the q16 buffer so
+        # the apply pass reads them back instead of redoing dB/norm/bins
+        q16, hists = _scan_tile_hist_stage_impl(
+            q16, dn_l, low, high, chunk, k, tail, cols, tile_h, tile_w,
+            row_base)
         if axis is not None:
             hists = jax.lax.psum(hists, axis)
         cdfs = fused._clahe_cdfs(hists, rows_g, cols, tile_h, tile_w)
-        q16, mn_j, mx_j = _scan_apply_clahe_impl(
-            q16, dn_l, low, high, mv, cdfs, chunk, k, tail, cols, tile_h,
-            tile_w, row_base)
+        q16, mn_j, mx_j = _scan_apply_clahe_bins_impl(
+            q16, mv, cdfs, chunk, k, tail, cols, tile_h, tile_w, row_base)
     else:
         q16, mn_j, mx_j = _scan_apply_window_impl(
             q16, dn_l, low, high, gamma, mv, chunk, k, tail)
@@ -582,6 +807,14 @@ def _band_body(dn_l, chunk: int, k: int, tail: int,
     if axis is not None:
         mn_j = jax.lax.pmin(mn_j, axis)
         mx_j = jax.lax.pmax(mx_j, axis)
+    if emit_q16:
+        if with_hist:
+            h = _scan_u8hist_q16_impl(q16, mn_j, mx_j, chunk, k, tail)
+            if axis is not None:
+                h = jax.lax.psum(h, axis)
+        else:
+            h = jnp.zeros((256,), jnp.int32)
+        return q16, h, mn_j, mx_j
     if not to_u8:
         return q16, jnp.zeros((256,), jnp.int32)
     u8 = jnp.zeros((local, cols), jnp.uint8)
@@ -596,20 +829,21 @@ _scan_band_full = functools.partial(
     jax.jit,
     static_argnames=("chunk", "k", "tail", "strategy", "tamed_copol",
                      "max_val", "to_u8", "with_hist", "cols", "tile_h",
-                     "tile_w", "rows_g", "local", "axis"))(_band_body)
+                     "tile_w", "rows_g", "local", "axis", "emit_q16"))(
+    _band_body)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("chunk", "k", "tail", "strategy", "tamed_copol",
                      "max_val", "to_u8", "with_hist", "cols", "tile_h",
-                     "tile_w", "rows_g", "local", "mesh"))
+                     "tile_w", "rows_g", "local", "mesh", "emit_q16"))
 def _sharded_band_program(dn, chunk: int, k: int, tail: int,
                           strategy: AutoscaleStrategy,
                           tamed_copol: bool | None, max_val: float,
                           to_u8: bool, with_hist: bool, cols: int,
                           tile_h: int, tile_w: int, rows_g: int,
-                          local: int, mesh):
+                          local: int, mesh, emit_q16: bool = False):
     """Row-sharded band program: _band_body under shard_map with the
     'row' mesh axis as its collective axis (SURVEY §2.5)."""
     from jax.sharding import PartitionSpec as P
@@ -617,12 +851,15 @@ def _sharded_band_program(dn, chunk: int, k: int, tail: int,
     def per_device(dn_l):
         return _band_body(
             dn_l, chunk, k, tail, strategy, tamed_copol, max_val, to_u8,
-            with_hist, cols, tile_h, tile_w, rows_g, local, "row")
+            with_hist, cols, tile_h, tile_w, rows_g, local, "row",
+            emit_q16)
 
+    out_specs = ((P("row", None), P(), P(), P()) if emit_q16
+                 else (P("row", None), P()))
     return jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P("row", None),),
-        out_specs=(P("row", None), P()),
+        out_specs=out_specs,
         check_vma=False,
     )(dn)
 
@@ -630,7 +867,8 @@ def _sharded_band_program(dn, chunk: int, k: int, tail: int,
 def _band_u8_streamed_sharded(dn, strategy: AutoscaleStrategy,
                               tamed_copol: bool | None,
                               bit_depth: BitDepth, chunk_rows: int,
-                              collect_hist: bool, mesh):
+                              collect_hist: bool, mesh,
+                              emit_q16: bool = False):
     """Row-sharded variant of the device-accumulation fast path: ONE
     shard_map program per band (stats+window+apply fused; collectives at
     the reduction points). Returns (out, hist) with `out` row-sharded on
@@ -656,7 +894,7 @@ def _band_u8_streamed_sharded(dn, strategy: AutoscaleStrategy,
         dn, chunk, k, tail, strategy, tamed_copol,
         float(bit_depth.max_val), to_u8,
         collect_hist and (tamed or to_u8), cols,
-        tile_h, tile_w, rows, local, mesh)
+        tile_h, tile_w, rows, local, mesh, emit_q16)
 
 
 def _band_stats_hostacc(dn, chunks):
@@ -729,7 +967,8 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
                      chunk_rows: int = CHUNK_ROWS,
                      collect_hist: bool = False,
                      device_hist: bool = False,
-                     mesh=None):
+                     mesh=None,
+                     emit_q16: bool = False):
     """One full-res band DN → u8 (or u16 for grayscale U16), chunked.
     Semantics mirror fused._band_u8 / fused.grayscale_pipeline. With
     `collect_hist`, also returns the u8 output's 256-bin histogram
@@ -758,13 +997,23 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
     device_acc = dn.size <= _DEVICE_ACC_MAX_PIXELS
     chunks = _chunk_starts(rows, chunk_rows)
     tamed = tamed_copol is not None and strategy is AutoscaleStrategy.TAMED
+    if emit_q16 and not device_acc:
+        raise ValueError(
+            "emit_q16 requires the device-accumulation path (the caller "
+            "gates on _DEVICE_ACC_MAX_PIXELS)")
 
     if mesh is not None:
         n = mesh.shape.get("row", 1)
         if device_acc and n >= 2 and rows % n == 0:
-            out, h = _band_u8_streamed_sharded(
+            res = _band_u8_streamed_sharded(
                 dn, strategy, tamed_copol, bit_depth, chunk_rows,
-                collect_hist, mesh)
+                collect_hist, mesh, emit_q16)
+            if emit_q16:
+                q16, h, mn_j, mx_j = res
+                return q16, (h if device_hist
+                             else np.asarray(h).astype(np.int64)), \
+                    mn_j, mx_j
+            out, h = res
             if not collect_hist:
                 return out
             to_u8 = tamed or bit_depth is not BitDepth.U16
@@ -790,10 +1039,16 @@ def band_u8_streamed(dn, strategy: AutoscaleStrategy,
         to_u8 = tamed or bit_depth is not BitDepth.U16
         tile_h = -(-rows // TILES_Y)
         tile_w = -(-cols // TILES_X)
-        out, h = _scan_band_full(
+        res = _scan_band_full(
             dn, chunk_rows, k, tail, strategy, tamed_copol,
             float(bit_depth.max_val), bit_depth is not BitDepth.U16,
-            collect_hist and to_u8, cols, tile_h, tile_w, rows, rows, None)
+            collect_hist and to_u8, cols, tile_h, tile_w, rows, rows, None,
+            emit_q16)
+        if emit_q16:
+            q16, h, mn_j, mx_j = res
+            return q16, (h if device_hist
+                         else np.asarray(h).astype(np.int64)), mn_j, mx_j
+        out, h = res
         if not collect_hist:
             return out
         if not to_u8:
@@ -889,24 +1144,35 @@ def synrgb_streamed(vv_dn, vh_dn,
     if suppressed is None:
         suppressed = strategy in (AutoscaleStrategy.TAMED,
                                   AutoscaleStrategy.CLAHE)
+    # q16 compose route (VERDICT r4 item 5): the bands stay in their u16
+    # staging buffers, the u16→u8 scale folds INTO the compose chunks, and
+    # no u8 planes are materialized — one fewer full write+read traversal
+    # per band, byte-identical output (see _band_body emit_q16)
+    q16_mode = (vv_dn.size <= _DEVICE_ACC_MAX_PIXELS
+                and vh_dn.size <= _DEVICE_ACC_MAX_PIXELS)
     # device_hist defers each band's histogram fetch until BOTH bands'
     # programs are dispatched, so band 1's fetch rides the tunnel while
     # band 2 computes (hostacc bands return host int64 already)
     r1 = band_u8_streamed(vv_dn, strategy, True if tamed else None,
                           chunk_rows=chunk_rows, collect_hist=suppressed,
-                          device_hist=True, mesh=mesh)
+                          device_hist=True, mesh=mesh, emit_q16=q16_mode)
     r2 = band_u8_streamed(vh_dn, strategy, False if tamed else None,
                           chunk_rows=chunk_rows, collect_hist=suppressed,
-                          device_hist=True, mesh=mesh)
-    b1, h1 = r1 if suppressed else (r1, None)
-    b2, h2 = r2 if suppressed else (r2, None)
+                          device_hist=True, mesh=mesh, emit_q16=q16_mode)
+    if q16_mode:
+        b1, h1, mn1, mx1 = r1
+        b2, h2, mn2, mx2 = r2
+    else:
+        b1, h1 = r1 if suppressed else (r1, None)
+        b2, h2 = r2 if suppressed else (r2, None)
     hist = (np.asarray(h1).astype(np.int64)
             + np.asarray(h2).astype(np.int64)) if suppressed else None
     if pad:
         m = max(rows, cols)
         if suppressed:
             # pad precedes composition (save.rs:332-361): the pad zeros take
-            # part in the suppressed mode's combined histogram
+            # part in the suppressed mode's combined histogram (q16 pad
+            # zeros scale to u8 0 exactly — (0-mn)·scale clips to 0)
             hist[0] += 2 * (m * m - rows * cols)
         b1 = fused._pad_square(b1, rows, cols)
         b2 = fused._pad_square(b2, rows, cols)
@@ -920,7 +1186,11 @@ def synrgb_streamed(vv_dn, vh_dn,
     k, tail = _plan(rows, chunk)
     rgb = jnp.zeros((rows, cols, 3), jnp.uint8)
     if not suppressed:
-        rgb = _scan_compose_default(rgb, b1, b2, chunk, k, tail)
+        if q16_mode:
+            rgb = _scan_compose_default_q16(rgb, b1, b2, mn1, mx1, mn2, mx2,
+                                            chunk, k, tail)
+        else:
+            rgb = _scan_compose_default(rgb, b1, b2, chunk, k, tail)
         return _finish(rgb)
     # floor computed HOST-side in int64: totals can exceed int32 (e.g.
     # padded 40000^2 dual-band = 3.2e9); semantics match the reference's
@@ -931,6 +1201,16 @@ def synrgb_streamed(vv_dn, vh_dn,
 
     fc = int(np.asarray(floor_c))
     tabs = suppressed_formula_tables(fc) if use_pallas() else None
+    if q16_mode:
+        if tabs is not None:
+            rgb = _scan_compose_suppressed_formula_q16(
+                rgb, b1, b2, mn1, mx1, mn2, mx2, chunk, k, tail, fc)
+        else:
+            lut_r, lut_g, lut_b = fused._suppressed_luts(floor_c)
+            rgb = _scan_compose_suppressed_q16(
+                rgb, b1, b2, mn1, mx1, mn2, mx2, floor_c, lut_r, lut_g,
+                lut_b, chunk, k, tail)
+        return _finish(rgb)
     if tabs is not None:
         rgb = _scan_compose_suppressed_formula(rgb, b1, b2, chunk, k, tail,
                                                fc)

@@ -192,13 +192,37 @@ def process_directory_pipelined(
                 )
             if pol.kind == "multiband":
                 b1, b2, is_vvvh = _band_pair(reader, "Multiband")
+                # stage band 1 as its own program, like the serial fast
+                # path does during the overlapped pair load (api.py
+                # band_stage): the consumer dispatches it asynchronously
+                # ahead of band 2 + combine, and the batch driver then
+                # runs the SAME split programs as the single-scene CLI —
+                # identical bytes, shared compile cache (the monolithic
+                # two-band program also lowers poorly on the CPU backend)
+                staged = None
+                if (params.format is OutputFormat.JPEG and not shard_devices
+                        and not fast_path._is_big_scene(
+                            *np.shape(b1), params.size)):
+                    import jax.numpy as jnp
+
+                    from ..core import fused
+
+                    try:
+                        staged = fused.synrgb_band_stage(
+                            jnp.asarray(b1), strategy=params.autoscale,
+                            copol=True, target_size=params.size,
+                            pad=params.pad)
+                    except Exception:  # noqa: BLE001 — staging is advisory
+                        logger.exception("band_stage dispatch failed; "
+                                         "using the fused program")
+                        staged = None
                 return fast_path.save_multiband_fast(
                     b1, b2, out, params.format, bit_depth, params.size,
                     reader.metadata, params.pad, params.autoscale,
                     ProcessingOperation.MULTIBAND_VV_VH if is_vvvh
                     else ProcessingOperation.MULTIBAND_HH_HV,
                     params.synrgb_mode, write_pool=write_pool,
-                    shard_devices=shard_devices,
+                    shard_devices=shard_devices, staged_b1=staged,
                 )
             return fast_path.save_single_band_fast(
                 _op_band(reader, pol.op), out, params.format, bit_depth,
