@@ -338,8 +338,10 @@ def degraded_main(outage: str) -> None:
                 if last is not None and "with_warp" in last.get("extra", {})
                 else None),
             "host_read_floor_ms": round(floor_ms, 1),
-            "read_reduce_vs_floor": round(read["ms"] / floor_ms, 2)
-            if floor_ms == floor_ms else None,
+            "read_reduce_vs_floor": read.get(
+                "vs_floor_same_window",
+                round(read["ms"] / floor_ms, 2)
+                if floor_ms == floor_ms else None),
             "tpu_validate_carried": validate,
             "note": "the TPU tunnel was unreachable for this run; host "
                     "stages (the dominant terms on this 1-core host) are "
@@ -562,13 +564,21 @@ def main():
             "host_read_floor_ms": round(floor_ms, 1),
             "floor_model": floor_model,
             "multicore_projection": multicore,
-            "read_reduce_vs_floor": round(
+            # phase-fair ratio: stage and floor interleaved in ONE window
+            # (r4's 1.41x came from a fast-phase floor vs a slow-phase
+            # stage; the reducer itself measures ~1.1x its true floor)
+            "read_reduce_vs_floor": breakdown.get(
+                "read_reduce_vs_floor_same_window"),
+            "read_reduce_vs_floor_cross_window": round(
                 breakdown["read_reduce_ms"] / floor_ms, 2)
             if floor_ms == floor_ms else None,
             "floor_note": "floor = measured single-traversal time of the "
                           "same 1.6 GB on this 1-core host (4-stream "
                           "AVX-512 probe); the reduce stage cannot go "
-                          "below it",
+                          "below it. read_reduce_vs_floor interleaves "
+                          "stage and floor reps in one subprocess window "
+                          "(same DRAM phase); the cross-window variant "
+                          "conflates code quality with phase swing",
             "e2e_raw_tunnel_p50_ms": round(e2e["p50_ms"], 1),
             "e2e_raw_tunnel_times_ms": e2e["times_ms"],
             "e2e_raw_note": "raw runs ship 32 MB through the shared axon "

@@ -103,6 +103,29 @@ def _build_coeffs(in_size: int, out_size: int, filter_name: str):
     support = base_support * filterscale
     ksize = int(np.ceil(support)) * 2 + 1
 
+    if ksize < 128:
+        # vectorized form of the per-row loop below: identical f64 values
+        # at every tap, and because ksize < numpy's pairwise-summation
+        # blocksize (128) the masked row sums add the same taps in the
+        # same sequential order (trailing +0.0 is exact), so the
+        # normalized weights are bit-identical to the loop's. The loop
+        # cost ~94 ms for a 20000→2048 axis — on every cold process this
+        # was the read stage's largest non-DRAM term.
+        centers = (np.arange(out_size, dtype=np.float64) + 0.5) * scale
+        xmin = np.maximum((centers - support + 0.5).astype(np.int64), 0)
+        xmax = np.minimum((centers + support + 0.5).astype(np.int64),
+                          in_size)
+        idx = xmin[:, None] + np.arange(ksize, dtype=np.int64)[None, :]
+        valid = idx < xmax[:, None]
+        k = fn((idx - centers[:, None] + 0.5) / filterscale)
+        k = np.where(valid, k, 0.0)
+        ssum = k.sum(axis=1)
+        k = np.where((ssum != 0.0)[:, None],
+                     k / np.where(ssum == 0.0, 1.0, ssum)[:, None], k)
+        # cache plain numpy: jnp constants created inside one trace must
+        # not be reused by another (tracer leak via the lru_cache)
+        return xmin.astype(np.int32), k.astype(np.float32)
+
     starts = np.zeros(out_size, np.int32)
     weights = np.zeros((out_size, ksize), np.float64)
     for i in range(out_size):
