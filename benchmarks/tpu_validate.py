@@ -240,6 +240,24 @@ def main():
     check("jpeg_dct odd block count", got.shape == (3, 128, 127, 8, 8)
           and dmax <= 1, f"shape={got.shape} maxdiff={dmax}")
 
+    # streamed q16 compose route vs the fused program, on silicon: the
+    # bands stay in q16 staging with CLAHE bins staged by the tile-hist
+    # pass and the u16->u8 scale folded into the compose (0.5.0) — byte
+    # equality is the route's contract
+    from sarpro_tpu.core import streamed as S
+    from sarpro_tpu.types import AutoscaleStrategy
+
+    dn1 = rng.integers(0, 65536, (1024, 896)).astype(np.uint16)
+    dn2 = rng.integers(0, 65536, (1024, 896)).astype(np.uint16)
+    dn1[rng.random((1024, 896)) < 0.02] = 0
+    for strat in (AutoscaleStrategy.CLAHE, AutoscaleStrategy.TAMED):
+        want = np.asarray(F.synrgb_pipeline(
+            dn1, dn2, strategy=strat, target_size=None, pad=True))
+        got = np.asarray(S.synrgb_streamed(
+            dn1, dn2, strategy=strat, pad=True, chunk_rows=192))
+        check(f"streamed q16 synrgb {strat.name} vs fused",
+              np.array_equal(got, want))
+
     print(f"\n{len(FAILURES)} failure(s)")
     write_results(str(jax.devices()[0]))
     return 1 if FAILURES else 0
