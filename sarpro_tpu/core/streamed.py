@@ -1165,6 +1165,10 @@ def synrgb_streamed(vv_dn, vh_dn,
     else:
         b1, h1 = r1 if suppressed else (r1, None)
         b2, h2 = r2 if suppressed else (r2, None)
+    # release the DN planes: the band programs hold the only remaining
+    # uses, so their ~2.8 GB/band (26544² u16) free as each completes
+    # instead of riding to the end of the compose
+    vv_dn = vh_dn = None
     hist = (np.asarray(h1).astype(np.int64)
             + np.asarray(h2).astype(np.int64)) if suppressed else None
     if pad:
