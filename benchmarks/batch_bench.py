@@ -460,11 +460,15 @@ def run_cold_io(indir: pathlib.Path, out_size: int, reps: int = 3) -> dict:
     results = json.loads(out.stdout.strip().splitlines()[-1])
     results["note"] = (
         "device = XLA CPU backend in a fresh subprocess (no tunnel); page "
-        "cache evicted (posix_fadvise DONTNEED) before every rep so reads "
-        "are real ~75 MB/s disk DMA; serial vs prefetch-2 pipelined over "
-        "the same real directory APIs — the speedup is the driver's "
-        "read/compute/encode overlap, measurable because disk I/O and CPU "
-        "are independent resources even on this 1-core host")
+        "cache evicted (posix_fadvise DONTNEED) before every rep; serial "
+        "vs prefetch-2 pipelined over the same real directory APIs. These "
+        "small scenes re-enter the cache in one touch, so there is little "
+        "to overlap — the big-scene overlap_arm is the demonstration "
+        "measurement. config5's warp legitimately executes device programs "
+        "INSIDE the loader threads (the documented reader-open exception), "
+        "which on a 1-core CPU backend timeshares against the consumer's "
+        "programs — its pipelined column measures that contention, not "
+        "driver overhead; on a real accelerator the warp runs on-device")
     return results
 
 

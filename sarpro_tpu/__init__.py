@@ -11,7 +11,7 @@ fused XLA programs on TPU.
 Public API mirrors the reference's crate root re-exports (src/lib.rs:217-240).
 """
 
-__version__ = "0.4.2"
+__version__ = "0.5.0"
 
 from .types import (  # noqa: F401,E402
     AutoscaleStrategy,
