@@ -174,6 +174,35 @@ def host_read_floor_ms(paths) -> float:
     return total
 
 
+_STREAMS_PROBE_SNIPPET = """\
+import sys, time, json, mmap
+import numpy as np
+sys.path.insert(0, {repo!r})
+from sarpro_tpu import _native
+from sarpro_tpu.io.tiffio import TiffReader
+p = {path!r}
+t = TiffReader(p)
+out = {{}}
+with open(p, "rb") as fh:
+    mm = mmap.mmap(fh.fileno(), 0, prot=mmap.PROT_READ)
+    src = np.frombuffer(mm, dtype=np.uint16, count=t.height * t.width,
+                        offset=int(t.offsets[0]))
+    gb = src.nbytes / 1e9
+    _native.stream_sum_u16_n(src, 1)  # fault-in once
+    for s in (1, 2, 4, 8):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _native.stream_sum_u16_n(src, s)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[f"streams_{{s}}"] = round(gb / best, 2)
+    del src
+    mm.close()
+print(json.dumps(out))
+"""
+
+
 def dram_streams_probe(paths) -> dict:
     """GB/s as a function of concurrent read-stream count (1/2/4/8) over
     the bench band — the multicore projection's measured anchor (VERDICT r4
@@ -181,36 +210,24 @@ def dram_streams_probe(paths) -> dict:
     core's probe already saturates the DRAM channel and aggregate bandwidth
     would NOT scale with cores (the 'dram_fixed' model); rising bandwidth
     means the core is latency-bound and extra cores add real bandwidth
-    ('dram_2x')."""
-    import mmap as _mmap
-
+    ('dram_2x'). Runs in a clean no-JAX subprocess — the bench process's
+    tunnel threads otherwise steal slices from individual stream counts
+    and scramble the comparison."""
     from sarpro_tpu import _native
-    from sarpro_tpu.io.tiffio import TiffReader
 
     if not _native.available() or not hasattr(_native, "stream_sum_u16_n"):
         return {}
-    p = paths[0]
-    t = TiffReader(p)
-    out = {}
-    with open(p, "rb") as fh:
-        mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
-        try:
-            src = np.frombuffer(mm, dtype=np.uint16,
-                                count=t.height * t.width,
-                                offset=int(t.offsets[0]))
-            gb = src.nbytes / 1e9
-            for s in (1, 2, 4, 8):
-                best = None
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    _native.stream_sum_u16_n(src, s)
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
-                out[f"streams_{s}"] = round(gb / best, 2)
-            del src
-        finally:
-            mm.close()
-    t.close()
+    try:
+        out_txt = subprocess.run(
+            [sys.executable, "-c",
+             _STREAMS_PROBE_SNIPPET.format(repo=str(REPO),
+                                           path=str(paths[0]))],
+            capture_output=True, text=True, check=True, timeout=300,
+        ).stdout
+        out = json.loads(out_txt.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 — probe is advisory
+        print(f"WARNING: streams probe failed ({e})", file=sys.stderr)
+        return {}
     if out:
         sat = out["streams_8"] / max(out["streams_4"], 1e-9)
         out["saturation_8v4"] = round(sat, 3)
