@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "collectives); -1 = all devices; implies --fast")
     p.add_argument("--resume", action="store_true",
                    help="Batch mode: skip products whose output already exists")
+    p.add_argument("--no-direct-io", action="store_true",
+                   help="Pipelined batch mode: use buffered (page-cache) "
+                        "reads in the loader threads instead of the default "
+                        "O_DIRECT chunked DMA (use when scenes are re-read "
+                        "and should stay cached)")
     return p
 
 
@@ -151,6 +156,7 @@ def run(argv=None) -> int:
                     resume=args.resume, fast=args.fast,
                     device_batch=args.device_batch,
                     shard_devices=args.shard_devices,
+                    direct_io=not args.no_direct_io,
                 )
             else:
                 report = api.process_directory_to_path(
