@@ -19,6 +19,7 @@ CLAHE apply ~6 ms vs ~137 ms via jnp.take.
 from .kernels import (  # noqa: F401
     clahe_lookup,
     histogram,
+    pallas_interpret,
     synrgb_lookup,
     synrgb_lookup_formula,
     tile_histogram,

@@ -31,6 +31,15 @@ LANE = 128
 # into per-shard partials + psum. Single-chip paths keep the kernels.
 _FORCE_XLA = False
 
+# Test-only: run every pallas_call in interpret mode (the TPU Pallas
+# interpreter executes kernel bodies — SMEM/VMEM refs, DMA copies,
+# semaphores, grids — as JAX ops on the current backend). This lets the
+# ACTUAL kernel bodies be exercised off-silicon: tests/test_pallas_interpret.py
+# compares them against the XLA fallbacks on the CPU backend, so a kernel
+# logic bug is caught without TPU hardware (on-silicon bit-exactness stays
+# covered by benchmarks/tpu_validate.py).
+_INTERPRET = False
+
 
 class force_xla_fallbacks:
     """Context manager: route kernel dispatch to the XLA fallbacks."""
@@ -47,8 +56,34 @@ class force_xla_fallbacks:
         return False
 
 
+class pallas_interpret:
+    """Context manager (test-only): route kernel dispatch to the Pallas
+    kernels in interpret mode on any backend. The flag is read at trace
+    time by jitted wrappers, so the jit caches are cleared on enter AND
+    exit — a traced program must not outlive the mode it was traced in."""
+
+    def __enter__(self):
+        global _INTERPRET
+        self._prev = _INTERPRET
+        _INTERPRET = True
+        jax.clear_caches()
+        return self
+
+    def __exit__(self, *exc):
+        global _INTERPRET
+        _INTERPRET = self._prev
+        jax.clear_caches()
+        return False
+
+
+def interpret_mode() -> bool:
+    """Whether pallas_call sites should pass interpret=True (trace-time)."""
+    return _INTERPRET
+
+
 def use_pallas() -> bool:
-    return not _FORCE_XLA and jax.default_backend() == "tpu"
+    return not _FORCE_XLA and (_INTERPRET
+                               or jax.default_backend() == "tpu")
 
 
 def _pad_row(x, k: int, fill):
@@ -99,6 +134,7 @@ def _histogram_pallas(idx, num_bins: int):
         out_specs=pl.BlockSpec((h, LANE), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, LANE), jnp.int32),
+        interpret=interpret_mode(),
     )(idx2)
     return out.reshape(-1)[:num_bins]
 
@@ -244,6 +280,7 @@ def _tile_histogram_pallas_chunk(bin_flat, cols, tiles_x, tiles_y, tile_h,
                                lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * (n_bins // LANE), LANE),
                                        jnp.int32),
+        interpret=interpret_mode(),
     )(base, off, b2)
     return out.reshape(-1)
 
@@ -444,6 +481,7 @@ def _clahe_lookup_pallas_chunk(bin_idx, cdhi, cdlo, cols, tiles_x, tiles_y,
         out_specs=pl.BlockSpec((1, _CLAHE_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, g * _CLAHE_K), jnp.float32),
+        interpret=interpret_mode(),
     )(base, off, b2, cdtab)
     return out.reshape(-1)[:n]
 
@@ -663,6 +701,7 @@ def _synrgb_formula_pallas(b1, b2, tr, tg, amb_id, amb_val, guard_b2):
         out_specs=pl.BlockSpec((3, _SYNRGB_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, g * _SYNRGB_K), jnp.float32),
+        interpret=interpret_mode(),
     )(pc, tr, tg, amb_id, amb_val)
     return out[:, :n].astype(jnp.uint8).T
 
@@ -708,6 +747,7 @@ def _synrgb_lookup_pallas(b1, b2, lut_r, lut_g, lut_b):
         out_specs=pl.BlockSpec((3, _SYNRGB_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, g * _SYNRGB_K), jnp.float32),
+        interpret=interpret_mode(),
     )(pc, lutr, lutg, lutbt)
     return out[:, :n].astype(jnp.uint8).T
 

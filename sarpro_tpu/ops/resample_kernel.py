@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernels import use_pallas
+from .kernels import interpret_mode, use_pallas
 
 _MAX_SCRATCH_BYTES = 12 << 20  # 2 double-buffered bands must fit VMEM
 
@@ -129,7 +129,7 @@ def _banded_call(x, r0s, W, out_n: int, ca: int, B: int, G: int,
             pl.BlockSpec((G, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # source stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # source stays in HBM
         ],
         out_specs=pl.BlockSpec((8, ca), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -138,6 +138,7 @@ def _banded_call(x, r0s, W, out_n: int, ca: int, B: int, G: int,
             pltpu.VMEM((2, B, ca), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=interpret_mode(),
     )(r0s.reshape(G, 1), W, x)
     return out[:out_n]
 

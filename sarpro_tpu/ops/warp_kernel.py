@@ -32,6 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernels import interpret_mode
+
 TR, TC = 16, 128          # output tile
 TPIX = TR * TC
 # Source window per tile. HBM DMA slices must start on (8, 128) tile
@@ -154,7 +156,7 @@ def tiled_flat_call(src, oy, ox, cx, cy, method: str, n_tiles: int,
             pl.BlockSpec((8, 1), lambda t: (t // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 4), lambda t: (t // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 4), lambda t: (t // 8, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),    # src stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # src stays in HBM
         ],
         out_specs=pl.BlockSpec((1, TPIX), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
@@ -163,6 +165,7 @@ def tiled_flat_call(src, oy, ox, cx, cy, method: str, n_tiles: int,
             pltpu.SemaphoreType.DMA,
         ],
         out_shape=jax.ShapeDtypeStruct((1, n_tiles * TPIX), jnp.float32),
+        interpret=interpret_mode(),
     )(oy, ox, cx, cy, src)
 
 
