@@ -25,7 +25,7 @@
 #include <thread>
 #include <vector>
 
-#if defined(__AVX2__)
+#if defined(__AVX2__) || defined(__AVX512BW__)
 #include <immintrin.h>
 #endif
 
@@ -92,6 +92,16 @@ static HuffTable gDcLum, gDcChr, gAcLum, gAcChr;
 // are almost all nonzero coefficients with run 0) — measured 67 -> 53 ms
 // entropy time on the 2048^2 frame, byte-identical stream.
 static uint64_t gAcLumByVal[2048], gAcChrByVal[2048];
+// NOTE (negative result, measured): a compact 1 KB first-try table
+// (|v| <= 63, which covers >99.99% of nonzero ACs on the bench frame) ran
+// ~4% SLOWER than indexing the full 16 KB tables — both fit this host's
+// 48 KB L1d alongside the streams, so the extra range branch bought
+// nothing. Keep the single full-range table.
+#if defined(__AVX512BW__)
+// vpermi2w index vectors = kZigzagT as u16 (filled in init_tables_impl):
+// one 64-coeff block zigzag-reorders with two permutes over (lo32, hi32)
+alignas(64) static uint16_t gZzPerm[64];
+#endif
 static float gDctT[8][8];  // orthonormal DCT-II basis
 static std::once_flag gInitOnce;  // ctypes releases the GIL: first encodes
                                   // can race from several Python threads
@@ -145,6 +155,10 @@ static void init_tables_impl() {
     }
     for (int kk = 0; kk < 64; ++kk)
         kZigzagT[kk] = kZigzagRC[kk][1] * 8 + kZigzagRC[kk][0];
+#if defined(__AVX512BW__)
+    for (int kk = 0; kk < 64; ++kk)
+        gZzPerm[kk] = static_cast<uint16_t>(kZigzagT[kk]);
+#endif
 }
 
 static void init_tables() {
@@ -292,18 +306,29 @@ static void fdct8x8(const float in[64], int32_t out[64]) {
 }
 #endif
 
-// NOTE (negative result, measured): an AVX-512 variant that permuted
-// coefficients into zigzag order and iterated a nonzero bitmask with tzcnt
-// ran 1.75x SLOWER than this scalar scan on the bench host (141 vs 80 ms
-// for the 2048² frame) — the 512-bit permute/blend chain plus downclocking
-// outweighed the removed zero-branch. Keep the scan scalar.
-static inline void encode_block(BitWriter& bw, const int32_t coeffs[64],
+// NOTE (negative results, measured phase-fair on the 2048² frame —
+// interleaved reps of both builds in one process):
+//   * tzcnt mask-walk instead of the scalar zero scan: 1.75x slower in its
+//     original heavy form (141 vs 80 ms), and STILL slower re-tested in a
+//     light form where the mask falls out of the AVX-512 permute for free
+//     (65 vs 62 ms) — the ctz/blsr chain costs more than the ~12%
+//     mispredicted zero-branches it removes. Keep the SCAN scalar.
+//   * 128-bit accumulator with 64-bit flush groups: 88 vs 65 ms — the
+//     variable __int128 shift in every put dwarfs the halved flush count.
+// The zigzag PERMUTE itself is a win: blocks arrive as contiguous
+// zigzag-ordered int16 with an out-of-range sentinel at [64] (two
+// vpermi2w per block in CoeffSource), so the scan drops the
+// per-coefficient index-table load, the int16→int32 widening copy, and
+// all bound checks (sentinel fails both the zero test and the value-table
+// range test). With 3-/4-code grouped appends: 68.7 → 57.8 ms phase-fair,
+// byte-identical stream.
+static inline void encode_block(BitWriter& bw, const int16_t* zz,
                                 int& dc_prev, const HuffTable& dc,
                                 const HuffTable& ac, const uint64_t* ac_by_val) {
     // DC: Huffman code and value bits append as ONE shift (halves flush
     // checks). For negative v the JPEG value bits v + (1<<s) - 1 equal
     // (v - 1) & ((1<<s)-1) in two's complement.
-    const int dcv = coeffs[kZigzagT[0]];
+    const int dcv = zz[0];
     int diff = dcv - dc_prev;
     {
         // 8-bit-input DCTs bound the DC diff to ±2040 (category <= 11);
@@ -322,33 +347,72 @@ static inline void encode_block(BitWriter& bw, const int32_t coeffs[64],
     // run 0: the value-keyed table gives (code|bits, len) in one load, and
     // two consecutive such codes whose lengths fit 32 bits append as ONE
     // accumulator shift (measured 53 -> 42 ms on the 2048² frame,
-    // byte-identical stream).
-    int run = 0;
+    // byte-identical stream). Zero runs scan sentinel-bounded: zz[64] is
+    // nonzero, so the run loop needs no k < 64 check.
     int k = 1;
-    while (k < 64) {
-        int v = coeffs[kZigzagT[k]];
-        if (v == 0) {
-            ++run;
+    for (;;) {
+        int run = 0;
+        while (zz[k] == 0) {
             ++k;
-            continue;
+            ++run;
         }
+        if (k >= 64) {
+            if (run > 0) bw.put(ac.code[0x00], ac.len[0x00]);  // EOB
+            return;
+        }
+        int v = zz[k];
         // value-keyed table covers |v| <= 1023 (v = -1024 maps to index 0,
         // which build_by_value does NOT fill — it must take the generic
-        // path, where it clamps to the AC category-10 ceiling below)
+        // path, where it clamps to the AC category-10 ceiling below).
+        // zz[64] is the OUT-OF-RANGE sentinel (2000): reading it as v2 at
+        // k == 63 fails the range check, so no k+1 bound check is needed.
         if (run == 0 && static_cast<uint32_t>(v + 1023) < 2047u) {
             const uint64_t e1 = ac_by_val[v + 1024];
-            if (k + 1 < 64) {
-                const int v2 = coeffs[kZigzagT[k + 1]];
-                if (v2 != 0 && static_cast<uint32_t>(v2 + 1023) < 2047u) {
-                    const uint64_t e2 = ac_by_val[v2 + 1024];
-                    const int l1 = static_cast<int>(e1 >> 32);
-                    const int l2 = static_cast<int>(e2 >> 32);
-                    if (l1 + l2 <= 32) {
-                        bw.put(((e1 & 0xFFFFFFFFu) << l2) | (e2 & 0xFFFFFFFFu),
-                               l1 + l2);
-                        k += 2;
-                        continue;
+            const int v2 = zz[k + 1];
+            if (v2 != 0 && static_cast<uint32_t>(v2 + 1023) < 2047u) {
+                const uint64_t e2 = ac_by_val[v2 + 1024];
+                const int l1 = static_cast<int>(e1 >> 32);
+                const int l2 = static_cast<int>(e2 >> 32);
+                if (l1 + l2 <= 32) {
+                    // extend to 3- and 4-code groups while they fit one
+                    // 32-bit append: q100 SAR codes average ~5.4 bits, so
+                    // most groups of four fit (measured 65.0 → 58.8 ms
+                    // phase-fair on the 2048² frame, byte-identical). A
+                    // group can only grow while k + n <= 64, and zz[64]
+                    // (the out-of-range sentinel) stops it, so no bound
+                    // checks are needed.
+                    const int v3 = zz[k + 2];
+                    if (v3 != 0 && static_cast<uint32_t>(v3 + 1023) < 2047u) {
+                        const uint64_t e3 = ac_by_val[v3 + 1024];
+                        const int l3 = static_cast<int>(e3 >> 32);
+                        if (l1 + l2 + l3 <= 32) {
+                            const int v4 = zz[k + 3];
+                            if (v4 != 0 &&
+                                static_cast<uint32_t>(v4 + 1023) < 2047u) {
+                                const uint64_t e4 = ac_by_val[v4 + 1024];
+                                const int l4 = static_cast<int>(e4 >> 32);
+                                if (l1 + l2 + l3 + l4 <= 32) {
+                                    bw.put(((((((e1 & 0xFFFFFFFFu) << l2)
+                                               | (e2 & 0xFFFFFFFFu)) << l3)
+                                             | (e3 & 0xFFFFFFFFu)) << l4)
+                                               | (e4 & 0xFFFFFFFFu),
+                                           l1 + l2 + l3 + l4);
+                                    k += 4;
+                                    continue;
+                                }
+                            }
+                            bw.put(((((e1 & 0xFFFFFFFFu) << l2)
+                                     | (e2 & 0xFFFFFFFFu)) << l3)
+                                       | (e3 & 0xFFFFFFFFu),
+                                   l1 + l2 + l3);
+                            k += 3;
+                            continue;
+                        }
                     }
+                    bw.put(((e1 & 0xFFFFFFFFu) << l2) | (e2 & 0xFFFFFFFFu),
+                           l1 + l2);
+                    k += 2;
+                    continue;
                 }
             }
             bw.put(static_cast<uint32_t>(e1), static_cast<int>(e1 >> 32));
@@ -370,10 +434,8 @@ static inline void encode_block(BitWriter& bw, const int32_t coeffs[64],
             static_cast<uint32_t>(v >= 0 ? v : v - 1) & ((1u << s) - 1);
         bw.put((static_cast<uint64_t>(ac.code[sym]) << s) | valbits,
                ac.len[sym] + s);
-        run = 0;
         ++k;
     }
-    if (run > 0) bw.put(ac.code[0x00], ac.len[0x00]);  // EOB
 }
 
 // Load one 8x8 block from a u8 plane with edge replication, level-shifted.
@@ -467,22 +529,45 @@ static void emit_headers(BitWriter& bw, int w, int h, int ncomp,
 // pre-quantized int16 blocks the device DCT emitted (transposed 8x8 layout,
 // block raster order) — the TPU computes the JPEG front-end (level shift +
 // FDCT + quantize) in-graph and the host pays entropy coding only.
+// Both emit the block ZIGZAG-ORDERED as contiguous int16 into zz[0..63]
+// with a sentinel at zz[64]: nonzero (stops the zero-run scan with no
+// bound check) AND outside the value-keyed table range (fails the pair
+// path's range check, so reading it as v2 at k == 63 is harmless).
+static const int16_t kSentinel = 2000;
 struct PixelSource {
     const uint8_t* const* planes;
     int64_t w, h;
-    inline void get(int64_t bx, int64_t by, int c, int32_t out[64]) const {
+    inline void get_zz(int64_t bx, int64_t by, int c, int16_t zz[66]) const {
         float fblock[64];
+        int32_t coeffs[64];
         load_block(planes[c], w, h, bx, by, fblock);
-        fdct8x8(fblock, out);
+        fdct8x8(fblock, coeffs);
+        // 8-bit-input DCT coefficients are bounded |c| <= 1024: int16-safe
+        for (int i = 0; i < 64; ++i)
+            zz[i] = static_cast<int16_t>(coeffs[kZigzagT[i]]);
+        zz[64] = kSentinel;
     }
 };
 
 struct CoeffSource {
     const int16_t* const* comps;  // per-component (bh_n*bw_n*64) int16
     int64_t bw_n;
-    inline void get(int64_t bx, int64_t by, int c, int32_t out[64]) const {
+    inline void get_zz(int64_t bx, int64_t by, int c, int16_t zz[66]) const {
         const int16_t* p = comps[c] + (by * bw_n + bx) * 64;
-        for (int i = 0; i < 64; ++i) out[i] = p[i];
+#if defined(__AVX512BW__)
+        // the whole 64-coeff block is two zmm registers: zigzag reorder is
+        // two cross-register word permutes (replaces the int32 widening
+        // copy + 64 scalar index-table loads in the scan)
+        const __m512i a = _mm512_loadu_si512(p);
+        const __m512i b = _mm512_loadu_si512(p + 32);
+        const __m512i i0 = _mm512_load_si512(gZzPerm);
+        const __m512i i1 = _mm512_load_si512(gZzPerm + 32);
+        _mm512_storeu_si512(zz, _mm512_permutex2var_epi16(a, i0, b));
+        _mm512_storeu_si512(zz + 32, _mm512_permutex2var_epi16(a, i1, b));
+#else
+        for (int i = 0; i < 64; ++i) zz[i] = p[kZigzagT[i]];
+#endif
+        zz[64] = kSentinel;
     }
 };
 
@@ -494,12 +579,12 @@ static bool encode_band(const Source& src, int ncomp,
                         BitWriter& bw) {
     const int64_t bw_n = (w + 7) / 8;
     int dc[3] = {0, 0, 0};
-    int32_t coeffs[64];
+    alignas(64) int16_t zz[66];
     for (int64_t by = by0; by < by1; ++by) {
         for (int64_t bx = 0; bx < bw_n; ++bx) {
             for (int c = 0; c < ncomp; ++c) {
-                src.get(bx, by, c, coeffs);
-                encode_block(bw, coeffs, dc[c],
+                src.get_zz(bx, by, c, zz);
+                encode_block(bw, zz, dc[c],
                              c == 0 ? gDcLum : gDcChr,
                              c == 0 ? gAcLum : gAcChr,
                              c == 0 ? gAcLumByVal : gAcChrByVal);
