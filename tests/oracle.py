@@ -334,3 +334,141 @@ def jpeg_dct_oracle(planes_u8: np.ndarray) -> np.ndarray:
     b = x.reshape(c, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
     out = np.einsum("ik,cyxkl,jl->cyxji", T, b, T)  # (T·B·Tᵀ)ᵀ
     return np.rint(out).astype(np.int16)
+
+
+def decode_baseline_jpeg_coeffs(blob: bytes, n_mcus: int):
+    """Minimal baseline-JPEG entropy DECODER (test oracle): parses DHT/SOS
+    from the stream itself and Huffman-decodes `n_mcus` MCUs back to
+    per-block zigzag-ordered int arrays (DC differentially reconstructed,
+    AC as stored). Single- or multi-component interleaved scans, restart
+    markers, and 0xFF00 stuffing are handled. This checks the ENTROPY
+    layer bit-exactly — unlike a pixel decode, whose IDCT clamps/wraps on
+    synthetic out-of-range coefficient patterns.
+
+    Returns (blocks, ncomp): blocks[i] is the i-th block of the scan in
+    MCU order (component-interleaved), a list of 64 ints in zigzag order.
+    """
+    tables = {}  # (class, id) -> prefix dict {(len, code): value}
+    pos = 2  # past SOI
+    ncomp = None
+    comp_tabs = []  # per scan component: (dc_table, ac_table)
+    ri = 0
+    while pos < len(blob):
+        assert blob[pos] == 0xFF, hex(blob[pos])
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            raise AssertionError("EOI before SOS")
+        seg_len = (blob[pos + 2] << 8) | blob[pos + 3]
+        body = blob[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                tc_th = body[b]
+                bits = body[b + 1:b + 17]
+                nv = sum(bits)
+                vals = body[b + 17:b + 17 + nv]
+                b += 17 + nv
+                code, k, tab = 0, 0, {}
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        tab[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                tables[(tc_th >> 4, tc_th & 15)] = tab
+        elif marker == 0xDD:  # DRI
+            ri = (body[0] << 8) | body[1]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            ncomp = ns
+            for ci in range(ns):
+                td_ta = body[2 + 2 * ci]
+                comp_tabs.append((tables[(0, td_ta >> 4)],
+                                  tables[(1, td_ta & 15)]))
+            break
+    assert ncomp is not None, "no SOS found"
+
+    # entropy-coded data: strip stuffing, split on RST markers
+    data = blob[pos:]
+    segments, cur = [], bytearray()
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTm: new segment, DC predictors reset
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            if nxt == 0xD9:
+                segments.append(bytes(cur))
+                break
+            raise AssertionError(f"unexpected marker FF{nxt:02X} in scan")
+        cur.append(b)
+        i += 1
+
+    def extend(v, s):
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    blocks = []
+    mcus_done = 0
+    for seg in segments:
+        bitpos = 0
+
+        def read_bit():
+            nonlocal bitpos
+            byte = seg[bitpos >> 3]
+            bit = (byte >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return bit
+
+        def read_bits(n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def read_symbol(tab):
+            ln, code = 0, 0
+            while True:
+                code = (code << 1) | read_bit()
+                ln += 1
+                if (ln, code) in tab:
+                    return tab[(ln, code)]
+                assert ln <= 16, "invalid Huffman code"
+
+        dc_pred = [0] * ncomp  # predictors reset at each restart segment
+        seg_mcus = 0  # a restart interval holds exactly `ri` MCUs (the
+        # last may hold fewer); the remainder of the segment is byte pad
+        while (mcus_done < n_mcus and bitpos < len(seg) * 8
+               and (ri == 0 or seg_mcus < ri)):
+            for ci in range(ncomp):
+                dct, act = comp_tabs[ci]
+                blk = [0] * 64
+                s = read_symbol(dct)
+                diff = extend(read_bits(s), s) if s else 0
+                dc_pred[ci] += diff
+                blk[0] = dc_pred[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(act)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 15
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    blk[k] = extend(read_bits(size), size)
+                    k += 1
+                blocks.append(blk)
+            mcus_done += 1
+            seg_mcus += 1
+    assert mcus_done == n_mcus, (mcus_done, n_mcus)
+    return blocks, ncomp

@@ -439,3 +439,108 @@ def test_jpeg_multithread_restart_intervals(rng):
     np.testing.assert_array_equal(
         np.asarray(Image.open(io.BytesIO(g1)).convert("L")),
         np.asarray(Image.open(io.BytesIO(g4)).convert("L")))
+
+
+def _zigzag_rc():
+    """zigzag k -> (row, col); input blocks are stored TRANSPOSED, so the
+    coefficient for zigzag k sits at flat index col*8 + row."""
+    out = [(0, 0)]
+    r = c = 0
+    up = True
+    for _ in range(63):
+        if up:
+            if c == 7: r += 1; up = False
+            elif r == 0: c += 1; up = False
+            else: r -= 1; c += 1
+        else:
+            if r == 7: c += 1; up = True
+            elif c == 0: r += 1; up = True
+            else: r += 1; c -= 1
+        out.append((r, c))
+    return out
+
+
+@needs_native
+def test_jpeg_coeffs_grouped_append_edge_patterns():
+    """Zigzag-tail and grouping edge cases for the entropy coder's
+    pair/triple/quad appends and the sentinel-bounded scan
+    (native/jpegenc.cpp encode_block): nonzero runs ending exactly at
+    zigzag 61/62/63 (a group must never swallow the out-of-range sentinel
+    at [64]), EOB-only blocks, long zero runs (ZRL), max-category values
+    whose code pairs exceed one 32-bit append, and dense/alternating
+    patterns. Round-tripped EXACTLY through the pure-Python baseline
+    Huffman decoder (tests/oracle.py) — a pixel decode can't check these,
+    because libjpeg's IDCT range limiter wraps on synthetic out-of-range
+    coefficient blocks."""
+    from oracle import decode_baseline_jpeg_coeffs
+
+    zig_rc = _zigzag_rc()
+    patterns = [
+        {},                                  # EOB-only (all-zero AC)
+        {63: 5},                             # lone last coefficient
+        {61: 3, 62: -4, 63: 5},              # triple ending at the edge
+        {60: 2, 61: 3, 62: -4, 63: 5},       # quad ending at the edge
+        {59: 1, 60: 2, 61: 3, 62: -4, 63: 5},
+        {1: 7, 50: -2},                      # ZRL x3 + coded run
+        {1: -1023, 2: 1023, 3: -1023},       # 26-bit codes: pair > 32 bits
+        {1: 1023, 63: -1023},
+        dict((k, (-1) ** k * ((k % 7) + 1)) for k in range(1, 64)),  # dense
+        dict((k, (k % 5) - 2) for k in range(1, 64, 2)),  # alternating
+        {62: -1, 63: 1},                     # pair exactly at the edge
+        {16: 16, 17: -16, 18: 16, 19: -16},  # mid-block quad
+        {1: -1024, 40: 2000, 41: -2000},     # out-of-range -> clamp ±1023
+    ]
+    for dc in (0, 40, -200):
+        for pat in patterns:
+            co = np.zeros((1, 1, 64), np.int16)
+            co[0, 0, 0] = dc
+            want = [dc] + [0] * 63
+            for k, v in pat.items():
+                rr, cc = zig_rc[k]
+                co[0, 0, cc * 8 + rr] = v
+                want[k] = int(np.clip(v, -1023, 1023))
+            blob = _native.jpeg_encode_coeffs_gray(co, 8, 8)
+            blocks, ncomp = decode_baseline_jpeg_coeffs(blob, 1)
+            assert ncomp == 1 and len(blocks) == 1
+            assert blocks[0] == want, (dc, pat)
+
+
+@needs_native
+def test_jpeg_coeffs_roundtrip_fuzz_multiblock(rng):
+    """Randomized exact round-trip through the Huffman-decoder oracle:
+    3-component interleaved scan over several blocks (DC prediction chains
+    across MCUs), sparse SAR-like magnitudes plus occasional large values,
+    single-scan and restart-interval (n_threads > 1) streams."""
+    from oracle import decode_baseline_jpeg_coeffs
+
+    zig_rc = _zigzag_rc()
+    h = w = 24  # 9 MCUs
+    nb = (h // 8) * (w // 8)
+    comps = []
+    want_zz = [[], [], []]  # per component, per block, zigzag list
+    for ci in range(3):
+        co = np.zeros((nb, 64), np.int16)
+        for b in range(nb):
+            nnz = int(rng.integers(0, 64))
+            ks = rng.choice(63, size=nnz, replace=False) + 1
+            vals = rng.integers(-8, 9, size=nnz)
+            big = rng.random(nnz) < 0.1
+            vals = np.where(big, rng.integers(-1023, 1024, size=nnz), vals)
+            zz = [int(rng.integers(-300, 300))] + [0] * 63  # DC
+            for k, v in zip(ks, vals):
+                if v == 0:
+                    continue
+                rr, cc = zig_rc[k]
+                co[b, cc * 8 + rr] = v
+                zz[k] = int(v)
+            co[b, 0] = zz[0]
+            want_zz[ci].append(zz)
+        comps.append(np.ascontiguousarray(co.reshape(-1)))
+    for nt in (1, 3):
+        blob = _native.jpeg_encode_coeffs444(
+            comps[0], comps[1], comps[2], w, h, n_threads=nt)
+        blocks, ncomp = decode_baseline_jpeg_coeffs(blob, nb)
+        assert ncomp == 3 and len(blocks) == nb * 3
+        for b in range(nb):
+            for ci in range(3):
+                assert blocks[b * 3 + ci] == want_zz[ci][b], (nt, b, ci)
