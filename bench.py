@@ -1,14 +1,19 @@
-"""Headline benchmark: 400 MP dual-pol GRD → 2048×2048 CLAHE synthetic RGB.
+"""Headline benchmark: 400 MP dual-pol GRD → 2048×2048 synthetic RGB.
 
-Reference baseline (BASELINE.md row 2): the same scene end-to-end from disk
-in ~348.21 ms on a 12-core Apple M4 Pro (`--target-crs none`). The headline
-value is an ESTIMATE — the sum of the real, individually measured pipeline
-stages (disk read + single-pass native box reduce, the fused device
-program ending in the in-graph JPEG front-end, entropy-only JPEG encode)
-plus a 3-4 ms PCIe allowance replacing the host↔device transfer, which
-here rides a shared RPC tunnel whose bandwidth swings 2–40 MB/s minute to
-minute. Both the raw tunnel e2e ratio and the estimated ratio are reported
-side by side in `extra` (ADVICE r2 item 5).
+PRIMARY metric (since round 5): the reference's own headline configuration
+— the same scene with auto-UTM reprojection + padding → tamed synRGB JPEG,
+~1.5 s on a 12-core Apple M4 Pro (BASELINE.md row 1, the number the
+≥10× BASELINE.json target is stated against). The no-warp arm
+(`--target-crs none`, ~348.21 ms reference row, rounds 1-4's primary) is
+measured identically every run and reported under `extra`.
+
+Each headline value is an ESTIMATE — the sum of the real, individually
+measured pipeline stages (disk read + single-pass native box reduce, the
+fused device program ending in the in-graph JPEG front-end, entropy-only
+JPEG encode) plus a 3-5 ms PCIe allowance replacing the host↔device
+transfer, which here rides a shared RPC tunnel whose bandwidth swings
+2–40 MB/s minute to minute. Both the raw tunnel e2e ratio and the
+estimated ratio are reported side by side in `extra` (ADVICE r2 item 5).
 
 Also reported:
   * **host_read_floor_ms** — the measured time to merely TRAVERSE the same
@@ -556,25 +561,41 @@ def main():
                 "quiet-phase measurement (same 2048 q100 frame cost)",
     }
 
+    # The PRIMARY metric is the reference's own headline configuration:
+    # dual-band 400MP GRD -> auto-UTM reprojection + padding -> 2048 synRGB
+    # JPEG, ~1.5 s on the reference machine (README.md:8,63) — the number
+    # BASELINE.json's ">=10x the 1.5 s CPU baseline" target is stated
+    # against. The no-warp arm (--target-crs none, 348.21 ms reference row)
+    # is reported in full under extra.no_warp; rounds 1-4 used it as the
+    # primary, so both ratios remain side by side for continuity.
     payload = {
-        "metric": "400MP dual-pol SAFE disk->2048 CLAHE synRGB JPEG e2e p50 "
-                  "ESTIMATE (sum of measured stages, tunnel replaced by 3ms "
-                  "PCIe allowance; raw tunnel e2e alongside in extra)",
-        "value": round(estimate, 1),
+        "metric": "400MP dual-pol SAFE disk->auto-UTM warp+pad->2048 tamed "
+                  "synRGB JPEG e2e p50 ESTIMATE, the reference's headline "
+                  "config (sum of measured stages, tunnel replaced by a "
+                  "PCIe allowance; no-warp arm + raw tunnel e2e in extra)",
+        "value": with_warp["estimate_ms"],
         "unit": "ms",
-        "vs_baseline": round(BASELINE_NO_WARP_MS / estimate, 2),
+        "vs_baseline": with_warp["vs_baseline_with_warp"],
         "extra": {
-            "vs_baseline_estimated": round(BASELINE_NO_WARP_MS / estimate, 2),
             "vs_baseline_with_warp": with_warp["vs_baseline_with_warp"],
             "with_warp": with_warp,
+            "no_warp_estimate_ms": round(estimate, 1),
+            "vs_baseline_no_warp": round(BASELINE_NO_WARP_MS / estimate, 2),
+            "no_warp_baseline_ms": BASELINE_NO_WARP_MS,
+            "metric_continuity": "rounds 1-4 reported the no-warp arm "
+                                 "(vs the 348.21 ms --target-crs none row) "
+                                 "as the primary value; round 5 promotes "
+                                 "the reference's actual headline (with "
+                                 "reprojection, vs 1.5 s) — both arms are "
+                                 "measured identically every run",
             "estimate_serial_sum_ms": round(estimate_serial, 1),
-            "pipelined_note": "primary value charges only the post-read "
-                              "device tail (band 1's program + h2d overlap "
-                              "band 2's disk read in the fast path — "
-                              "byte-identical split programs, see "
+            "pipelined_note": "no_warp_estimate_ms charges only the "
+                              "post-read device tail (band 1's program + "
+                              "h2d overlap band 2's disk read in the fast "
+                              "path — byte-identical split programs, see "
                               "tests/test_fast_path.py); the strictly "
                               "serial stage sum is estimate_serial_sum_ms",
-            "vs_baseline_raw_tunnel": round(
+            "vs_baseline_no_warp_raw_tunnel": round(
                 BASELINE_NO_WARP_MS / e2e["p50_ms"], 2),
             "breakdown": breakdown,
             "pcie_allowance_ms": pcie_ms,
