@@ -332,31 +332,41 @@ static void vertical_acc_avx512(const uint16_t* rows0, int64_t src_cols,
                                 int64_t n, uint32_t* acc) {
     int64_t x = 0;
     if (n <= 16) {
-        // widen via unpacklo/hi (2 shuffle-port uops/row/32px) instead of
-        // cast+extract+2x cvtepu16 (3): the interleaved lane order is
-        // fixed ONCE per window with two table permutes at store time —
-        // ~27% fewer shuffle-port uops for the common 9/10-row windows,
-        // which is what binds this loop when DRAM is in a fast phase.
-        const __m512i z = _mm512_setzero_si512();
+        // Shuffle-free widening: each u32 lane of a loaded vector holds an
+        // (even, odd) u16 column pair as lo + hi*2^16. Accumulate the RAW
+        // lanes (mod 2^32) into sRaw and the >>16 hi halves into sHi; the
+        // even-column sums are then sRaw - (sHi << 16) (exact: the true
+        // even sums fit u32 for any n <= 65537, and u32 arithmetic is
+        // modular), odd-column sums are sHi. 3 ALU uops/row/32px (add,
+        // srl, add — zero shuffle-port uops) vs the former unpacklo/hi
+        // form's 4 (2 shuffle + 2 add): the p0/p5-bound issue rate drops
+        // from 2.0 to 1.5 cycles/row/32px. Measured NEUTRAL on this host
+        // (the loop sits at the DRAM floor in every phase sampled), so
+        // the uop cut only pays when memory runs ahead of the core; kept
+        // because it is strictly fewer uops. Column order is restored ONCE
+        // per window: two table permutes interleave the even/odd vectors
+        // at store time. Sums are bit-identical u32, as before.
         const __m512i idx0 = _mm512_setr_epi32(
-            0, 1, 2, 3, 16, 17, 18, 19, 4, 5, 6, 7, 20, 21, 22, 23);
+            0, 16, 1, 17, 2, 18, 3, 19, 4, 20, 5, 21, 6, 22, 7, 23);
         const __m512i idx1 = _mm512_setr_epi32(
-            8, 9, 10, 11, 24, 25, 26, 27, 12, 13, 14, 15, 28, 29, 30, 31);
+            8, 24, 9, 25, 10, 26, 11, 27, 12, 28, 13, 29, 14, 30, 15, 31);
         for (; x + 32 <= src_cols; x += 32) {
-            __m512i sl = _mm512_setzero_si512();
-            __m512i sh = _mm512_setzero_si512();
+            __m512i sRaw = _mm512_setzero_si512();
+            __m512i sHi = _mm512_setzero_si512();
             for (int64_t r = 0; r < n; ++r) {
                 const uint16_t* p = rows0 + r * src_cols;
                 _mm_prefetch(reinterpret_cast<const char*>(p + x + 1024),
                              _MM_HINT_T0);
                 const __m512i v = _mm512_loadu_si512(p + x);
-                sl = _mm512_add_epi32(sl, _mm512_unpacklo_epi16(v, z));
-                sh = _mm512_add_epi32(sh, _mm512_unpackhi_epi16(v, z));
+                sRaw = _mm512_add_epi32(sRaw, v);
+                sHi = _mm512_add_epi32(sHi, _mm512_srli_epi32(v, 16));
             }
+            const __m512i sEven = _mm512_sub_epi32(
+                sRaw, _mm512_slli_epi32(sHi, 16));
             _mm512_storeu_si512(acc + x, _mm512_permutex2var_epi32(
-                sl, idx0, sh));
+                sEven, idx0, sHi));
             _mm512_storeu_si512(acc + x + 16, _mm512_permutex2var_epi32(
-                sl, idx1, sh));
+                sEven, idx1, sHi));
         }
         for (; x < src_cols; ++x) {
             uint32_t s = 0;

@@ -104,7 +104,7 @@ def _pad_row(x, k: int, fill):
 _HIST_K = 16384
 
 
-def _hist_kernel(h: int, idx_ref, out_ref):
+def _hist_kernel(h: int, num_bins: int, idx_ref, out_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -112,8 +112,17 @@ def _hist_kernel(h: int, idx_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     row = idx_ref[:]  # (1, K) i32; masked elements carry an overflow index
-    hi = (row // LANE) == jax.lax.broadcasted_iota(jnp.int32, (h, _HIST_K), 0)
-    lo = (row % LANE) == jax.lax.broadcasted_iota(jnp.int32, (LANE, _HIST_K), 0)
+    # Masked elements (idx >= num_bins) are dropped on the LO side: their
+    # lo index is forced to LANE, which matches none of the 128 iota rows,
+    # so their one-hot column is all-zero. Absorbing them in an extra HI
+    # band instead (the previous form) made M = num_bins/128 + 1 = 129 for
+    # the 16384-bin dB histogram — one row past the systolic array's 128,
+    # doubling the M-tile passes of every K-step of the contraction.
+    valid = row < num_bins
+    hi = (jnp.minimum(row // LANE, h - 1)
+          == jax.lax.broadcasted_iota(jnp.int32, (h, _HIST_K), 0))
+    lo = (jnp.where(valid, row % LANE, LANE)
+          == jax.lax.broadcasted_iota(jnp.int32, (LANE, _HIST_K), 0))
     part = jax.lax.dot_general(
         hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -123,11 +132,10 @@ def _hist_kernel(h: int, idx_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("num_bins",))
 def _histogram_pallas(idx, num_bins: int):
-    # one extra hi-band absorbs masked elements (idx == num_bins.. )
-    h = num_bins // LANE + 1
+    h = num_bins // LANE
     idx2, g = _pad_row(idx.astype(jnp.int32), _HIST_K, num_bins)
     out = pl.pallas_call(
-        functools.partial(_hist_kernel, h),
+        functools.partial(_hist_kernel, h, num_bins),
         grid=(g,),
         in_specs=[pl.BlockSpec((1, _HIST_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
@@ -136,7 +144,7 @@ def _histogram_pallas(idx, num_bins: int):
         out_shape=jax.ShapeDtypeStruct((h, LANE), jnp.int32),
         interpret=interpret_mode(),
     )(idx2)
-    return out.reshape(-1)[:num_bins]
+    return out.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins",))
